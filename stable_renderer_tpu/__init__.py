@@ -1,0 +1,31 @@
+"""stable_renderer_tpu — a TPU-native neural rendering framework.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of 92MING/Stable-Renderer:
+a GameObject/Camera scene engine whose rasterizer produces G-buffers
+(color / object-ID / position / normal+depth / per-object noise / canny) directly as
+device arrays, feeding a JIT-compiled SD1.5 img2img denoise loop (UNet, VAE, CLIP,
+ControlNet, LCM) with cross-frame attention injection and per-vertex latent
+correspondence for temporal consistency, plus a "bake" path that accumulates diffusion
+output into view-binned UV-space CorrespondMaps for free real-time replay.
+
+Unlike the reference (a Python OpenGL engine bridged to a forked ComfyUI via CUDA-GL
+texture interop), the whole rasterize -> condition -> denoise -> composite step here
+compiles into a single pjit'd program that never leaves the chip, sharding frame
+batches across a TPU mesh.
+
+Layer map (mirrors SURVEY.md section 1, re-designed TPU-first):
+
+    engine/    host-side scene graph (GameObject/Component/Transform/Camera) that
+               *produces arrays* consumed by the compiled frame step
+    ops/       the device programs: rasterizer, G-buffer shading, AdaIN/segment ops,
+               fused attention / group-norm (Pallas + XLA)
+    data/      the data contracts: GBuffer, EngineData, IDMap, CorrespondMap
+    models/    SD1.5 model stack in functional JAX: CLIP, VAE, UNet, ControlNet,
+               LoRA merge, samplers-as-scan
+    parallel/  device meshes, sharding rules (frame-DP, attention-head TP)
+    workflow/  declarative render configs + reference workflow-JSON loader
+"""
+
+__version__ = "0.1.0"
+
+from stable_renderer_tpu.utils.log import EngineLogger  # noqa: F401
