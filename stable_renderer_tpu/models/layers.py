@@ -1,0 +1,149 @@
+"""Shared neural-net layers as pure functions over torch-layout param dicts.
+
+Design: every model in models/ is a pure function ``apply(params, ...) -> array``
+where ``params`` is a nested dict whose leaf names and layouts match the reference
+checkpoints (torch Linear weight = (out, in), Conv2d = (O, I, kH, kW)), so
+safetensors load with zero renaming gymnastics (see models/weights.py). Activations
+are NHWC (TPU-native); torch NCHW convs map via dimension_numbers.
+
+Replaces torch.nn usage across the reference's model stack
+(reference: source/comfyUI/comfy/ldm/modules/*, comfy/ops.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def linear(p: dict, x: jax.Array) -> jax.Array:
+    """torch nn.Linear: weight (out, in), optional bias."""
+    out = x @ p["weight"].T.astype(x.dtype)
+    if "bias" in p and p["bias"] is not None:
+        out = out + p["bias"].astype(x.dtype)
+    return out
+
+
+def conv2d(p: dict, x: jax.Array, stride: int = 1, padding: int = 0) -> jax.Array:
+    """torch nn.Conv2d on NHWC activations; weight (O, I, kH, kW)."""
+    w = p["weight"].astype(x.dtype)
+    out = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "OIHW", "NHWC"),
+    )
+    if "bias" in p and p["bias"] is not None:
+        out = out + p["bias"].astype(x.dtype)
+    return out
+
+
+def group_norm(p: dict, x: jax.Array, num_groups: int = 32, eps: float = 1e-6) -> jax.Array:
+    """torch nn.GroupNorm over NHWC (normalizes per group of channels).
+
+    Statistics in float32 for bf16 stability.
+    """
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    *lead, c = x32.shape
+    g = num_groups
+    xg = x32.reshape(*lead[:-2], -1, g, c // g) if False else x32.reshape(-1, g, c // g)
+    # flatten all non-channel dims together with spatial: stats per (batch, group)
+    n = x32.shape[0]
+    spatial = 1
+    for d in x32.shape[1:-1]:
+        spatial *= d
+    xg = x32.reshape(n, spatial, g, c // g)
+    mean = xg.mean(axis=(1, 3), keepdims=True)
+    var = xg.var(axis=(1, 3), keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    out = xg.reshape(x32.shape)
+    out = out * p["weight"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return out.astype(orig_dtype)
+
+
+def layer_norm(p: dict, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(-1, keepdims=True)
+    var = x32.var(-1, keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    if p is not None and "weight" in p:
+        out = out * p["weight"].astype(jnp.float32)
+        if "bias" in p and p["bias"] is not None:
+            out = out + p["bias"].astype(jnp.float32)
+    return out.astype(orig_dtype)
+
+
+def silu(x: jax.Array) -> jax.Array:
+    return jax.nn.silu(x)
+
+
+def gelu_quick(x: jax.Array) -> jax.Array:
+    """CLIP's quick-gelu: x * sigmoid(1.702 x)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def geglu(p: dict, x: jax.Array) -> jax.Array:
+    """GEGLU feed-forward gate (attention.py FeedForward net.0)."""
+    proj = linear(p["proj"], x)
+    a, b = jnp.split(proj, 2, axis=-1)
+    return a * jax.nn.gelu(b)
+
+
+def timestep_embedding(t: jax.Array, dim: int, max_period: float = 10000.0) -> jax.Array:
+    """Sinusoidal timestep embedding (openaimodel timestep_embedding).
+
+    Args: t (N,) float; returns (N, dim).
+    """
+    half = dim // 2
+    freqs = jnp.exp(-jnp.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+def attention(
+    q: jax.Array,  # (B, Lq, H*D)
+    k: jax.Array,  # (B, Lk, H*D)
+    v: jax.Array,  # (B, Lk, H*D)
+    heads: int,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Multi-head scaled dot-product attention over packed head dims.
+
+    The reference dispatches between xformers/pytorch/split kernels
+    (comfy/ldm/modules/attention.py optimized_attention); on TPU we give XLA the
+    whole einsum chain — it emits a fused flash-style kernel — and a Pallas
+    flash-attention can swap in here behind the same signature.
+    """
+    b, lq, hd = q.shape
+    d = hd // heads
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
+    qh = q.reshape(b, lq, heads, d).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, -1, heads, d).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, -1, heads, d).transpose(0, 2, 1, 3)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if mask is not None:
+        logits = logits + mask
+    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", weights, vh)
+    return out.transpose(0, 2, 1, 3).reshape(b, lq, hd)
+
+
+def upsample_nearest_2x(x: jax.Array) -> jax.Array:
+    """2x nearest upsampling on NHWC (openaimodel Upsample F.interpolate)."""
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)
+
+
+def avg_pool_2x(x: jax.Array) -> jax.Array:
+    n, h, w, c = x.shape
+    return x.reshape(n, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))

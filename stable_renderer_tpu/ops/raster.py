@@ -1,0 +1,213 @@
+"""Triangle rasterizer in pure XLA — the replacement for the GL rasterization stage.
+
+The reference rasterizes via OpenGL draw calls through
+engine/shaders/default_Gbuffer.vert.glsl (vertex transform) and relies on the GPU's
+fixed-function rasterizer + z-buffer. The TPU has no rasterizer, so this module
+implements one as compiled array code, designed for XLA:
+
+  * **Visibility-buffer design**: the raster pass writes only
+    (window_z, triangle_id, barycentrics) per pixel. All attribute interpolation and
+    shading is deferred to ops/gbuffer.py as one vectorized gather pass — so the
+    z-fight loop carries 4 floats/pixel instead of the full 20+ channel G-buffer.
+  * **Static shapes**: triangles are processed in fixed-size chunks under
+    ``lax.scan``; the carry is the visibility buffer. Degenerate / culled / padded
+    triangles are masked out, never branched on.
+  * Conventions: GL clip space (z in [-1,1]), window z in [0,1] (less = closer),
+    y-down image coordinates (equivalent to GL + the reference's flip=True readback,
+    texture.py:221-254). Triangles with any vertex behind the near plane are culled
+    rather than clipped (documented limitation; matches typical game content).
+
+A Pallas tile-binned version can swap in behind the same signature; this pure-XLA
+version is the correctness baseline and is already fully fused by XLA.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class VisibilityBuffer(NamedTuple):
+    """Per-pixel raster output. tri_id == -1 where nothing was drawn."""
+
+    z: jax.Array        # (H, W) float32 window-space depth in [0,1]; 1.0 = empty
+    tri_id: jax.Array   # (H, W) int32 triangle index, -1 = none
+    bary: jax.Array     # (H, W, 3) float32 perspective-correct barycentrics
+
+    @staticmethod
+    def empty(height: int, width: int) -> "VisibilityBuffer":
+        return VisibilityBuffer(
+            z=jnp.ones((height, width), jnp.float32),
+            tri_id=jnp.full((height, width), -1, jnp.int32),
+            bary=jnp.zeros((height, width, 3), jnp.float32),
+        )
+
+
+def vertex_stage(
+    positions: jax.Array,  # (V, 3) model space
+    normals: jax.Array,    # (V, 3)
+    mv: jax.Array,         # (4, 4) model-view
+    proj: jax.Array,       # (4, 4) projection
+    mv_it: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """The default_Gbuffer.vert.glsl equivalent: returns
+    (clip_pos (V,4), view_pos (V,3), view_normal (V,3) normalized).
+
+    One batched matmul per output — this is MXU work.
+    """
+    v4 = jnp.concatenate([positions, jnp.ones_like(positions[:, :1])], axis=-1)
+    view4 = v4 @ mv.T
+    view_pos = view4[:, :3]
+    clip = view4 @ proj.T
+    if mv_it is None:
+        mv_it = jnp.linalg.inv(mv).T
+    vn = normals @ mv_it[:3, :3].T
+    vn = vn / jnp.maximum(jnp.linalg.norm(vn, axis=-1, keepdims=True), 1e-8)
+    return clip, view_pos, vn
+
+
+@partial(jax.jit, static_argnames=("height", "width", "chunk", "cull_backface"))
+def rasterize(
+    clip_pos: jax.Array,  # (V, 4)
+    tris: jax.Array,      # (T, 3) int32
+    height: int,
+    width: int,
+    chunk: int = 32,
+    cull_backface: bool = False,
+) -> VisibilityBuffer:
+    """Rasterize triangles into a visibility buffer.
+
+    Scan over ceil(T/chunk) fixed-size chunks; within a chunk, coverage of all
+    pixels x chunk triangles is evaluated with one vectorized edge-function test,
+    the chunk's nearest hit per pixel is selected, then depth-merged into the carry.
+    """
+    t_count = tris.shape[0]
+    n_chunks = max(1, -(-t_count // chunk))
+    pad = n_chunks * chunk - t_count
+    tris_p = jnp.concatenate(
+        [tris, jnp.zeros((pad, 3), tris.dtype)], axis=0
+    ) if pad else tris
+    tri_valid = jnp.arange(n_chunks * chunk) < t_count
+
+    # Window-space vertex positions. GL viewport transform, y flipped to image rows.
+    w_clip = clip_pos[:, 3]
+    # Guard against w ~ 0 (vertex on camera plane): such triangles are culled below.
+    safe_w = jnp.where(jnp.abs(w_clip) < 1e-8, 1e-8, w_clip)
+    ndc = clip_pos[:, :3] / safe_w[:, None]
+    sx = (ndc[:, 0] + 1.0) * 0.5 * width
+    sy = (1.0 - ndc[:, 1]) * 0.5 * height
+    sz = (ndc[:, 2] + 1.0) * 0.5  # window z in [0,1]
+    inv_w = 1.0 / safe_w
+
+    px = (jnp.arange(width, dtype=jnp.float32) + 0.5)[None, :]   # (1, W)
+    py = (jnp.arange(height, dtype=jnp.float32) + 0.5)[:, None]  # (H, 1)
+
+    def tri_cover(tri_idx: jax.Array, valid: jax.Array):
+        """Coverage of one triangle over the full frame.
+
+        Returns (z (H,W) with 1.0=miss, bary (H,W,3) perspective-correct)."""
+        i0, i1, i2 = tri_idx[0], tri_idx[1], tri_idx[2]
+        x0, y0 = sx[i0], sy[i0]
+        x1, y1 = sx[i1], sy[i1]
+        x2, y2 = sx[i2], sy[i2]
+        # front-of-camera check: cull triangles with any vertex behind near plane
+        w_ok = (w_clip[i0] > 1e-6) & (w_clip[i1] > 1e-6) & (w_clip[i2] > 1e-6)
+
+        area = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+        if cull_backface:
+            # GL front face = CCW in GL window coords (y up); in the y-down image
+            # space used here that makes the signed area negative.
+            face_ok = area < -1e-12
+        else:
+            face_ok = jnp.abs(area) > 1e-12
+        inv_area = 1.0 / jnp.where(jnp.abs(area) < 1e-12, 1.0, area)
+
+        # Edge functions (signed areas), same sign as `area` when inside.
+        e0 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)  # opposite v0
+        e1 = (x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)  # opposite v1
+        e2 = (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)  # opposite v2
+        b0 = e0 * inv_area
+        b1 = e1 * inv_area
+        b2 = e2 * inv_area
+        inside = (b0 >= 0) & (b1 >= 0) & (b2 >= 0) & valid & w_ok & face_ok
+
+        # window z is linear in screen space (gl_FragCoord.z semantics)
+        z = b0 * sz[i0] + b1 * sz[i1] + b2 * sz[i2]
+        z = jnp.clip(z, 0.0, 1.0)
+        z = jnp.where(inside, z, 1.0)
+
+        # perspective-correct barycentrics for attribute interpolation
+        pb0 = b0 * inv_w[i0]
+        pb1 = b1 * inv_w[i1]
+        pb2 = b2 * inv_w[i2]
+        denom = pb0 + pb1 + pb2
+        denom = jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
+        pbary = jnp.stack([pb0, pb1, pb2], axis=-1) / denom[..., None]
+        return z, pbary
+
+    def scan_step(carry: VisibilityBuffer, chunk_data):
+        tri_chunk, valid_chunk, base = chunk_data
+        zs, barys = jax.vmap(tri_cover)(tri_chunk, valid_chunk)  # (G,H,W), (G,H,W,3)
+        best = jnp.argmin(zs, axis=0)                            # (H, W)
+        best_z = jnp.take_along_axis(zs, best[None], axis=0)[0]
+        best_bary = jnp.take_along_axis(barys, best[None, ..., None], axis=0)[0]
+        hit = best_z < 1.0
+        closer = hit & (best_z < carry.z)
+        new = VisibilityBuffer(
+            z=jnp.where(closer, best_z, carry.z),
+            tri_id=jnp.where(closer, base + best.astype(jnp.int32), carry.tri_id),
+            bary=jnp.where(closer[..., None], best_bary, carry.bary),
+        )
+        return new, None
+
+    chunks = tris_p.reshape(n_chunks, chunk, 3)
+    valids = tri_valid.reshape(n_chunks, chunk)
+    bases = (jnp.arange(n_chunks) * chunk).astype(jnp.int32)
+    init = VisibilityBuffer.empty(height, width)
+    out, _ = jax.lax.scan(scan_step, init, (chunks, valids, bases))
+    return out
+
+
+def interpolate(
+    vis: VisibilityBuffer,
+    tris: jax.Array,       # (T, 3)
+    vertex_attr: jax.Array,  # (V, C)
+) -> jax.Array:
+    """Perspective-correct interpolation of a vertex attribute over the frame.
+
+    Returns (H, W, C); pixels with no triangle get zeros.
+    """
+    tri = jnp.clip(vis.tri_id, 0, tris.shape[0] - 1)
+    idx = tris[tri]                      # (H, W, 3)
+    attrs = vertex_attr[idx]             # (H, W, 3, C)
+    out = jnp.einsum("hwk,hwkc->hwc", vis.bary, attrs)
+    return jnp.where((vis.tri_id >= 0)[..., None], out, 0.0)
+
+
+def flat_vertex(
+    vis: VisibilityBuffer,
+    tris: jax.Array,
+    vertex_attr: jax.Array,  # (V,) or (V, C)
+    mode: str = "nearest",
+) -> jax.Array:
+    """Non-interpolated per-pixel vertex attribute (GLSL ``flat`` qualifier).
+
+    ``mode='nearest'`` picks the vertex with the largest barycentric weight (better
+    correspondence ids than GL); ``mode='provoking'`` matches GL's provoking-vertex
+    rule (last vertex of the triangle), which the reference's ``flat out int
+    vertexID`` uses (default_Gbuffer.vert.glsl:39).
+    """
+    tri = jnp.clip(vis.tri_id, 0, tris.shape[0] - 1)
+    idx = tris[tri]  # (H, W, 3)
+    if mode == "provoking":
+        chosen = idx[..., 2]
+    else:
+        chosen = jnp.take_along_axis(idx, jnp.argmax(vis.bary, axis=-1)[..., None], axis=-1)[..., 0]
+    vals = vertex_attr[chosen]
+    none = vis.tri_id < 0
+    if vals.ndim == 3:
+        return jnp.where(none[..., None], 0, vals)
+    return jnp.where(none, 0, vals)
