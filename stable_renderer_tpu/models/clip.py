@@ -1,0 +1,187 @@
+"""CLIP text encoder (SD1.5's conditioner) + tokenizer.
+
+Capability match for the reference's CLIP stack
+(reference: comfy/sd.py:106-190 CLIP.tokenize/encode_from_tokens,
+comfy/sd1_clip.py SDClipModel/SDTokenizer). Param tree mirrors the transformers
+CLIPTextModel layout used by the checkpoints
+(``cond_stage_model.transformer.text_model.*``).
+
+Tokenizer: the BPE merges/vocab of openai/clip-vit-large-patch14. If the
+transformers cache (or an explicit vocab path) is available we use the real
+CLIPTokenizer; otherwise a deterministic hash fallback keeps the pipeline runnable
+for shape-level work (documented — real text conditioning needs the vocab files,
+which the reference also ships with its checkpoints).
+
+clip_skip semantics match comfy CLIPTextEncode: ``clip_layer(-1)`` = final hidden
+state, ``-2`` = penultimate, with the final LayerNorm applied after truncation
+(sd1_clip.py layer="hidden" + layer_norm_hidden_state=True).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stable_renderer_tpu.models.layers import attention, gelu_quick, layer_norm, linear
+from stable_renderer_tpu.utils.log import get_logger
+
+logger = get_logger("sr_tpu.clip")
+
+
+@dataclass(frozen=True)
+class CLIPConfig:
+    vocab_size: int = 49408
+    max_length: int = 77
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    bos_token: int = 49406
+    eos_token: int = 49407
+
+
+SD15_CLIP_CONFIG = CLIPConfig()
+TINY_CLIP_CONFIG = CLIPConfig(
+    vocab_size=1000, hidden_size=64, num_layers=2, num_heads=2, intermediate_size=128
+)
+
+
+class CLIPTextModel:
+    def __init__(self, config: CLIPConfig = SD15_CLIP_CONFIG):
+        self.config = config
+
+    def apply(
+        self,
+        params: dict,
+        tokens: jax.Array,  # (B, 77) int32
+        clip_skip: int = -1,
+    ) -> jax.Array:
+        """tokens -> (B, 77, hidden) conditioning."""
+        cfg = self.config
+        tm = params["text_model"]
+        x = tm["embeddings"]["token_embedding"]["weight"][tokens]
+        pos = tm["embeddings"]["position_embedding"]["weight"][: tokens.shape[1]]
+        x = x + pos[None]
+
+        # causal mask (CLIP text is causal)
+        l = tokens.shape[1]
+        causal = jnp.where(
+            jnp.arange(l)[None, :] <= jnp.arange(l)[:, None], 0.0, -jnp.inf
+        ).astype(jnp.float32)[None, None]
+
+        n_layers = cfg.num_layers if clip_skip == -1 else cfg.num_layers + 1 + clip_skip
+        for i in range(n_layers):
+            lp = tm["encoder"]["layers"][str(i)]
+            h = layer_norm(lp["layer_norm1"], x)
+            q = linear(lp["self_attn"]["q_proj"], h)
+            k = linear(lp["self_attn"]["k_proj"], h)
+            v = linear(lp["self_attn"]["v_proj"], h)
+            h = attention(q, k, v, cfg.num_heads, mask=causal)
+            x = x + linear(lp["self_attn"]["out_proj"], h)
+            h = layer_norm(lp["layer_norm2"], x)
+            h = linear(lp["mlp"]["fc1"], h)
+            h = gelu_quick(h)
+            x = x + linear(lp["mlp"]["fc2"], h)
+
+        return layer_norm(tm["final_layer_norm"], x)
+
+    def pooled(self, params: dict, tokens: jax.Array, hidden: jax.Array) -> jax.Array:
+        """EOS-token pooled embedding (used by SDXL; provided for parity)."""
+        eos_pos = jnp.argmax((tokens == self.config.eos_token).astype(jnp.int32), axis=1)
+        return hidden[jnp.arange(tokens.shape[0]), eos_pos]
+
+    def init(self, key: jax.Array, dtype=jnp.float32) -> dict:
+        cfg = self.config
+        from stable_renderer_tpu.models.unet import _KeyGen
+
+        keys = _KeyGen(key)
+
+        def lin(i, o):
+            return {
+                "weight": jax.random.normal(keys(), (o, i), dtype) * 0.02,
+                "bias": jnp.zeros((o,), dtype),
+            }
+
+        def norm(c):
+            return {"weight": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}
+
+        h = cfg.hidden_size
+        layers = {
+            str(i): {
+                "layer_norm1": norm(h),
+                "layer_norm2": norm(h),
+                "self_attn": {
+                    "q_proj": lin(h, h),
+                    "k_proj": lin(h, h),
+                    "v_proj": lin(h, h),
+                    "out_proj": lin(h, h),
+                },
+                "mlp": {"fc1": lin(h, cfg.intermediate_size), "fc2": lin(cfg.intermediate_size, h)},
+            }
+            for i in range(cfg.num_layers)
+        }
+        return {
+            "text_model": {
+                "embeddings": {
+                    "token_embedding": {
+                        "weight": jax.random.normal(keys(), (cfg.vocab_size, h), dtype) * 0.02
+                    },
+                    "position_embedding": {
+                        "weight": jax.random.normal(keys(), (cfg.max_length, h), dtype) * 0.02
+                    },
+                },
+                "encoder": {"layers": layers},
+                "final_layer_norm": norm(h),
+            }
+        }
+
+
+class Tokenizer:
+    """CLIP BPE tokenizer with graceful fallback.
+
+    Tries transformers' CLIPTokenizer from a local path or cache (zero-egress
+    environment: no downloads). Falls back to a deterministic hash of whitespace
+    tokens — shape-correct, not semantically meaningful — so the full pipeline
+    stays runnable without vocab files.
+    """
+
+    def __init__(self, config: CLIPConfig = SD15_CLIP_CONFIG, vocab_path: str | None = None):
+        self.config = config
+        self._hf = None
+        try:  # pragma: no cover - depends on local caches
+            from transformers import CLIPTokenizer, CLIPTokenizerFast  # noqa: F401
+
+            src = vocab_path or "openai/clip-vit-large-patch14"
+            self._hf = CLIPTokenizer.from_pretrained(src, local_files_only=True)
+        except Exception:
+            logger.warning(
+                "CLIP vocab unavailable (offline); using deterministic hash tokenizer."
+            )
+
+    def encode(self, text: str) -> np.ndarray:
+        """text -> (77,) int32 with BOS/EOS + EOS padding (comfy pads with EOS)."""
+        cfg = self.config
+        if self._hf is not None:
+            ids = self._hf(
+                text,
+                truncation=True,
+                max_length=cfg.max_length,
+                padding="max_length",
+                return_tensors="np",
+            )["input_ids"][0]
+            return ids.astype(np.int32)
+        words = text.lower().split()
+        body = [
+            (hash(w) % (cfg.vocab_size - 2 - 1)) + 1  # avoid 0/bos/eos
+            for w in words
+        ][: cfg.max_length - 2]
+        ids = [cfg.bos_token % cfg.vocab_size] + body + [cfg.eos_token % cfg.vocab_size]
+        ids += [cfg.eos_token % cfg.vocab_size] * (cfg.max_length - len(ids))
+        return np.asarray(ids, np.int32)
+
+    def encode_batch(self, texts: Sequence[str]) -> np.ndarray:
+        return np.stack([self.encode(t) for t in texts])

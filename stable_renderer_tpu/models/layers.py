@@ -48,9 +48,10 @@ def group_norm(p: dict, x: jax.Array, num_groups: int = 32, eps: float = 1e-6) -
     """
     orig_dtype = x.dtype
     x32 = x.astype(jnp.float32)
-    *lead, c = x32.shape
+    c = x32.shape[-1]
     g = num_groups
-    xg = x32.reshape(*lead[:-2], -1, g, c // g) if False else x32.reshape(-1, g, c // g)
+    while c % g:  # tiny test configs have c < 32; checkpoints always divide evenly
+        g //= 2
     # flatten all non-channel dims together with spatial: stats per (batch, group)
     n = x32.shape[0]
     spatial = 1

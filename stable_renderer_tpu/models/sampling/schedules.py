@@ -1,0 +1,162 @@
+"""Noise schedules and sigma <-> timestep mapping for the SD model family.
+
+Capability match for the reference's model_sampling + scheduler zoo
+(reference: comfy/model_sampling.py ModelSamplingDiscrete/LCM,
+comfy/samplers.py:calculate_sigmas + karras/exponential/sgm_uniform/simple/
+ddim_uniform schedules, comfy/k_diffusion/sampling.py get_sigmas_karras).
+
+All schedules are computed with numpy on host (they are tiny and static per
+compiled denoise loop) and handed to the jitted scan as a (steps+1,) array.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+SCHEDULER_NAMES = [
+    "normal",
+    "karras",
+    "exponential",
+    "sgm_uniform",
+    "simple",
+    "ddim_uniform",
+]
+
+
+@dataclass
+class ModelSampling:
+    """Discrete eps-prediction schedule (ModelSamplingDiscrete semantics).
+
+    SD1.5: linear-sqrt betas 0.00085 -> 0.012 over 1000 steps;
+    sigma_t = sqrt((1 - abar_t) / abar_t).
+    """
+
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    num_timesteps: int = 1000
+    prediction: str = "eps"  # 'eps' | 'v' | 'lcm'
+    # LCM extras (comfy model_sampling.py LCM)
+    sigma_data: float = 0.5
+    timestep_scaling: float = 10.0
+    sigmas: np.ndarray = field(init=False)
+    log_sigmas: np.ndarray = field(init=False)
+
+    def __post_init__(self) -> None:
+        betas = (
+            np.linspace(
+                self.beta_start**0.5, self.beta_end**0.5, self.num_timesteps,
+                dtype=np.float64,
+            )
+            ** 2
+        )
+        alphas_cumprod = np.cumprod(1.0 - betas)
+        self.sigmas = np.sqrt((1.0 - alphas_cumprod) / alphas_cumprod).astype(np.float32)
+        self.log_sigmas = np.log(self.sigmas)
+
+    @property
+    def sigma_min(self) -> float:
+        return float(self.sigmas[0])
+
+    @property
+    def sigma_max(self) -> float:
+        return float(self.sigmas[-1])
+
+    def timestep(self, sigma: np.ndarray) -> np.ndarray:
+        """sigma -> fractional timestep by log-sigma interpolation
+        (ModelSamplingDiscrete.timestep)."""
+        log_sigma = np.log(np.maximum(sigma, 1e-10))
+        dists = log_sigma[..., None] - self.log_sigmas[None]
+        low_idx = np.clip(
+            (dists >= 0).cumsum(-1).argmax(-1), 0, self.num_timesteps - 2
+        )
+        high_idx = low_idx + 1
+        low, high = self.log_sigmas[low_idx], self.log_sigmas[high_idx]
+        w = np.clip((low - log_sigma) / (low - high), 0, 1)
+        return ((1 - w) * low_idx + w * high_idx).astype(np.float32)
+
+    def sigma(self, timestep: np.ndarray) -> np.ndarray:
+        t = np.clip(timestep, 0, self.num_timesteps - 1)
+        low_idx = np.floor(t).astype(np.int64)
+        high_idx = np.ceil(t).astype(np.int64)
+        w = t - low_idx
+        return np.exp((1 - w) * self.log_sigmas[low_idx] + w * self.log_sigmas[high_idx]).astype(
+            np.float32
+        )
+
+
+def _sigmas_karras(n: int, sigma_min: float, sigma_max: float, rho: float = 7.0) -> np.ndarray:
+    ramp = np.linspace(0, 1, n, dtype=np.float64)
+    min_inv_rho = sigma_min ** (1 / rho)
+    max_inv_rho = sigma_max ** (1 / rho)
+    sigmas = (max_inv_rho + ramp * (min_inv_rho - max_inv_rho)) ** rho
+    return np.concatenate([sigmas, [0.0]]).astype(np.float32)
+
+
+def _sigmas_exponential(n: int, sigma_min: float, sigma_max: float) -> np.ndarray:
+    sigmas = np.exp(np.linspace(np.log(sigma_max), np.log(sigma_min), n))
+    return np.concatenate([sigmas, [0.0]]).astype(np.float32)
+
+
+def _sigmas_normal(ms: ModelSampling, n: int) -> np.ndarray:
+    start = ms.timestep(np.asarray(ms.sigma_max))
+    end = ms.timestep(np.asarray(ms.sigma_min))
+    ts = np.linspace(start, end, n, dtype=np.float64)
+    sigs = [float(ms.sigma(np.asarray(t))) for t in ts]
+    return np.asarray(sigs + [0.0], np.float32)
+
+
+def _sigmas_sgm_uniform(ms: ModelSampling, n: int) -> np.ndarray:
+    start = ms.timestep(np.asarray(ms.sigma_max))
+    end = ms.timestep(np.asarray(ms.sigma_min))
+    ts = np.linspace(start, end, n + 1, dtype=np.float64)[:-1]
+    sigs = [float(ms.sigma(np.asarray(t))) for t in ts]
+    return np.asarray(sigs + [0.0], np.float32)
+
+
+def _sigmas_simple(ms: ModelSampling, n: int) -> np.ndarray:
+    ss = len(ms.sigmas) / n
+    sigs = [float(ms.sigmas[-(1 + int(x * ss))]) for x in range(n)]
+    return np.asarray(sigs + [0.0], np.float32)
+
+
+def _sigmas_ddim_uniform(ms: ModelSampling, n: int) -> np.ndarray:
+    ss = max(len(ms.sigmas) // n, 1)
+    sigs = []
+    for x in range(1, len(ms.sigmas), ss):
+        sigs.append(float(ms.sigmas[x]))
+    sigs = sigs[-n:]
+    return np.asarray(sigs[::-1] + [0.0], np.float32)
+
+
+def calculate_sigmas(
+    ms: ModelSampling,
+    scheduler: str,
+    steps: int,
+    denoise: float = 1.0,
+) -> np.ndarray:
+    """(steps+1,) descending sigma schedule ending in 0.
+
+    ``denoise < 1`` truncates a longer schedule to its tail like KSampler
+    (comfy/samplers.py:1010-1078): img2img starts from a mid-noise level.
+    """
+    if denoise <= 0:
+        raise ValueError("denoise must be in (0, 1]")
+    if denoise < 1.0 - 1e-6:
+        full_steps = int(steps / denoise)
+        full = calculate_sigmas(ms, scheduler, full_steps, 1.0)
+        return full[-(steps + 1) :]
+    if scheduler == "karras":
+        return _sigmas_karras(steps, ms.sigma_min, ms.sigma_max)
+    if scheduler == "exponential":
+        return _sigmas_exponential(steps, ms.sigma_min, ms.sigma_max)
+    if scheduler == "normal":
+        return _sigmas_normal(ms, steps)
+    if scheduler == "sgm_uniform":
+        return _sigmas_sgm_uniform(ms, steps)
+    if scheduler == "simple":
+        return _sigmas_simple(ms, steps)
+    if scheduler == "ddim_uniform":
+        return _sigmas_ddim_uniform(ms, steps)
+    raise ValueError(f"Unknown scheduler '{scheduler}' (have {SCHEDULER_NAMES})")

@@ -1,0 +1,418 @@
+"""SD1.5/SD2-class UNet as a pure function, with correspondence hooks.
+
+Re-implements the capability of the reference's forked ldm UNet
+(reference: comfy/ldm/modules/diffusionmodules/openaimodel.py:840-946 UNetModel,
+comfy/ldm/modules/attention.py:405-720 SpatialTransformer/BasicTransformerBlock)
+as functional JAX over torch-layout param dicts (see models/weights.py for
+checkpoint loading).
+
+The reference threads a mutable ``transformer_options`` dict through every block
+and calls ``corresponder.pre_atten_inject`` / ``post_atten_inject`` around each
+self-attention (attention.py:529-599) — the temporal-consistency injection points.
+Here those hooks are **explicit traced callables** (AttnHooks): pure functions of
+(tensor, layer_index) so they compile into the jitted denoise step. The 16
+BasicTransformerBlocks of SD1.5 are numbered 0..15 in execution order, matching
+the reference's running transformer_index.
+
+ControlNet residuals enter exactly like the reference's apply_control
+(comfy/controlnet.py): added to skip connections (output hidden states) and to the
+middle block output.
+
+Everything is NHWC; matmuls/convs run in the activation dtype (bf16 on TPU) with
+fp32 norm statistics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from stable_renderer_tpu.models.layers import (
+    attention,
+    conv2d,
+    geglu,
+    group_norm,
+    layer_norm,
+    linear,
+    silu,
+    timestep_embedding,
+    upsample_nearest_2x,
+)
+
+
+@dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    model_channels: int = 320
+    num_res_blocks: int = 2
+    channel_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    attention_levels: Tuple[int, ...] = (0, 1, 2)  # levels with SpatialTransformer
+    transformer_depth: int = 1
+    num_heads: int = 8
+    context_dim: int = 768
+    dtype: str = "float32"
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.model_channels * 4
+
+
+SD15_UNET_CONFIG = UNetConfig()
+
+TINY_UNET_CONFIG = UNetConfig(
+    model_channels=32,
+    num_res_blocks=1,
+    channel_mult=(1, 2),
+    attention_levels=(0, 1),
+    num_heads=2,
+    context_dim=64,
+)
+"""Small config for tests (same topology, tiny widths)."""
+
+
+class AttnHooks(NamedTuple):
+    """The Corresponder attention-injection points (corresponder.py:29-98),
+    as traceable pure functions.
+
+    pre:  (q_ctx, k_ctx, v_ctx, layer_idx) -> (q_ctx, k_ctx, v_ctx)
+          called on the *contexts* before the q/k/v projections of self-attention
+          (reference attention.py:565-587).
+    post: (values, layer_idx) -> values
+          called on the attention output of self-attention
+          (reference attention.py:596-599; the reference applies it to
+          positive-cond rows only — the caller slices).
+    """
+
+    pre: Optional[Callable] = None
+    post: Optional[Callable] = None
+
+
+# ---------------------------------------------------------------------------
+# blocks
+
+
+def res_block(p: dict, x: jax.Array, emb: jax.Array) -> jax.Array:
+    """openaimodel ResBlock: GN-SiLU-conv + time-emb add + GN-SiLU-conv + skip."""
+    h = group_norm(p["in_layers"]["0"], x)
+    h = conv2d(p["in_layers"]["2"], silu(h), padding=1)
+    emb_out = linear(p["emb_layers"]["1"], silu(emb))
+    h = h + emb_out[:, None, None, :].astype(h.dtype)
+    h = group_norm(p["out_layers"]["0"], h)
+    h = conv2d(p["out_layers"]["3"], silu(h), padding=1)
+    if "skip_connection" in p:
+        x = conv2d(p["skip_connection"], x)
+    return x + h
+
+
+def basic_transformer_block(
+    p: dict,
+    x: jax.Array,            # (B, L, C)
+    context: jax.Array,      # (B, Lc, context_dim)
+    heads: int,
+    layer_idx: int,
+    hooks: AttnHooks,
+) -> jax.Array:
+    """attention.py BasicTransformerBlock._forward with the injection points."""
+    # self-attention (attn1): context for q/k/v is the normed x
+    n = layer_norm(p["norm1"], x)
+    q_ctx, k_ctx, v_ctx = n, n, n
+    if hooks.pre is not None:
+        q_ctx, k_ctx, v_ctx = hooks.pre(q_ctx, k_ctx, v_ctx, layer_idx)
+    q = linear(p["attn1"]["to_q"], q_ctx)
+    k = linear(p["attn1"]["to_k"], k_ctx)
+    v = linear(p["attn1"]["to_v"], v_ctx)
+    attn_out = attention(q, k, v, heads)
+    if hooks.post is not None:
+        attn_out = hooks.post(attn_out, layer_idx)
+    x = x + linear(p["attn1"]["to_out"]["0"], attn_out)
+
+    # cross-attention (attn2) over the text context
+    n = layer_norm(p["norm2"], x)
+    q = linear(p["attn2"]["to_q"], n)
+    k = linear(p["attn2"]["to_k"], context)
+    v = linear(p["attn2"]["to_v"], context)
+    x = x + linear(p["attn2"]["to_out"]["0"], attention(q, k, v, heads))
+
+    # feed-forward (GEGLU)
+    n = layer_norm(p["norm3"], x)
+    x = x + linear(p["ff"]["net"]["2"], geglu(p["ff"]["net"]["0"], n))
+    return x
+
+
+def spatial_transformer(
+    p: dict,
+    x: jax.Array,            # (B, H, W, C)
+    context: jax.Array,
+    heads: int,
+    depth: int,
+    layer_idx: int,
+    hooks: AttnHooks,
+) -> Tuple[jax.Array, int]:
+    """attention.py SpatialTransformer.forward (linear proj_in variant detection:
+    conv 1x1 weights are (O, I, 1, 1); both layouts supported)."""
+    b, h, w, c = x.shape
+    x_in = x
+    n = group_norm(p["norm"], x)
+    proj_in_w = p["proj_in"]["weight"]
+    use_conv_proj = proj_in_w.ndim == 4
+    if use_conv_proj:
+        n = conv2d(p["proj_in"], n)
+        n = n.reshape(b, h * w, c)
+    else:
+        n = n.reshape(b, h * w, c)
+        n = linear(p["proj_in"], n)
+    for d in range(depth):
+        n = basic_transformer_block(
+            p["transformer_blocks"][str(d)], n, context, heads, layer_idx, hooks
+        )
+    if use_conv_proj:
+        n = n.reshape(b, h, w, c)
+        n = conv2d(p["proj_out"], n)
+    else:
+        n = linear(p["proj_out"], n)
+        n = n.reshape(b, h, w, c)
+    return n + x_in, layer_idx + 1
+
+
+def downsample(p: dict, x: jax.Array) -> jax.Array:
+    return conv2d(p["op"], x, stride=2, padding=1)
+
+
+def upsample(p: dict, x: jax.Array) -> jax.Array:
+    return conv2d(p["conv"], upsample_nearest_2x(x), padding=1)
+
+
+# ---------------------------------------------------------------------------
+# UNet
+
+
+class UNetModel:
+    """Functional UNet. ``apply(params, x, timesteps, context, ...)``.
+
+    Params layout mirrors the torch module tree: input_blocks.N.M.*,
+    middle_block.M.*, output_blocks.N.M.*, time_embed.*, out.* — exactly the
+    checkpoint key structure under ``model.diffusion_model.`` in the reference
+    (comfy/model_base.py BaseModel.diffusion_model).
+    """
+
+    def __init__(self, config: UNetConfig = SD15_UNET_CONFIG):
+        self.config = config
+
+    # --- structure helpers -------------------------------------------------
+
+    def block_plan(self):
+        """Static per-block plan: (kind tags for input/middle/output blocks).
+
+        input_blocks[0] = conv_in; then per level: num_res_blocks x
+        (res [+ attn]) and a downsample between levels. Output mirrors with
+        num_res_blocks+1 blocks per level and upsample at level ends.
+        """
+        cfg = self.config
+        ch = cfg.model_channels
+        input_chs = [ch]
+        plan_in = [("conv", None)]
+        for level, mult in enumerate(cfg.channel_mult):
+            out_ch = cfg.model_channels * mult
+            for _ in range(cfg.num_res_blocks):
+                plan_in.append(("res_attn" if level in cfg.attention_levels else "res", out_ch))
+                ch = out_ch
+                input_chs.append(ch)
+            if level != len(cfg.channel_mult) - 1:
+                plan_in.append(("down", ch))
+                input_chs.append(ch)
+        plan_out = []
+        for level in reversed(range(len(cfg.channel_mult))):
+            out_ch = cfg.model_channels * cfg.channel_mult[level]
+            for i in range(cfg.num_res_blocks + 1):
+                tag = "res_attn" if level in cfg.attention_levels else "res"
+                up = level != 0 and i == cfg.num_res_blocks
+                plan_out.append((tag, out_ch, up))
+        return plan_in, plan_out, input_chs
+
+    def apply(
+        self,
+        params: dict,
+        x: jax.Array,             # (B, H, W, in_channels) latent
+        timesteps: jax.Array,     # (B,) float
+        context: jax.Array,       # (B, L, context_dim) text conditioning
+        y: Optional[jax.Array] = None,
+        control: Optional[dict] = None,  # {'input': [...], 'middle': [...], 'output': [...]}
+        hooks: AttnHooks = AttnHooks(),
+    ) -> jax.Array:
+        cfg = self.config
+        t_emb = timestep_embedding(timesteps, cfg.model_channels).astype(x.dtype)
+        emb = linear(params["time_embed"]["0"], t_emb)
+        emb = linear(params["time_embed"]["2"], silu(emb))
+
+        plan_in, plan_out, _ = self.block_plan()
+        layer_idx = 0
+        hs = []
+        h = x
+        for i, (kind, _) in enumerate(plan_in):
+            p = params["input_blocks"][str(i)]
+            if kind == "conv":
+                h = conv2d(p["0"], h, padding=1)
+            elif kind == "down":
+                h = downsample(p["0"], h)
+            else:
+                h = res_block(p["0"], h, emb)
+                if kind == "res_attn":
+                    h, layer_idx = spatial_transformer(
+                        p["1"], h, context, cfg.num_heads, cfg.transformer_depth,
+                        layer_idx, hooks,
+                    )
+            hs.append(h)
+
+        mp = params["middle_block"]
+        h = res_block(mp["0"], h, emb)
+        h, layer_idx = spatial_transformer(
+            mp["1"], h, context, cfg.num_heads, cfg.transformer_depth, layer_idx, hooks
+        )
+        h = res_block(mp["2"], h, emb)
+        if control is not None and control.get("middle"):
+            h = h + control["middle"][0].astype(h.dtype)
+
+        ctrl_out = list(control.get("output", [])) if control is not None else []
+        for i, (kind, _, up) in enumerate(plan_out):
+            p = params["output_blocks"][str(i)]
+            skip = hs.pop()
+            if ctrl_out:
+                skip = skip + ctrl_out.pop().astype(h.dtype)
+            h = jnp.concatenate([h, skip], axis=-1)
+            h = res_block(p["0"], h, emb)
+            if kind == "res_attn":
+                h, layer_idx = spatial_transformer(
+                    p["1"], h, context, cfg.num_heads, cfg.transformer_depth,
+                    layer_idx, hooks,
+                )
+            if up:
+                key = "2" if kind == "res_attn" else "1"
+                h = upsample(p[key], h)
+
+        h = group_norm(params["out"]["0"], h)
+        h = conv2d(params["out"]["2"], silu(h), padding=1)
+        return h
+
+    # --- initialization ----------------------------------------------------
+
+    def init(self, key: jax.Array, dtype=jnp.float32) -> dict:
+        """Random init with the exact param tree/shapes of the checkpoint layout."""
+        cfg = self.config
+        keys = _KeyGen(key)
+
+        def lin(i, o, zero=False):
+            w = jnp.zeros((o, i), dtype) if zero else (
+                jax.random.normal(keys(), (o, i), dtype) * (1.0 / jnp.sqrt(i))
+            )
+            return {"weight": w, "bias": jnp.zeros((o,), dtype)}
+
+        def conv(i, o, k=3, zero=False):
+            w = jnp.zeros((o, i, k, k), dtype) if zero else (
+                jax.random.normal(keys(), (o, i, k, k), dtype) * (1.0 / jnp.sqrt(i * k * k))
+            )
+            return {"weight": w, "bias": jnp.zeros((o,), dtype)}
+
+        def norm(c):
+            return {"weight": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}
+
+        def resb(i, o):
+            p = {
+                "in_layers": {"0": norm(i), "2": conv(i, o)},
+                "emb_layers": {"1": lin(cfg.time_embed_dim, o)},
+                "out_layers": {"0": norm(o), "3": conv(o, o)},
+            }
+            if i != o:
+                p["skip_connection"] = conv(i, o, k=1)
+            return p
+
+        def btb(c):
+            d_ff = c * 4
+            return {
+                "norm1": norm(c),
+                "norm2": norm(c),
+                "norm3": norm(c),
+                "attn1": {
+                    "to_q": {"weight": lin(c, c)["weight"]},
+                    "to_k": {"weight": lin(c, c)["weight"]},
+                    "to_v": {"weight": lin(c, c)["weight"]},
+                    "to_out": {"0": lin(c, c)},
+                },
+                "attn2": {
+                    "to_q": {"weight": lin(c, c)["weight"]},
+                    "to_k": {"weight": lin(cfg.context_dim, c)["weight"]},
+                    "to_v": {"weight": lin(cfg.context_dim, c)["weight"]},
+                    "to_out": {"0": lin(c, c)},
+                },
+                "ff": {"net": {"0": {"proj": lin(c, d_ff * 2)}, "2": lin(d_ff, c)}},
+            }
+
+        def st(c):
+            return {
+                "norm": norm(c),
+                "proj_in": lin(c, c),
+                "transformer_blocks": {
+                    str(d): btb(c) for d in range(cfg.transformer_depth)
+                },
+                "proj_out": lin(c, c),
+            }
+
+        plan_in, plan_out, input_chs = self.block_plan()
+        params: dict = {
+            "time_embed": {
+                "0": lin(cfg.model_channels, cfg.time_embed_dim),
+                "2": lin(cfg.time_embed_dim, cfg.time_embed_dim),
+            },
+            "input_blocks": {},
+            "middle_block": {},
+            "output_blocks": {},
+            "out": {},
+        }
+        ch = cfg.model_channels
+        chs = [ch]
+        for i, (kind, out_ch) in enumerate(plan_in):
+            if kind == "conv":
+                params["input_blocks"][str(i)] = {"0": conv(cfg.in_channels, ch)}
+            elif kind == "down":
+                params["input_blocks"][str(i)] = {"0": {"op": conv(ch, ch, k=3)}}
+            else:
+                blk = {"0": resb(ch, out_ch)}
+                ch = out_ch
+                if kind == "res_attn":
+                    blk["1"] = st(ch)
+                params["input_blocks"][str(i)] = blk
+            chs.append(ch)
+        params["middle_block"] = {"0": resb(ch, ch), "1": st(ch), "2": resb(ch, ch)}
+        for i, (kind, out_ch, up) in enumerate(plan_out):
+            skip_ch = chs.pop()
+            blk = {"0": resb(ch + skip_ch, out_ch)}
+            ch = out_ch
+            if kind == "res_attn":
+                blk["1"] = st(ch)
+            if up:
+                key_name = "2" if kind == "res_attn" else "1"
+                blk[key_name] = {"conv": conv(ch, ch)}
+            params["output_blocks"][str(i)] = blk
+        params["out"] = {"0": norm(ch), "2": conv(ch, cfg.out_channels)}
+        return params
+
+    def num_transformer_layers(self) -> int:
+        """Total BasicTransformerBlock count (16 for SD1.5) — the layer indices
+        visible to the Corresponder hooks."""
+        cfg = self.config
+        n_levels_attn = len([l for l in range(len(cfg.channel_mult)) if l in cfg.attention_levels])
+        down = n_levels_attn * cfg.num_res_blocks
+        up = n_levels_attn * (cfg.num_res_blocks + 1)
+        return down + 1 + up
+
+
+class _KeyGen:
+    def __init__(self, key: jax.Array):
+        self._key = key
+
+    def __call__(self) -> jax.Array:
+        self._key, sub = jax.random.split(self._key)
+        return sub

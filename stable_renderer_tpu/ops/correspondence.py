@@ -1,0 +1,226 @@
+"""Correspondence / temporal-consistency algorithms — the stable-rendering core.
+
+Capability match for the reference's Corresponder stack
+(reference: common_utils/stable_render_utils/corresponder.py — the Corresponder
+protocol :29-98, DefaultCorresponder :100-155, OverlapCorresponder :157-377 — and
+the noise-sequence loaders, comfyUI/stable_rendering/_nodes/loaders.py:154-271).
+
+TPU-first re-design: each hook is a pure jittable function over static-shape
+arrays; they plug into the denoise scan through models.unet.AttnHooks and the
+sampler step_callback, so the whole temporal-consistency machinery compiles into
+the single-program denoise loop (the reference runs these as eager torch inside a
+Python sampling loop).
+
+Components:
+  * ``broadcast_kv_injection`` — OverlapCorresponder.pre_atten_inject semantics
+    (:188-220): every frame attends to the K/V of N selected frames (full
+    cross-frame attention with shared context). Multi-chip: the K/V gather is an
+    all_gather over the frame-sharded mesh axis (see parallel/).
+  * ``vertex_average_injection`` — OverlapCorresponder.step_finished (:298-376):
+    group latent pixels by 3D vertexID across frames, blend each pixel toward its
+    group mean, AdaIN-renormalize per frame.
+  * ``vertex_noise`` — CreateNoiseSequenceFromIdMap: identical starting noise per
+    3D vertex across frames.
+  * Host-level Corresponder classes mirroring the reference protocol, assembling
+    the above into AttnHooks + step callbacks + the bake-time corrmap update.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from stable_renderer_tpu.data.corrmap import CorrespondMap
+from stable_renderer_tpu.data.framebuffers import NON_AI_MAP_INDEX
+from stable_renderer_tpu.models.unet import AttnHooks
+from stable_renderer_tpu.ops.math import adain, group_average_by_id, group_randn_by_id
+
+
+def broadcast_kv_injection(
+    k: jax.Array,  # (B, L, C) self-attn key context (pre-projection)
+    v: jax.Array,  # (B, L, C)
+    frame_indices: Tuple[int, ...] = (0,),
+) -> Tuple[jax.Array, jax.Array]:
+    """Replace every frame's K/V context with the concatenation of the selected
+    frames' contexts (OverlapCorresponder.pre_atten_inject :188-220).
+
+    The reference picks random frame indices once per run; here they are static
+    ints chosen by the host (pass a rotating choice for the same effect) so the
+    gather compiles to a slice + broadcast.
+    """
+    b = k.shape[0]
+    sel_k = jnp.concatenate([k[i % b] for i in frame_indices], axis=0)
+    sel_v = jnp.concatenate([v[i % b] for i in frame_indices], axis=0)
+    k_out = jnp.broadcast_to(sel_k[None], (b, *sel_k.shape))
+    v_out = jnp.broadcast_to(sel_v[None], (b, *sel_v.shape))
+    return k_out, v_out
+
+
+def latent_vertex_ids(
+    id_maps: jax.Array,  # (B, H, W, 4) int32 image-resolution id maps
+    height: int,
+    width: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Nearest-downsample the id map to latent resolution; return
+    (vertex_ids (B, h, w), valid (B, h, w)).
+
+    Matches the reference's coordinate scaling (corresponder.py:313-318:
+    screen ratios * latent size, nearest)."""
+    b, ih, iw, _ = id_maps.shape
+    rows = (jnp.arange(height) * ih // height).astype(jnp.int32)
+    cols = (jnp.arange(width) * iw // width).astype(jnp.int32)
+    small = id_maps[:, rows][:, :, cols]
+    valid = jnp.logical_and(
+        small[..., 2] != NON_AI_MAP_INDEX, jnp.any(small != 0, axis=-1)
+    )
+    return small[..., 3], valid
+
+
+@partial(jax.jit, static_argnames=("num_segments",))
+def vertex_average_injection(
+    latent: jax.Array,    # (B, h, w, C)
+    id_maps: jax.Array,   # (B, H, W, 4)
+    ratio: jax.Array | float = 0.1,
+    num_segments: int = 262144,
+) -> jax.Array:
+    """Blend each latent pixel toward the mean of all pixels (across frames)
+    sharing its 3D vertex, then AdaIN back to the original statistics
+    (OverlapCorresponder.step_finished :298-376).
+    """
+    b, h, w, c = latent.shape
+    vids, valid = latent_vertex_ids(id_maps, h, w)
+    flat = latent.reshape(-1, c)
+    per_row, _ = group_average_by_id(
+        flat, vids.reshape(-1), num_segments, valid=valid.reshape(-1)
+    )
+    blended = (1.0 - ratio) * flat + ratio * per_row
+    blended = jnp.where(valid.reshape(-1, 1), blended, flat)
+    modified = blended.reshape(b, h, w, c)
+    return adain(latent, modified)
+
+
+@partial(jax.jit, static_argnames=("num_segments", "height", "width"))
+def vertex_noise(
+    key: jax.Array,
+    id_maps: jax.Array,  # (B, H, W, 4)
+    height: int,
+    width: int,
+    channels: int = 4,
+    num_segments: int = 262144,
+) -> jax.Array:
+    """Per-vertex-consistent starting noise at latent resolution
+    (CreateNoiseSequenceFromIdMap semantics): pixels of the same 3D vertex get the
+    same gaussian sample in every frame; background pixels get independent noise.
+    """
+    b = id_maps.shape[0]
+    vids, valid = latent_vertex_ids(id_maps, height, width)
+    flat = group_randn_by_id(
+        key, vids.reshape(-1), num_segments, channels
+    )
+    indep = jax.random.normal(jax.random.fold_in(key, 7), (b * height * width, channels))
+    out = jnp.where(valid.reshape(-1, 1), flat, indep)
+    return out.reshape(b, height, width, channels)
+
+
+# ---------------------------------------------------------------------------
+# host-level corresponder objects (the reference protocol surface)
+
+
+@dataclass
+class Corresponder:
+    """Protocol base (corresponder.py:29-98). Subclasses override any of the five
+    hook points; ``attn_hooks``/``step_callback`` adapt them into the compiled
+    denoise loop."""
+
+    layer_range: Tuple[int, ...] = (6,)
+
+    def prepare(self, engine_data) -> None:  # noqa: ANN001
+        pass
+
+    def attn_hooks(self, engine_data) -> AttnHooks:  # noqa: ANN001
+        return AttnHooks()
+
+    def step_callback(self, engine_data, ms=None, sigmas=None):  # noqa: ANN001
+        """Returns (x, denoised, sigma, i) -> x for samplers.sample, or None."""
+        return None
+
+    def finished(self, engine_data, images: jax.Array) -> None:  # noqa: ANN001
+        pass
+
+
+@dataclass
+class DefaultCorresponder(Corresponder):
+    """Bake-path corresponder (corresponder.py:100-155): on ``finished``
+    (post-VAE-decode) scatter the decoded frames into every submitted
+    CorrespondMap."""
+
+    update_corrmap: bool = True
+    update_corrmap_mode: str = "first_avg"
+    ignore_obj_mat_id_when_update: bool = False
+
+    def finished(self, engine_data, images: jax.Array) -> None:  # noqa: ANN001
+        if not self.update_corrmap or images is None or engine_data.id_maps is None:
+            return
+        from stable_renderer_tpu.data.idmap import id_masks
+
+        id_maps = engine_data.id_maps
+        masks = id_masks(id_maps)
+        for (sprite_id, material_id), cmap in engine_data.correspond_maps.items():
+            cmap.update(
+                color_frames=images,
+                id_maps=id_maps,
+                mode=self.update_corrmap_mode,
+                masks=masks,
+                spriteID=sprite_id,
+                materialID=material_id,
+                ignore_obj_mat_id=self.ignore_obj_mat_id_when_update,
+                inverse_masks=True,  # update non-background pixels
+            )
+
+
+@dataclass
+class OverlapCorresponder(DefaultCorresponder):
+    """Cross-frame-consistency corresponder (corresponder.py:157-377)."""
+
+    update_corrmap_mode: str = "first"
+    pre_attn_inject_num_random_frames: int = 1
+    pre_attn_frames: Tuple[int, ...] = (1,)
+    step_finished_inject_ratio: float = 0.1
+    step_finished_stop_inject_timestep: float = 500.0
+    vertex_segments: int = 262144
+
+    def attn_hooks(self, engine_data) -> AttnHooks:  # noqa: ANN001
+        if self.pre_attn_inject_num_random_frames < 0:
+            return AttnHooks()
+        frames = self.pre_attn_frames[: max(self.pre_attn_inject_num_random_frames, 1)]
+
+        def pre(q, k, v, layer):
+            k2, v2 = broadcast_kv_injection(k, v, frames)
+            return q, k2, v2
+
+        return AttnHooks(pre=pre)
+
+    def step_callback(self, engine_data, ms=None, sigmas=None):  # noqa: ANN001
+        id_maps = engine_data.id_maps
+        if id_maps is None:
+            return None
+        ratio = self.step_finished_inject_ratio
+        stop_t = self.step_finished_stop_inject_timestep
+        segs = self.vertex_segments
+        log_sigmas = None if ms is None else jnp.asarray(ms.log_sigmas)
+
+        def cb(x, denoised, sigma, i):
+            injected = vertex_average_injection(x, id_maps, ratio, num_segments=segs)
+            if log_sigmas is None:
+                return injected
+            from stable_renderer_tpu.models.sampling.cfg import timestep_from_sigma
+
+            t = timestep_from_sigma(log_sigmas, sigma)
+            # reference: stop injecting once timestep drops below the threshold
+            return jnp.where(t >= stop_t, injected, x)
+
+        return cb

@@ -1,0 +1,169 @@
+"""Model-stack tests: UNet/VAE/CLIP/ControlNet shapes, hook plumbing, param-tree
+compatibility with the reference checkpoint key layout, LoRA merge."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stable_renderer_tpu.models import (
+    AttnHooks,
+    CLIPTextModel,
+    ControlNet,
+    ControlNetConfig,
+    TINY_CLIP_CONFIG,
+    TINY_UNET_CONFIG,
+    TINY_VAE_CONFIG,
+    Tokenizer,
+    UNetModel,
+    VAE,
+)
+from stable_renderer_tpu.models.weights import flatten, nest
+
+
+@pytest.fixture(scope="module")
+def tiny_unet():
+    unet = UNetModel(TINY_UNET_CONFIG)
+    params = unet.init(jax.random.PRNGKey(0))
+    return unet, params
+
+
+def test_unet_forward_shape(tiny_unet):
+    unet, params = tiny_unet
+    x = jnp.zeros((2, 16, 16, 4))
+    ctx = jnp.zeros((2, 77, TINY_UNET_CONFIG.context_dim))
+    out = jax.jit(lambda p, x, t, c: unet.apply(p, x, t, c))(
+        params, x, jnp.asarray([5.0, 5.0]), ctx
+    )
+    assert out.shape == (2, 16, 16, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_unet_hooks_called_with_layer_indices(tiny_unet):
+    unet, params = tiny_unet
+    x = jnp.ones((1, 16, 16, 4)) * 0.1
+    ctx = jnp.zeros((1, 77, TINY_UNET_CONFIG.context_dim))
+    seen = []
+
+    def pre(q, k, v, layer):
+        seen.append(layer)
+        return q, k, v
+
+    unet.apply(params, x, jnp.asarray([1.0]), ctx, hooks=AttnHooks(pre=pre))
+    # tiny config: 2 levels both attn, 1 res block -> down 2 + mid 1 + up 4 = 7
+    assert seen == list(range(unet.num_transformer_layers()))
+    assert unet.num_transformer_layers() == 7
+
+
+def test_unet_post_hook_changes_output(tiny_unet):
+    unet, params = tiny_unet
+    x = jnp.ones((1, 16, 16, 4)) * 0.3
+    ctx = jnp.ones((1, 77, TINY_UNET_CONFIG.context_dim)) * 0.1
+    base = unet.apply(params, x, jnp.asarray([1.0]), ctx)
+    zeroed = unet.apply(
+        params, x, jnp.asarray([1.0]), ctx,
+        hooks=AttnHooks(post=lambda vals, layer: jnp.zeros_like(vals)),
+    )
+    assert not np.allclose(np.asarray(base), np.asarray(zeroed))
+
+
+def test_unet_param_tree_matches_reference_keys(tiny_unet):
+    """The flat param names must be exactly the reference checkpoint layout
+    (model.diffusion_model.*) so safetensors load without rename tables."""
+    unet, params = tiny_unet
+    keys = set(flatten(params))
+    # spot checks from real SD1.5 checkpoints
+    assert "input_blocks.0.0.weight" in keys
+    assert "input_blocks.1.0.in_layers.0.weight" in keys
+    assert "input_blocks.1.1.transformer_blocks.0.attn1.to_q.weight" in keys
+    assert "input_blocks.1.1.transformer_blocks.0.ff.net.0.proj.weight" in keys
+    assert "middle_block.1.proj_out.weight" in keys
+    assert "output_blocks.0.0.emb_layers.1.bias" in keys
+    assert "out.2.weight" in keys
+    assert "time_embed.0.weight" in keys
+    # round trip nest(flatten) is identity
+    again = nest({k: v for k, v in flatten(params).items()}, "")
+    assert set(flatten(again)) == keys
+
+
+def test_vae_roundtrip_shapes():
+    vae = VAE(TINY_VAE_CONFIG)
+    params = vae.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 32, 3)) * 2 - 1
+    z = jax.jit(vae.encode)(params, x)
+    assert z.shape == (1, 16, 16, 4)  # 2 levels -> /2
+    y = jax.jit(vae.decode)(params, z)
+    assert y.shape == (1, 32, 32, 3)
+    assert np.isfinite(np.asarray(y)).all()
+    keys = set(flatten(params))
+    assert "encoder.down.0.block.0.conv1.weight" in keys
+    assert "decoder.mid.attn_1.q.weight" in keys
+    assert "quant_conv.weight" in keys
+
+
+def test_clip_text_model():
+    clip = CLIPTextModel(TINY_CLIP_CONFIG)
+    params = clip.init(jax.random.PRNGKey(0))
+    tok = Tokenizer(TINY_CLIP_CONFIG)
+    tokens = jnp.asarray(tok.encode_batch(["a boat on water", "a boat on water"]))
+    assert tokens.shape == (2, 77)
+    out = jax.jit(clip.apply, static_argnames="clip_skip")(params, tokens)
+    assert out.shape == (2, 77, TINY_CLIP_CONFIG.hidden_size)
+    # identical prompts -> identical embeddings
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out[1]))
+    # clip_skip=-2 differs from -1
+    out2 = clip.apply(params, tokens, clip_skip=-2)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+    keys = set(flatten(params))
+    assert "text_model.encoder.layers.0.self_attn.q_proj.weight" in keys
+    assert "text_model.embeddings.token_embedding.weight" in keys
+
+
+def test_controlnet_residual_shapes(tiny_unet):
+    unet, uparams = tiny_unet
+    cn = ControlNet(ControlNetConfig(unet=TINY_UNET_CONFIG))
+    cparams = cn.init(jax.random.PRNGKey(3))
+    x = jnp.zeros((1, 8, 8, 4))
+    hint = jnp.zeros((1, 64, 64, 3))
+    ctx = jnp.zeros((1, 77, TINY_UNET_CONFIG.context_dim))
+    ctl = cn.apply(cparams, x, hint, jnp.asarray([500.0]), ctx, strength=1.0)
+    plan_in, _, _ = unet.block_plan()
+    assert len(ctl["output"]) == len(plan_in)
+    assert ctl["middle"][0].shape[-1] == TINY_UNET_CONFIG.model_channels * 2
+    # zero-initialized zero_convs -> zero residuals at init
+    assert float(jnp.abs(ctl["middle"][0]).max()) == 0.0
+    # consumed by the unet without shape errors
+    out = unet.apply(uparams, x, jnp.asarray([500.0]), ctx, control=ctl)
+    assert out.shape == x.shape
+    # percent gating: percent range excluding t=500 -> zero strength
+    ctl2 = cn.apply(
+        cparams, x, hint, jnp.asarray([500.0]), ctx, strength=1.0,
+        percent_range=(0.0, 0.1),
+    )
+    assert float(jnp.abs(ctl2["output"][3]).max()) == 0.0
+
+
+def test_lora_merge():
+    from stable_renderer_tpu.models.lora import merge_lora
+
+    unet = UNetModel(TINY_UNET_CONFIG)
+    params = unet.init(jax.random.PRNGKey(0))
+    target = "input_blocks.1.1.transformer_blocks.0.attn1.to_q"
+    rank, c = 4, TINY_UNET_CONFIG.model_channels
+    rng = np.random.default_rng(0)
+    lora = {
+        f"lora_unet_{target.replace('.', '_')}.lora_up.weight": rng.standard_normal((c, rank)).astype(np.float32),
+        f"lora_unet_{target.replace('.', '_')}.lora_down.weight": rng.standard_normal((rank, c)).astype(np.float32),
+        f"lora_unet_{target.replace('.', '_')}.alpha": np.asarray(4.0, np.float32),
+    }
+    merged = merge_lora(params, lora, strength=0.5)
+    w0 = np.asarray(flatten(params)[target + ".weight"])
+    w1 = np.asarray(flatten(merged)[target + ".weight"])
+    up = lora[f"lora_unet_{target.replace('.', '_')}.lora_up.weight"]
+    down = lora[f"lora_unet_{target.replace('.', '_')}.lora_down.weight"]
+    np.testing.assert_allclose(w1, w0 + 0.5 * (4.0 / 4) * up @ down, rtol=1e-5)
+    # unrelated weights untouched
+    other = "out.2.weight"
+    np.testing.assert_allclose(
+        np.asarray(flatten(merged)[other]), np.asarray(flatten(params)[other])
+    )
