@@ -1,0 +1,125 @@
+"""Headline benchmark: 512x512 img2img render-loop fps on TPU.
+
+Reproduces the reference's realtime configuration (BASELINE.md: SD1.5-class UNet,
+4 steps, cfg 2.0, lcm sampler + sgm_uniform scheduler, 512x512) as the full frame
+step: rasterize scene -> pack EngineData (8x8 noise pooling + AdaIN) -> CLIP-
+conditioned CFG denoise scan with cross-frame hooks -> VAE decode -> composite.
+Weights are random (fps depends on architecture + shapes, not weight values).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
+vs_baseline = fps / 2.5 (the reference's published 2-3 fps midpoint,
+reference README.md:45).
+
+Env knobs: SR_BENCH_QUICK=1 -> tiny model + 64x64 (CI/debug); SR_BENCH_FRAMES.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    quick = os.environ.get("SR_BENCH_QUICK") == "1"
+    n_frames = int(os.environ.get("SR_BENCH_FRAMES", "8" if not quick else "4"))
+
+    import jax
+
+    # honor an explicit JAX_PLATFORMS=cpu (this image pins jax_platforms to
+    # "axon,cpu" internally, swallowing the env var)
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stable_renderer_tpu.data.engine_data import EngineData
+    from stable_renderer_tpu.engine.mesh import Mesh
+    from stable_renderer_tpu.engine.pipeline import DiffusionPipeline
+    from stable_renderer_tpu.engine.render_exec import _draw_pass, mesh_device_buffers, pack_frame_data
+    from stable_renderer_tpu.data.framebuffers import GBuffer
+    from stable_renderer_tpu.ops.correspondence import OverlapCorresponder
+    from stable_renderer_tpu.ops.gbuffer import DrawUniforms, RENDER_MODE_BAKING
+    from stable_renderer_tpu.ops.postprocess import PostProcessParams, post_process
+    from stable_renderer_tpu.ops.transforms import look_at, perspective, translate
+    from stable_renderer_tpu.workflow.config import RenderConfig
+
+    size = 64 if quick else 512
+    cfg = RenderConfig(
+        prompt="a ball", steps=4, cfg_scale=2.0, sampler="lcm",
+        scheduler="sgm_uniform", denoise=1.0,
+    )
+    pipe = DiffusionPipeline.from_random(cfg, tiny=quick)
+    corresponder = OverlapCorresponder(
+        vertex_segments=size * size, update_corrmap=False
+    )
+
+    mesh = Mesh.Sphere(1.0, 48)
+    buffers = mesh_device_buffers(mesh)
+    view = look_at(jnp.asarray([0.0, 0.5, 3.0]), jnp.zeros(3), jnp.asarray([0.0, 1.0, 0.0]))
+    proj = perspective(45.0, 1.0, 0.1, 100.0)
+    uniforms = DrawUniforms(sprite_id=1, material_id=1, render_mode=RENDER_MODE_BAKING, corrmap_k=3)
+    bg_noise = jax.random.normal(jax.random.PRNGKey(7), (1, size, size, 4))
+    noise_tex = jax.random.normal(jax.random.PRNGKey(3), (256, 256, 4))
+    ctx, nctx = pipe.encode_prompts(["a ball"], [""])
+    from stable_renderer_tpu.models.sampling import calculate_sigmas
+
+    sigmas = jnp.asarray(
+        calculate_sigmas(pipe.model_sampling, cfg.scheduler, cfg.steps, cfg.denoise)
+    )
+
+    def frame(angle: float, key):
+        model = translate(jnp.asarray([0.0, 0.0, 0.0]))
+        gbuf, zbuf = GBuffer.empty(size, size), jnp.ones((size, size))
+        gbuf, zbuf = _draw_pass(
+            gbuf, zbuf, buffers, view @ model, proj, uniforms, size, size,
+            noise=noise_tex,
+        )
+        pack = pack_frame_data(gbuf, bg_noise, 0)
+        images = pipe._jit_render(
+            corresponder,
+            pack["color"][None],
+            pack["noise"][None],
+            pack["id"][None],
+            (),
+            ctx,
+            nctx,
+            sigmas,
+            key,
+        )
+        out = post_process(
+            jnp.concatenate([images[0], jnp.ones_like(images[0][..., :1])], -1),
+            PostProcessParams(),
+        )
+        return out
+
+    # warmup/compile
+    t0 = time.time()
+    out = frame(0.0, jax.random.PRNGKey(0))
+    out.block_until_ready()
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    for i in range(n_frames):
+        out = frame(float(i), jax.random.PRNGKey(i))
+    out.block_until_ready()
+    dt = time.time() - t0
+    fps = n_frames / dt
+
+    platform = jax.devices()[0].platform
+    result = {
+        "metric": f"img2img render-loop fps @ {size}x{size}, 4-step LCM cfg2 ({platform})",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 2.5, 3),
+    }
+    print(json.dumps(result))
+    print(
+        f"# compile {compile_s:.1f}s, {n_frames} frames in {dt:.2f}s, device={jax.devices()[0]}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

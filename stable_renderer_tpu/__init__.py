@@ -28,4 +28,18 @@ Layer map (mirrors SURVEY.md section 1, re-designed TPU-first):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Some images pin jax's jax_platforms config (e.g. to "axon,cpu" for a tunneled
+# TPU) in a way that swallows the JAX_PLATFORMS env var. Re-assert the user's
+# explicit choice through the config API before the backend initializes.
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        import jax as _jax
+
+        if _jax.config.jax_platforms != _os.environ["JAX_PLATFORMS"]:
+            _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # pragma: no cover - backend already initialized
+        pass
+
 from stable_renderer_tpu.utils.log import EngineLogger  # noqa: F401

@@ -1,0 +1,284 @@
+"""DiffusionPipeline — the jitted img2img/bake inference program.
+
+This replaces the reference's entire ComfyUI executor round trip
+(reference: engine/managers/diffusionManager.py:289-352 SubmitPrompt ->
+comfyUI/execution.py:995-1168 PromptExecutor.execute -> node graph -> KSampler):
+instead of interpreting a node graph per frame, the pipeline compiles ONE program
+per (config, shapes): CLIP encode -> VAE encode -> vertex noise -> ControlNet +
+CFG denoise scan with correspondence hooks -> VAE decode. Model params are closed
+over as donated constants; frame tensors stream through.
+
+The node-graph *configurability* survives in RenderConfig (workflow/config.py):
+prompt text, sampler, scheduler, steps, cfg, denoise, controlnets, corresponder —
+the knobs the reference's example workflow JSONs expose.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stable_renderer_tpu.data.engine_data import EngineData
+from stable_renderer_tpu.models import (
+    AttnHooks,
+    CLIPTextModel,
+    ControlNet,
+    ControlNetConfig,
+    Tokenizer,
+    UNetModel,
+    VAE,
+)
+from stable_renderer_tpu.models.clip import CLIPConfig, TINY_CLIP_CONFIG, SD15_CLIP_CONFIG
+from stable_renderer_tpu.models.sampling import ModelSampling, calculate_sigmas, sample
+from stable_renderer_tpu.models.sampling.cfg import make_denoiser
+from stable_renderer_tpu.models.unet import TINY_UNET_CONFIG, SD15_UNET_CONFIG, UNetConfig
+from stable_renderer_tpu.models.vae import TINY_VAE_CONFIG, SD15_VAE_CONFIG, VAEConfig
+from stable_renderer_tpu.ops.correspondence import (
+    Corresponder,
+    DefaultCorresponder,
+    vertex_noise,
+)
+from stable_renderer_tpu.utils.log import EngineLogger
+from stable_renderer_tpu.workflow.config import ControlNetSpec, RenderConfig
+
+
+@dataclass(eq=False)  # identity hash: the pipeline object is a static jit arg
+class DiffusionPipeline:
+    unet: UNetModel
+    vae: VAE
+    clip: CLIPTextModel
+    tokenizer: Tokenizer
+    unet_params: dict
+    vae_params: dict
+    clip_params: dict
+    config: RenderConfig = field(default_factory=RenderConfig)
+    model_sampling: ModelSampling = field(default_factory=ModelSampling)
+    controlnets: List[Tuple[ControlNet, dict, ControlNetSpec]] = field(default_factory=list)
+
+    # --- constructors --------------------------------------------------------
+
+    @classmethod
+    def from_checkpoint(
+        cls,
+        path: str,
+        config: RenderConfig | None = None,
+        dtype=jnp.bfloat16,
+        loras: List[Tuple[str, float]] = (),
+    ) -> "DiffusionPipeline":
+        """Load a reference-format SD checkpoint (+ optional LoRAs, e.g. LCM)."""
+        from stable_renderer_tpu.models.lora import merge_lora
+        from stable_renderer_tpu.models.weights import load_checkpoint, load_state_dict, to_device
+
+        unet_p, vae_p, clip_p, ucfg = load_checkpoint(path)
+        for lora_path, strength in loras:
+            lora_flat = load_state_dict(lora_path)
+            unet_p = merge_lora(unet_p, lora_flat, strength, prefix="lora_unet_")
+            clip_p = merge_lora(clip_p, lora_flat, strength, prefix="lora_te_")
+        config = config or RenderConfig()
+        ms = ModelSampling(prediction="lcm" if config.sampler == "lcm" else "eps")
+        pipe = cls(
+            unet=UNetModel(ucfg),
+            vae=VAE(SD15_VAE_CONFIG),
+            clip=CLIPTextModel(SD15_CLIP_CONFIG),
+            tokenizer=Tokenizer(SD15_CLIP_CONFIG),
+            unet_params=to_device(unet_p, dtype),
+            vae_params=to_device(vae_p, jnp.float32),
+            clip_params=to_device(clip_p, jnp.float32),
+            config=config,
+            model_sampling=ms,
+        )
+        return pipe
+
+    @classmethod
+    def from_random(
+        cls,
+        config: RenderConfig | None = None,
+        tiny: bool = True,
+        seed: int = 0,
+    ) -> "DiffusionPipeline":
+        """Random-weight pipeline (tiny for tests, full-size for benchmarks)."""
+        ucfg = TINY_UNET_CONFIG if tiny else SD15_UNET_CONFIG
+        vcfg = TINY_VAE_CONFIG if tiny else SD15_VAE_CONFIG
+        ccfg = TINY_CLIP_CONFIG if tiny else SD15_CLIP_CONFIG
+        ccfg = replace(ccfg, hidden_size=ucfg.context_dim) if ccfg.hidden_size != ucfg.context_dim else ccfg
+        key = jax.random.PRNGKey(seed)
+        unet, vae, clip = UNetModel(ucfg), VAE(vcfg), CLIPTextModel(ccfg)
+        config = config or RenderConfig()
+        ms = ModelSampling(prediction="lcm" if config.sampler == "lcm" else "eps")
+        return cls(
+            unet=unet,
+            vae=vae,
+            clip=clip,
+            tokenizer=Tokenizer(ccfg),
+            unet_params=unet.init(key),
+            vae_params=vae.init(jax.random.fold_in(key, 1)),
+            clip_params=clip.init(jax.random.fold_in(key, 2)),
+            config=config,
+            model_sampling=ms,
+        )
+
+    def add_controlnet(self, params: dict, spec: ControlNetSpec) -> None:
+        cn = ControlNet(ControlNetConfig(unet=self.unet.config))
+        self.controlnets.append((cn, params, spec))
+
+    def add_random_controlnet(self, spec: ControlNetSpec, seed: int = 5) -> None:
+        cn = ControlNet(ControlNetConfig(unet=self.unet.config))
+        self.controlnets.append((cn, cn.init(jax.random.PRNGKey(seed)), spec))
+
+    # --- conditioning ---------------------------------------------------------
+
+    def encode_prompts(self, prompts: List[str], negatives: List[str]):
+        tokens = jnp.asarray(self.tokenizer.encode_batch(prompts))
+        ntokens = jnp.asarray(self.tokenizer.encode_batch(negatives))
+        if not hasattr(self, "_jit_clip"):
+            self._jit_clip = jax.jit(
+                lambda p, t, n, skip: (
+                    self.clip.apply(p, t, clip_skip=skip),
+                    self.clip.apply(p, n, clip_skip=skip),
+                ),
+                static_argnames="skip",
+            )
+        return self._jit_clip(self.clip_params, tokens, ntokens, self.config.clip_skip)
+
+    # --- the compiled program -------------------------------------------------
+
+    def _make_control_fn(self, hints: Tuple[Optional[jax.Array], ...]):
+        """Build (inside the jit trace) the per-step control callable summing all
+        ControlNets' residuals (the reference chains ControlNets via
+        previous_controlnet and adds both, controlnet.py ControlBase).
+
+        ``hints`` is a tuple of traced arrays aligned with self.controlnets.
+        """
+        if not self.controlnets:
+            return None
+        total_t = self.model_sampling.num_timesteps
+
+        def control_fn(x_in, t, ctx):
+            total: Optional[dict] = None
+            for (cn, params, spec), hint in zip(self.controlnets, hints):
+                b = x_in.shape[0] // hint.shape[0]
+                hint_b = jnp.concatenate([hint] * b, axis=0) if b > 1 else hint
+                ctl = cn.apply(
+                    params, x_in, hint_b, t, ctx,
+                    strength=spec.strength,
+                    percent_range=(spec.start_percent, spec.end_percent),
+                    total_timesteps=total_t,
+                )
+                if total is None:
+                    total = ctl
+                else:
+                    total = {
+                        "middle": [a + b_ for a, b_ in zip(total["middle"], ctl["middle"])],
+                        "output": [a + b_ for a, b_ in zip(total["output"], ctl["output"])],
+                    }
+            return total
+
+        return control_fn
+
+    def render(
+        self,
+        engine_data: EngineData,
+        corresponder: Optional[Corresponder] = None,
+        key: Optional[jax.Array] = None,
+        prompts: Optional[List[str]] = None,
+        negatives: Optional[List[str]] = None,
+    ) -> jax.Array:
+        """EngineData -> decoded frames (N, H, W, 3) in [0, 1].
+
+        The heavy path (everything after tokenization) is one jit; repeat calls
+        with the same shapes reuse the compiled program.
+        """
+        cfg = self.config
+        n = engine_data.frame_count
+        key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+        if prompts is None:
+            sprite_prompts = [s.prompt for s in engine_data.sprite_infos.values()]
+            env = [p.prompt for p in engine_data.env_prompts]
+            text = ", ".join([t for t in sprite_prompts + env if t]) or cfg.prompt
+            prompts = [text] * n
+        if negatives is None:
+            neg = ", ".join(
+                [s.negative_prompt for s in engine_data.sprite_infos.values() if s.negative_prompt]
+                + [p.negative_prompt for p in engine_data.env_prompts if p.negative_prompt]
+            ) or cfg.negative_prompt
+            negatives = [neg] * n
+        ctx, nctx = self.encode_prompts(prompts, negatives)
+
+        sigmas = jnp.asarray(
+            calculate_sigmas(self.model_sampling, cfg.scheduler, cfg.steps, cfg.denoise)
+        )
+        corresponder = corresponder or DefaultCorresponder()
+        hint_sources = {
+            "normal": engine_data.normal_maps,
+            "depth": engine_data.depth_maps,
+            "canny": engine_data.canny_maps,
+            "color": engine_data.color_maps,
+            "pos": engine_data.pos_maps,
+        }
+        hints = tuple(hint_sources[spec.source] for _, _, spec in self.controlnets)
+
+        images = self._jit_render(
+            corresponder,
+            engine_data.color_maps,
+            engine_data.noise_maps,
+            engine_data.id_maps,
+            hints,
+            ctx,
+            nctx,
+            sigmas,
+            key,
+        )
+        corresponder.finished(engine_data, images)
+        return images
+
+    @partial(jax.jit, static_argnames=("self", "corresponder"))
+    def _jit_render(
+        self, corresponder, color, noise_maps, id_maps, hints, ctx, nctx, sigmas, key
+    ):
+        cfg = self.config
+        x = color * 2.0 - 1.0
+        latent = self.vae.encode(self.vae_params, x)
+        lh, lw = latent.shape[1], latent.shape[2]
+        if noise_maps is not None:
+            noise = noise_maps[..., : latent.shape[-1]]
+            if noise.shape[1:3] != (lh, lw):
+                # engine noise is pooled by 8 (the SD1.5 VAE factor); adapt for
+                # VAEs with other factors (e.g. the tiny test config)
+                from stable_renderer_tpu.ops.math import resize_nearest
+
+                noise = resize_nearest(noise, lh, lw)
+        elif id_maps is not None and cfg.vertex_noise:
+            noise = vertex_noise(key, id_maps, lh, lw, latent.shape[-1])
+        else:
+            noise = jax.random.normal(key, latent.shape)
+        uncond = None if cfg.cfg_scale == 1.0 else nctx
+        log_sigmas = jnp.asarray(self.model_sampling.log_sigmas)
+        hooks = corresponder.attn_hooks(None)
+        step_cb = corresponder.make_step_callback(id_maps, log_sigmas)
+        den = make_denoiser(
+            self.unet,
+            self.unet_params,
+            ctx,
+            uncond,
+            log_sigmas,
+            cfg_scale=cfg.cfg_scale,
+            prediction=self.model_sampling.prediction,
+            hooks=hooks,
+            control_fn=self._make_control_fn(hints),
+        )
+        out_latent = sample(
+            den,
+            noise,
+            sigmas,
+            latent_image=latent,
+            sampler=cfg.sampler,
+            key=jax.random.fold_in(key, 1),
+            step_callback=step_cb,
+        )
+        decoded = self.vae.decode(self.vae_params, out_latent)
+        return jnp.clip(decoded * 0.5 + 0.5, 0.0, 1.0)

@@ -130,7 +130,7 @@ def vertex_noise(
 # host-level corresponder objects (the reference protocol surface)
 
 
-@dataclass
+@dataclass(eq=False)  # identity hash: corresponders are static args of the jitted step
 class Corresponder:
     """Protocol base (corresponder.py:29-98). Subclasses override any of the five
     hook points; ``attn_hooks``/``step_callback`` adapt them into the compiled
@@ -146,13 +146,24 @@ class Corresponder:
 
     def step_callback(self, engine_data, ms=None, sigmas=None):  # noqa: ANN001
         """Returns (x, denoised, sigma, i) -> x for samplers.sample, or None."""
+        log_sigmas = None
+        if ms is not None:
+            import jax.numpy as _jnp
+
+            log_sigmas = _jnp.asarray(ms.log_sigmas)
+        id_maps = None if engine_data is None else engine_data.id_maps
+        return self.make_step_callback(id_maps, log_sigmas)
+
+    def make_step_callback(self, id_maps, log_sigmas):  # noqa: ANN001
+        """Trace-time factory: build the per-step latent callback from traced
+        arrays (called inside the jitted denoise program)."""
         return None
 
     def finished(self, engine_data, images: jax.Array) -> None:  # noqa: ANN001
         pass
 
 
-@dataclass
+@dataclass(eq=False)
 class DefaultCorresponder(Corresponder):
     """Bake-path corresponder (corresponder.py:100-155): on ``finished``
     (post-VAE-decode) scatter the decoded frames into every submitted
@@ -182,7 +193,7 @@ class DefaultCorresponder(Corresponder):
             )
 
 
-@dataclass
+@dataclass(eq=False)
 class OverlapCorresponder(DefaultCorresponder):
     """Cross-frame-consistency corresponder (corresponder.py:157-377)."""
 
@@ -204,14 +215,12 @@ class OverlapCorresponder(DefaultCorresponder):
 
         return AttnHooks(pre=pre)
 
-    def step_callback(self, engine_data, ms=None, sigmas=None):  # noqa: ANN001
-        id_maps = engine_data.id_maps
+    def make_step_callback(self, id_maps, log_sigmas):  # noqa: ANN001
         if id_maps is None:
             return None
         ratio = self.step_finished_inject_ratio
         stop_t = self.step_finished_stop_inject_timestep
         segs = self.vertex_segments
-        log_sigmas = None if ms is None else jnp.asarray(ms.log_sigmas)
 
         def cb(x, denoised, sigma, i):
             injected = vertex_average_injection(x, id_maps, ratio, num_segments=segs)

@@ -1,0 +1,49 @@
+"""RenderConfig — the declarative replacement for ComfyUI workflow graphs.
+
+The reference configures inference through node-graph JSON files executed by a
+runtime interpreter (reference: engine/static/workflow.py:39-594 + the example
+workflows in resources/example-workflows/). The TPU build replaces runtime graph
+interpretation with a frozen config that selects/compiles one program — the knobs
+below cover the full space the reference's example workflows exercise (checkpoint
++ LoRA, sampler/scheduler/steps/cfg/denoise, ControlNets, corresponder choice,
+noise source). workflow/loader.py maps the reference's JSON files onto this.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class ControlNetSpec:
+    """One ControlNet application (ControlNetApplyAdvanced semantics:
+    strength + start/end percent; hint source = a G-buffer channel)."""
+
+    source: str = "normal"  # normal | depth | canny | color | pos
+    strength: float = 1.0
+    start_percent: float = 0.0
+    end_percent: float = 1.0
+    model_path: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Static configuration of one compiled render program."""
+
+    prompt: str = ""
+    negative_prompt: str = ""
+    steps: int = 4
+    cfg_scale: float = 2.0
+    sampler: str = "lcm"
+    scheduler: str = "sgm_uniform"
+    denoise: float = 1.0
+    clip_skip: int = -1
+    seed: int = 0
+    vertex_noise: bool = True
+    controlnets: Tuple[ControlNetSpec, ...] = ()
+    checkpoint_path: Optional[str] = None
+    lora_paths: Tuple[Tuple[str, float], ...] = ()
+
+    # engine-level knobs mirrored from the reference manager kwargs
+    baking_interval: int = 8  # frames per bake batch (diffusionManager.py:37,47)

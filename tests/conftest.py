@@ -8,11 +8,14 @@ so sharding/pjit paths compile and execute with real collectives.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+
+# This image pins jax_platforms to "axon,cpu" (the TPU tunnel) somewhere inside
+# jax's import, ignoring the env var — override through the config API, which is
+# authoritative, and fan out 8 virtual CPU devices for sharding tests.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,167 @@
+"""Engine-layer tests: scene graph lifecycle, transforms, the headless frame
+loop (raster-only and full diffusion), bake mode, scene save/load."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stable_renderer_tpu.data.corrmap import CorrespondMap
+from stable_renderer_tpu.engine import (
+    AutoRotation,
+    Camera,
+    CorrMapRenderer,
+    DiffusionPipeline,
+    Engine,
+    EngineMode,
+    GameObject,
+    Mesh,
+    MeshRenderer,
+    Scene,
+    SpriteInfo,
+)
+from stable_renderer_tpu.ops.correspondence import OverlapCorresponder
+from stable_renderer_tpu.workflow.config import RenderConfig
+
+
+@pytest.fixture(autouse=True)
+def clean_scene():
+    Engine._reset()
+    yield
+    Engine._reset()
+
+
+def _build_scene(with_ai=False, cmap=None):
+    cam_obj = GameObject("cam")
+    cam_obj.addComponent(Camera)
+    cam_obj.transform.position = [0.0, 0.5, 3.0]
+    cam_obj.transform.lookAt([0.0, 0.0, 0.0])
+    ball = GameObject("ball")
+    if with_ai:
+        ball.addComponent(SpriteInfo, prompt="a ball")
+        ball.addComponent(CorrMapRenderer, mesh=Mesh.Sphere(1.0, 12), corrmaps=[cmap])
+    else:
+        ball.addComponent(MeshRenderer, mesh=Mesh.Sphere(1.0, 12))
+    ball.addComponent(AutoRotation, speed_deg=10.0)
+    return ball
+
+
+def test_gameobject_hierarchy_and_components():
+    parent = GameObject("p", tags=("a",))
+    child = GameObject("c", parent=parent)
+    assert child.parent is parent and child in parent.children
+    mr = child.addComponent(MeshRenderer, mesh=Mesh.Cube())
+    assert child.getComponent(MeshRenderer) is mr
+    assert GameObject.find_by_name("c") is child
+    assert GameObject.find_by_tag("a") == [parent]
+    parent.active = False
+    assert not child.is_active
+    child.destroy()
+    assert child not in parent.children
+
+
+def test_transform_hierarchy():
+    p = GameObject("p")
+    c = GameObject("c", parent=p)
+    p.transform.position = [1.0, 0.0, 0.0]
+    c.transform.localPosition = [0.0, 2.0, 0.0]
+    np.testing.assert_allclose(c.transform.position, [1.0, 2.0, 0.0], atol=1e-6)
+    p.transform.rotate((0, 0, 1), 90.0)
+    # Rz(90) * (0,2,0) = (-2,0,0); global = parent (1,0,0) + (-2,0,0)
+    np.testing.assert_allclose(c.transform.position, [-1.0, 0.0, 0.0], atol=1e-5)
+    # lookAt points -z at target
+    cam = GameObject("cam")
+    cam.transform.position = [0.0, 0.0, 5.0]
+    cam.transform.lookAt([0.0, 0.0, 0.0])
+    np.testing.assert_allclose(cam.transform.forward, [0, 0, -1], atol=1e-6)
+
+
+def test_raster_only_engine_loop():
+    """multi_obj_example-style run: disableComfyUI=True, pure raster path
+    (reference scripts/multi_obj_example.py)."""
+
+    class App(Engine):
+        def beforePrepare(self):
+            _build_scene(with_ai=False)
+
+    eng = App.Run(
+        winSize=(64, 64), disableComfyUI=True, max_frames=3, keep_frames_in_memory=True
+    )
+    assert len(eng.WindowManager.frames) == 3
+    frame = eng.WindowManager.frames[0]
+    assert frame.shape == (64, 64, 4)
+    assert frame[..., :3].max() > 0.5  # the white sphere is visible
+    assert eng.RuntimeManager.FrameCount == 3
+
+
+def test_engine_loop_with_diffusion_game_mode():
+    """boat_example-style run: diffusion every frame (GAME mode)."""
+    pipe = DiffusionPipeline.from_random(
+        RenderConfig(steps=2, cfg_scale=1.0, sampler="euler", scheduler="normal"),
+        tiny=True,
+    )
+
+    class App(Engine):
+        def beforePrepare(self):
+            _build_scene(with_ai=False)
+
+    eng = App.Run(
+        winSize=(64, 64), pipeline=pipe, max_frames=2, keep_frames_in_memory=True
+    )
+    assert len(eng.WindowManager.frames) == 2
+    assert np.isfinite(eng.WindowManager.frames[0]).all()
+
+
+def test_engine_bake_mode_updates_corrmap():
+    """bake_ball-style run: BAKE mode with an AI object; the corrmap must have
+    written cells after the bake batch submits."""
+    cmap = CorrespondMap(name="ball", k=2, height=64, width=64)
+    pipe = DiffusionPipeline.from_random(
+        RenderConfig(steps=2, cfg_scale=1.0, sampler="lcm", scheduler="sgm_uniform"),
+        tiny=True,
+    )
+
+    class App(Engine):
+        def beforePrepare(self):
+            _build_scene(with_ai=True, cmap=cmap)
+
+    App.Bake(
+        winSize=(64, 64),
+        pipeline=pipe,
+        corresponder=OverlapCorresponder(vertex_segments=4096, update_corrmap_mode="first"),
+        baking_interval=2,
+        max_frames=2,
+    )
+    assert int(np.asarray(cmap.written).sum()) > 0
+
+
+def test_scene_save_load(tmp_path):
+    p = GameObject("root", tags=("x",))
+    c = GameObject("child", parent=p)
+    c.transform.localPosition = [1.0, 2.0, 3.0]
+    Scene("s").save(tmp_path / "scene.json")
+    Engine._reset()
+    assert GameObject.roots() == []
+    scene = Scene.load(tmp_path / "scene.json")
+    root = GameObject.find_by_name("root")
+    child = GameObject.find_by_name("child")
+    assert root is not None and child.parent is root
+    np.testing.assert_allclose(child.transform.localPosition, [1, 2, 3])
+
+
+def test_workflow_loader_parses_reference_json():
+    import os
+
+    path = "/root/reference/resources/example-workflows/miku-control.json"
+    if not os.path.exists(path):
+        pytest.skip("reference workflows not mounted")
+    from stable_renderer_tpu.workflow import Workflow
+
+    wf = Workflow.Load(path)
+    cfg = wf.build_config()
+    assert cfg.checkpoint_path == "dreamshaper_8.safetensors"
+    assert cfg.steps == 4 and cfg.cfg_scale == 2.0
+    assert cfg.sampler == "lcm" and cfg.scheduler == "sgm_uniform"
+    assert len(cfg.lora_paths) == 1 and cfg.lora_paths[0][1] == 1.0
+    assert len(cfg.controlnets) == 2
+    sources = sorted(c.source for c in cfg.controlnets)
+    assert sources == ["depth", "normal"]
