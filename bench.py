@@ -45,6 +45,11 @@ def main() -> None:
     from stable_renderer_tpu.ops.transforms import look_at, perspective, translate
     from stable_renderer_tpu.workflow.config import RenderConfig
 
+    if jax.devices()[0].platform != "cpu" and os.environ.get("SR_NO_PALLAS") != "1":
+        from stable_renderer_tpu.ops.flash_attention import use_pallas_attention
+
+        use_pallas_attention(True)
+
     size = 64 if quick else 512
     cfg = RenderConfig(
         prompt="a ball", steps=4, cfg_scale=2.0, sampler="lcm",
@@ -79,6 +84,9 @@ def main() -> None:
         pack = pack_frame_data(gbuf, bg_noise, 0)
         images = pipe._jit_render(
             corresponder,
+            pipe.unet_params,
+            pipe.vae_params,
+            (),
             pack["color"][None],
             pack["noise"][None],
             pack["id"][None],

@@ -5,8 +5,8 @@ This replaces the reference's entire ComfyUI executor round trip
 comfyUI/execution.py:995-1168 PromptExecutor.execute -> node graph -> KSampler):
 instead of interpreting a node graph per frame, the pipeline compiles ONE program
 per (config, shapes): CLIP encode -> VAE encode -> vertex noise -> ControlNet +
-CFG denoise scan with correspondence hooks -> VAE decode. Model params are closed
-over as donated constants; frame tensors stream through.
+CFG denoise scan with correspondence hooks -> VAE decode. Model params and frame
+tensors flow as jit arguments (never as baked-in constants).
 
 The node-graph *configurability* survives in RenderConfig (workflow/config.py):
 prompt text, sampler, scheduler, steps, cfg, denoise, controlnets, corresponder —
@@ -100,12 +100,15 @@ class DiffusionPipeline:
         config: RenderConfig | None = None,
         tiny: bool = True,
         seed: int = 0,
+        dtype=None,
     ) -> "DiffusionPipeline":
-        """Random-weight pipeline (tiny for tests, full-size for benchmarks)."""
+        """Random-weight pipeline (tiny for tests; full-size bf16 for benchmarks)."""
         ucfg = TINY_UNET_CONFIG if tiny else SD15_UNET_CONFIG
         vcfg = TINY_VAE_CONFIG if tiny else SD15_VAE_CONFIG
         ccfg = TINY_CLIP_CONFIG if tiny else SD15_CLIP_CONFIG
         ccfg = replace(ccfg, hidden_size=ucfg.context_dim) if ccfg.hidden_size != ucfg.context_dim else ccfg
+        if dtype is None:
+            dtype = jnp.float32 if tiny else jnp.bfloat16
         key = jax.random.PRNGKey(seed)
         unet, vae, clip = UNetModel(ucfg), VAE(vcfg), CLIPTextModel(ccfg)
         config = config or RenderConfig()
@@ -115,9 +118,9 @@ class DiffusionPipeline:
             vae=vae,
             clip=clip,
             tokenizer=Tokenizer(ccfg),
-            unet_params=unet.init(key),
-            vae_params=vae.init(jax.random.fold_in(key, 1)),
-            clip_params=clip.init(jax.random.fold_in(key, 2)),
+            unet_params=jax.jit(unet.init, static_argnames="dtype")(key, dtype=dtype),
+            vae_params=jax.jit(vae.init)(jax.random.fold_in(key, 1)),
+            clip_params=jax.jit(clip.init)(jax.random.fold_in(key, 2)),
             config=config,
             model_sampling=ms,
         )
@@ -147,7 +150,7 @@ class DiffusionPipeline:
 
     # --- the compiled program -------------------------------------------------
 
-    def _make_control_fn(self, hints: Tuple[Optional[jax.Array], ...]):
+    def _make_control_fn(self, hints: Tuple[Optional[jax.Array], ...], cn_params=None):
         """Build (inside the jit trace) the per-step control callable summing all
         ControlNets' residuals (the reference chains ControlNets via
         previous_controlnet and adds both, controlnet.py ControlBase).
@@ -157,10 +160,12 @@ class DiffusionPipeline:
         if not self.controlnets:
             return None
         total_t = self.model_sampling.num_timesteps
+        if cn_params is None:
+            cn_params = tuple(p for _, p, _ in self.controlnets)
 
         def control_fn(x_in, t, ctx):
             total: Optional[dict] = None
-            for (cn, params, spec), hint in zip(self.controlnets, hints):
+            for (cn, _, spec), params, hint in zip(self.controlnets, cn_params, hints):
                 b = x_in.shape[0] // hint.shape[0]
                 hint_b = jnp.concatenate([hint] * b, axis=0) if b > 1 else hint
                 ctl = cn.apply(
@@ -224,6 +229,9 @@ class DiffusionPipeline:
 
         images = self._jit_render(
             corresponder,
+            self.unet_params,
+            self.vae_params,
+            tuple(p for _, p, _ in self.controlnets),
             engine_data.color_maps,
             engine_data.noise_maps,
             engine_data.id_maps,
@@ -238,11 +246,15 @@ class DiffusionPipeline:
 
     @partial(jax.jit, static_argnames=("self", "corresponder"))
     def _jit_render(
-        self, corresponder, color, noise_maps, id_maps, hints, ctx, nctx, sigmas, key
+        self, corresponder, unet_params, vae_params, cn_params, color, noise_maps,
+        id_maps, hints, ctx, nctx, sigmas, key
     ):
+        # NOTE: params are explicit jit ARGUMENTS — closing over them via the
+        # static `self` would bake multi-GB weight constants into the lowered
+        # program (catastrophic compile times).
         cfg = self.config
         x = color * 2.0 - 1.0
-        latent = self.vae.encode(self.vae_params, x)
+        latent = self.vae.encode(vae_params, x)
         lh, lw = latent.shape[1], latent.shape[2]
         if noise_maps is not None:
             noise = noise_maps[..., : latent.shape[-1]]
@@ -262,14 +274,14 @@ class DiffusionPipeline:
         step_cb = corresponder.make_step_callback(id_maps, log_sigmas)
         den = make_denoiser(
             self.unet,
-            self.unet_params,
+            unet_params,
             ctx,
             uncond,
             log_sigmas,
             cfg_scale=cfg.cfg_scale,
             prediction=self.model_sampling.prediction,
             hooks=hooks,
-            control_fn=self._make_control_fn(hints),
+            control_fn=self._make_control_fn(hints, cn_params),
         )
         out_latent = sample(
             den,
@@ -280,5 +292,5 @@ class DiffusionPipeline:
             key=jax.random.fold_in(key, 1),
             step_callback=step_cb,
         )
-        decoded = self.vae.decode(self.vae_params, out_latent)
+        decoded = self.vae.decode(vae_params, out_latent)
         return jnp.clip(decoded * 0.5 + 0.5, 0.0, 1.0)

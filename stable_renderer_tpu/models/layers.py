@@ -109,6 +109,9 @@ def timestep_embedding(t: jax.Array, dim: int, max_period: float = 10000.0) -> j
     return emb
 
 
+_attention_impl = None  # set by ops.flash_attention.use_pallas_attention
+
+
 def attention(
     q: jax.Array,  # (B, Lq, H*D)
     k: jax.Array,  # (B, Lk, H*D)
@@ -119,10 +122,12 @@ def attention(
     """Multi-head scaled dot-product attention over packed head dims.
 
     The reference dispatches between xformers/pytorch/split kernels
-    (comfy/ldm/modules/attention.py optimized_attention); on TPU we give XLA the
-    whole einsum chain — it emits a fused flash-style kernel — and a Pallas
-    flash-attention can swap in here behind the same signature.
+    (comfy/ldm/modules/attention.py optimized_attention); here the default is the
+    XLA einsum chain, and ops/flash_attention.py's Pallas kernel swaps in via
+    ``use_pallas_attention()`` for unmasked attention on TPU.
     """
+    if _attention_impl is not None and mask is None:
+        return _attention_impl(q, k, v, heads)
     b, lq, hd = q.shape
     d = hd // heads
     scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))

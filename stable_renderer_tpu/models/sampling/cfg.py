@@ -118,16 +118,20 @@ def make_denoiser(
 
         return AttnHooks(pre=pre, post=post)
 
+    # run UNet activations in the params' dtype (bf16 on TPU, fp32 stats inside)
+    compute_dtype = params["time_embed"]["0"]["weight"].dtype
+
     def denoise(x: jax.Array, sigma: jax.Array) -> jax.Array:
         b = x.shape[0]
         t = timestep_from_sigma(log_sigmas, sigma)
         c_in = 1.0 / jnp.sqrt(sigma**2 + 1.0)  # eps-model input scaling
-        x_in = (x * c_in).astype(x.dtype)
+        x_in = (x * c_in).astype(compute_dtype)
         if use_cfg:
             x_b = jnp.concatenate([x_in, x_in], axis=0)
             ctx = jnp.concatenate([cond_context, uncond_context], axis=0)
         else:
             x_b, ctx = x_in, cond_context
+        ctx = ctx.astype(compute_dtype)
         tb = jnp.broadcast_to(t, (x_b.shape[0],))
         control = control_fn(x_b, tb, ctx) if control_fn is not None else None
         out = unet.apply(
