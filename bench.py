@@ -84,6 +84,7 @@ def main() -> None:
         pack = pack_frame_data(gbuf, bg_noise, 0)
         images = pipe._jit_render(
             corresponder,
+            (),
             pipe.unet_params,
             pipe.vae_params,
             (),
@@ -105,13 +106,16 @@ def main() -> None:
     # warmup/compile
     t0 = time.time()
     out = frame(0.0, jax.random.PRNGKey(0))
-    out.block_until_ready()
+    _ = np.asarray(out[0, 0])
     compile_s = time.time() - t0
 
+    # Force a device->host readback of one pixel per frame: on this runtime
+    # block_until_ready alone does not guarantee execution finished, and a real
+    # render loop reads every frame out anyway (WindowManager.present).
     t0 = time.time()
     for i in range(n_frames):
         out = frame(float(i), jax.random.PRNGKey(i))
-    out.block_until_ready()
+        _ = np.asarray(out[0, 0])
     dt = time.time() - t0
     fps = n_frames / dt
 

@@ -119,7 +119,9 @@ class DiffusionPipeline:
             clip=clip,
             tokenizer=Tokenizer(ccfg),
             unet_params=jax.jit(unet.init, static_argnames="dtype")(key, dtype=dtype),
-            vae_params=jax.jit(vae.init)(jax.random.fold_in(key, 1)),
+            vae_params=jax.jit(vae.init, static_argnames="dtype")(
+                jax.random.fold_in(key, 1), dtype=dtype
+            ),
             clip_params=jax.jit(clip.init)(jax.random.fold_in(key, 2)),
             config=config,
             model_sampling=ms,
@@ -201,18 +203,39 @@ class DiffusionPipeline:
         cfg = self.config
         n = engine_data.frame_count
         key = key if key is not None else jax.random.PRNGKey(cfg.seed)
-        if prompts is None:
-            sprite_prompts = [s.prompt for s in engine_data.sprite_infos.values()]
-            env = [p.prompt for p in engine_data.env_prompts]
-            text = ", ".join([t for t in sprite_prompts + env if t]) or cfg.prompt
-            prompts = [text] * n
+        neg = ", ".join(
+            [s.negative_prompt for s in engine_data.sprite_infos.values() if s.negative_prompt]
+            + [p.negative_prompt for p in engine_data.env_prompts if p.negative_prompt]
+        ) or cfg.negative_prompt
         if negatives is None:
-            neg = ", ".join(
-                [s.negative_prompt for s in engine_data.sprite_infos.values() if s.negative_prompt]
-                + [p.negative_prompt for p in engine_data.env_prompts if p.negative_prompt]
-            ) or cfg.negative_prompt
             negatives = [neg] * n
-        ctx, nctx = self.encode_prompts(prompts, negatives)
+
+        # SceneTextEncode path: per-sprite masked conditioning when several
+        # prompted sprites are visible (conditions.py:52-110 semantics)
+        sprite_ids: tuple = ()
+        sprited = [
+            (sid, sp.prompt)
+            for sid, sp in engine_data.sprite_infos.items()
+            if sp.prompt
+        ]
+        env_text = ", ".join([p.prompt for p in engine_data.env_prompts if p.prompt]) or cfg.prompt
+        if (
+            prompts is None
+            and cfg.scene_conditioning
+            and len(sprited) >= 2
+            and engine_data.id_maps is not None
+        ):
+            sprite_ids = tuple(sid for sid, _ in sprited)
+            scene_prompts = [t for _, t in sprited] + [env_text]
+            ctx_s, nctx = self.encode_prompts(scene_prompts, [neg] * len(scene_prompts))
+            # (S+1, L, D) -> (S+1, B, L, D); uncond: one per frame
+            ctx = jnp.broadcast_to(ctx_s[:, None], (ctx_s.shape[0], n, *ctx_s.shape[1:]))
+            nctx = jnp.broadcast_to(nctx[:1], (n, *nctx.shape[1:]))
+        else:
+            if prompts is None:
+                text = ", ".join([t for _, t in sprited] + ([env_text] if env_text else [])) or cfg.prompt
+                prompts = [text] * n
+            ctx, nctx = self.encode_prompts(prompts, negatives)
 
         sigmas = jnp.asarray(
             calculate_sigmas(self.model_sampling, cfg.scheduler, cfg.steps, cfg.denoise)
@@ -229,6 +252,7 @@ class DiffusionPipeline:
 
         images = self._jit_render(
             corresponder,
+            sprite_ids,
             self.unet_params,
             self.vae_params,
             tuple(p for _, p, _ in self.controlnets),
@@ -244,17 +268,18 @@ class DiffusionPipeline:
         corresponder.finished(engine_data, images)
         return images
 
-    @partial(jax.jit, static_argnames=("self", "corresponder"))
+    @partial(jax.jit, static_argnames=("self", "corresponder", "sprite_ids"))
     def _jit_render(
-        self, corresponder, unet_params, vae_params, cn_params, color, noise_maps,
-        id_maps, hints, ctx, nctx, sigmas, key
+        self, corresponder, sprite_ids, unet_params, vae_params, cn_params, color,
+        noise_maps, id_maps, hints, ctx, nctx, sigmas, key
     ):
         # NOTE: params are explicit jit ARGUMENTS — closing over them via the
         # static `self` would bake multi-GB weight constants into the lowered
         # program (catastrophic compile times).
         cfg = self.config
-        x = color * 2.0 - 1.0
-        latent = self.vae.encode(vae_params, x)
+        vae_dtype = vae_params["quant_conv"]["weight"].dtype
+        x = (color * 2.0 - 1.0).astype(vae_dtype)
+        latent = self.vae.encode(vae_params, x).astype(jnp.float32)
         lh, lw = latent.shape[1], latent.shape[2]
         if noise_maps is not None:
             noise = noise_maps[..., : latent.shape[-1]]
@@ -272,17 +297,37 @@ class DiffusionPipeline:
         log_sigmas = jnp.asarray(self.model_sampling.log_sigmas)
         hooks = corresponder.attn_hooks(None)
         step_cb = corresponder.make_step_callback(id_maps, log_sigmas)
-        den = make_denoiser(
-            self.unet,
-            unet_params,
-            ctx,
-            uncond,
-            log_sigmas,
-            cfg_scale=cfg.cfg_scale,
-            prediction=self.model_sampling.prediction,
-            hooks=hooks,
-            control_fn=self._make_control_fn(hints, cn_params),
-        )
+        if sprite_ids:
+            from stable_renderer_tpu.models.sampling.scene_cond import (
+                make_scene_denoiser,
+                sprite_masks,
+            )
+
+            masks = sprite_masks(id_maps, sprite_ids, lh, lw)
+            den = make_scene_denoiser(
+                self.unet,
+                unet_params,
+                ctx,
+                masks,
+                uncond,
+                log_sigmas,
+                cfg_scale=cfg.cfg_scale,
+                prediction=self.model_sampling.prediction,
+                hooks=hooks,
+                control_fn=self._make_control_fn(hints, cn_params),
+            )
+        else:
+            den = make_denoiser(
+                self.unet,
+                unet_params,
+                ctx,
+                uncond,
+                log_sigmas,
+                cfg_scale=cfg.cfg_scale,
+                prediction=self.model_sampling.prediction,
+                hooks=hooks,
+                control_fn=self._make_control_fn(hints, cn_params),
+            )
         out_latent = sample(
             den,
             noise,
@@ -292,5 +337,5 @@ class DiffusionPipeline:
             key=jax.random.fold_in(key, 1),
             step_callback=step_cb,
         )
-        decoded = self.vae.decode(vae_params, out_latent)
+        decoded = self.vae.decode(vae_params, out_latent.astype(vae_dtype)).astype(jnp.float32)
         return jnp.clip(decoded * 0.5 + 0.5, 0.0, 1.0)

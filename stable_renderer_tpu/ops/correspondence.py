@@ -103,7 +103,7 @@ def vertex_average_injection(
     return adain(latent, modified)
 
 
-@partial(jax.jit, static_argnames=("num_segments", "height", "width"))
+@partial(jax.jit, static_argnames=("num_segments", "height", "width", "channels"))
 def vertex_noise(
     key: jax.Array,
     id_maps: jax.Array,  # (B, H, W, 4)

@@ -41,6 +41,7 @@ class RenderConfig:
     clip_skip: int = -1
     seed: int = 0
     vertex_noise: bool = True
+    scene_conditioning: bool = True  # per-sprite masked conditioning (SceneTextEncode)
     controlnets: Tuple[ControlNetSpec, ...] = ()
     checkpoint_path: Optional[str] = None
     lora_paths: Tuple[Tuple[str, float], ...] = ()
