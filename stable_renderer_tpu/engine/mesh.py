@@ -154,6 +154,31 @@ class Mesh:
         path = Path(path)
         if path.suffix.lower() != ".obj":
             raise ValueError(f"Only .obj supported by the host loader (got {path.suffix})")
+        # prefer the native C++ parser (stable_renderer_tpu/native/objloader.cpp);
+        # the pure-Python parser below is the no-toolchain fallback
+        try:
+            from stable_renderer_tpu import native
+
+            parsed = native.load_obj_native(path)
+        except FileNotFoundError:
+            raise
+        except Exception:  # noqa: BLE001 - any native issue falls back
+            parsed = None
+        if parsed is not None:
+            pos, uv, nrm, tris, tri_mat, names = parsed
+            if not np.any(nrm):
+                nrm = _face_normals_to_vertices(pos, tris)
+            mesh = cls(
+                positions=pos,
+                normals=nrm,
+                uvs=uv,
+                colors=np.ones_like(pos),
+                tris=tris,
+                tri_material=tri_mat,
+                name=name or path.stem,
+            )
+            mesh.material_names = names  # type: ignore[attr-defined]
+            return mesh
         return load_obj(path, name=name or path.stem)
 
 
