@@ -115,6 +115,19 @@ class Engine:
     # --- lifecycle (engine.py:286-341) ---
 
     def run(self) -> None:
+        import contextlib
+        import os
+
+        profile_dir = os.environ.get("SR_TPU_PROFILE")
+        profile_cm = contextlib.nullcontext()
+        if profile_dir:
+            from stable_renderer_tpu.utils.timer import trace
+
+            profile_cm = trace(profile_dir)
+        with profile_cm:
+            self._run_inner()
+
+    def _run_inner(self) -> None:
         self._running = True
         self.beforePrepare()
         for m in sorted(self._managers, key=lambda m: m.PrepareFuncOrder):

@@ -21,7 +21,7 @@ from stable_renderer_tpu.data.framebuffers import GBuffer
 from stable_renderer_tpu.engine.mesh import Mesh
 from stable_renderer_tpu.ops.gbuffer import compose_draw, shade_draw
 from stable_renderer_tpu.ops.math import adain, downsample_mean
-from stable_renderer_tpu.ops.raster import rasterize, vertex_stage
+from stable_renderer_tpu.ops.raster import rasterize_auto, vertex_stage
 
 _mesh_cache: dict = {}
 
@@ -59,7 +59,7 @@ def _draw_pass(
     clip, view_pos, view_normal = vertex_stage(
         buffers["positions"], buffers["normals"], mv, proj
     )
-    vis = rasterize(clip, buffers["tris"], height, width, cull_backface=True)
+    vis = rasterize_auto(clip, buffers["tris"], height, width, cull_backface=True)
     gbuf = shade_draw(
         vis,
         buffers["tris"],

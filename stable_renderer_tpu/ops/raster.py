@@ -171,6 +171,28 @@ def rasterize(
     return out
 
 
+def rasterize_auto(
+    clip_pos: jax.Array,
+    tris: jax.Array,
+    height: int,
+    width: int,
+    cull_backface: bool = False,
+) -> VisibilityBuffer:
+    """Backend-selecting rasterize: the Pallas tile kernel on TPU (the scan
+    version's full-frame carry round-trips HBM per chunk — ~6x slower measured),
+    the XLA scan elsewhere or when the frame doesn't tile."""
+    import jax as _jax
+
+    platform = _jax.devices()[0].platform
+    if platform not in ("cpu",) and height % 128 == 0 and width % 128 == 0:
+        from stable_renderer_tpu.ops.raster_pallas import rasterize_pallas
+
+        return rasterize_pallas(
+            clip_pos, tris, height, width, cull_backface=cull_backface
+        )
+    return rasterize(clip_pos, tris, height, width, cull_backface=cull_backface)
+
+
 def interpolate(
     vis: VisibilityBuffer,
     tris: jax.Array,       # (T, 3)
