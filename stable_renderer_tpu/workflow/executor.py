@@ -1,0 +1,450 @@
+"""Graph executor — run reference workflow JSONs node-by-node.
+
+Capability match for the reference's PromptExecutor
+(reference: comfyUI/execution.py:344-1168 — dependency-ordered recursive
+execution, per-node output cache keyed (node_id, node_type) with IS_CHANGED
+invalidation, hidden-value injection of EngineData) over the node set the
+stable-rendering workflows use (comfyUI/nodes.py + stable_rendering/_nodes).
+
+Differences by design:
+  * Node *computations* are the compiled framework pieces (models/, sampling/),
+    so a "node" here is host-side orchestration — the graph interpreter runs
+    once per submit, not per tensor op.
+  * Frame-dependent nodes (EngineData and downstream) re-run every frame while
+    loader nodes stay cached — exactly the reference's IS_CHANGED = FrameCount
+    fast path (execution.py:839-928).
+
+Use RenderConfig/DiffusionPipeline for production; the executor exists for
+arbitrary-workflow parity and for running the reference's JSON files unmodified.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from stable_renderer_tpu.data.engine_data import EngineData
+from stable_renderer_tpu.utils.log import get_logger
+from stable_renderer_tpu.workflow.loader import Workflow, WorkflowNode
+
+logger = get_logger("sr_tpu.executor")
+
+NODE_REGISTRY: Dict[str, Callable] = {}
+
+
+def register_node(name: str, *aliases: str):
+    def deco(fn: Callable) -> Callable:
+        NODE_REGISTRY[name] = fn
+        for a in aliases:
+            NODE_REGISTRY[a] = fn
+        return fn
+
+    return deco
+
+
+@dataclass
+class InferenceContext:
+    """Per-execute context (reference comfyUI/types/hidden.py InferenceContext)."""
+
+    engine_data: Optional[EngineData] = None
+    outputs: Dict[int, tuple] = field(default_factory=dict)
+    final_output: Any = None
+    frame_count: int = 0
+    model_dirs: Tuple[str, ...] = ()
+    corresponder: Any = None
+    status_messages: List[str] = field(default_factory=list)
+
+
+class PromptExecutor:
+    """Execute a Workflow graph. Loader-node outputs persist across calls;
+    frame-dependent nodes re-run per execute (IS_CHANGED semantics)."""
+
+    FRAME_DEPENDENT = {"EngineData", "EngineDataNode", "VirtualEngineData"}
+
+    def __init__(self, workflow: Workflow, model_dirs: Tuple[str, ...] = ()):
+        self.workflow = workflow
+        self.model_dirs = model_dirs
+        self._cache: Dict[int, tuple] = {}
+        self._frame_tainted: set = set()
+        self._compute_taint()
+
+    def _compute_taint(self) -> None:
+        """Mark nodes downstream of frame-dependent nodes (re-run every frame)."""
+        nodes = self.workflow.nodes
+        tainted = {n.id for n in nodes.values() if n.type in self.FRAME_DEPENDENT}
+        changed = True
+        while changed:
+            changed = False
+            for n in nodes.values():
+                if n.id in tainted:
+                    continue
+                for _, (src, _slot) in n.inputs.items():
+                    if src in tainted:
+                        tainted.add(n.id)
+                        changed = True
+                        break
+        self._frame_tainted = tainted
+
+    def execute(
+        self,
+        engine_data: Optional[EngineData] = None,
+        frame_count: int = 0,
+        extra: Optional[dict] = None,
+    ) -> InferenceContext:
+        ctx = InferenceContext(
+            engine_data=engine_data,
+            frame_count=frame_count,
+            model_dirs=self.model_dirs,
+        )
+        if extra:
+            for k, v in extra.items():
+                setattr(ctx, k, v)
+        # outputs: start from the persistent cache for untainted nodes
+        ctx.outputs = {
+            nid: out for nid, out in self._cache.items() if nid not in self._frame_tainted
+        }
+        # find output nodes: InferenceOutput, or any node nothing depends on
+        consumed = {src for n in self.workflow.nodes.values() for (src, _) in n.inputs.values()}
+        sinks = [
+            n for n in self.workflow.nodes.values()
+            if n.type == "InferenceOutput" or n.id not in consumed
+        ]
+        for sink in sinks:
+            self._run_node(sink, ctx)
+        # persist loader outputs
+        for nid, out in ctx.outputs.items():
+            if nid not in self._frame_tainted:
+                self._cache[nid] = out
+        return ctx
+
+    def _run_node(self, node: WorkflowNode, ctx: InferenceContext) -> tuple:
+        if node.id in ctx.outputs:
+            return ctx.outputs[node.id]
+        impl = NODE_REGISTRY.get(node.type)
+        if impl is None:
+            raise NotImplementedError(
+                f"workflow node type '{node.type}' has no implementation "
+                f"(registered: {sorted(NODE_REGISTRY)})"
+            )
+        inputs: Dict[str, Any] = {}
+        for name, (src_id, slot) in node.inputs.items():
+            src = self.workflow.nodes[src_id]
+            out = self._run_node(src, ctx)
+            inputs[name] = out[slot] if slot < len(out) else None
+        result = impl(ctx, node, **inputs)
+        if not isinstance(result, tuple):
+            result = (result,)
+        ctx.outputs[node.id] = result
+        return result
+
+
+# ---------------------------------------------------------------------------
+# node implementations
+
+
+def _find_model_file(ctx: InferenceContext, name: str) -> Optional[str]:
+    name = name.replace("\\", "/")
+    for d in ctx.model_dirs:
+        for cand in (Path(d) / name, Path(d) / Path(name).name):
+            if cand.exists():
+                return str(cand)
+    if Path(name).exists():
+        return name
+    return None
+
+
+@register_node("CheckpointLoaderSimple")
+def checkpoint_loader(ctx: InferenceContext, node: WorkflowNode):
+    """-> (MODEL, CLIP, VAE). Falls back to tiny random models when the
+    checkpoint file is absent (keeps reference workflows runnable offline)."""
+    import jax
+
+    from stable_renderer_tpu.models import (
+        CLIPTextModel, Tokenizer, UNetModel, VAE,
+        TINY_CLIP_CONFIG, TINY_UNET_CONFIG, TINY_VAE_CONFIG,
+        SD15_CLIP_CONFIG, SD15_VAE_CONFIG,
+    )
+    from stable_renderer_tpu.models.sampling import ModelSampling
+
+    name = str(node.widgets[0]) if node.widgets else ""
+    path = _find_model_file(ctx, name)
+    if path:
+        from stable_renderer_tpu.models.weights import load_checkpoint, to_device
+        import jax.numpy as jnp
+
+        unet_p, vae_p, clip_p, ucfg = load_checkpoint(path)
+        unet = UNetModel(ucfg)
+        model = {"unet": unet, "params": to_device(unet_p, jnp.bfloat16),
+                 "sampling": ModelSampling()}
+        vae = {"vae": VAE(SD15_VAE_CONFIG), "params": to_device(vae_p, jnp.bfloat16)}
+        clip = {"clip": CLIPTextModel(SD15_CLIP_CONFIG),
+                "params": to_device(clip_p, jnp.float32),
+                "tokenizer": Tokenizer(SD15_CLIP_CONFIG)}
+        return model, clip, vae
+    logger.warning(f"checkpoint '{name}' not found in {ctx.model_dirs}; using tiny random models")
+    key = jax.random.PRNGKey(0)
+    import dataclasses as _dc
+
+    ccfg = _dc.replace(TINY_CLIP_CONFIG, hidden_size=TINY_UNET_CONFIG.context_dim)
+    unet = UNetModel(TINY_UNET_CONFIG)
+    vae = VAE(TINY_VAE_CONFIG)
+    clip = CLIPTextModel(ccfg)
+    model = {"unet": unet, "params": unet.init(key), "sampling": ModelSampling()}
+    return (
+        model,
+        {"clip": clip, "params": clip.init(jax.random.fold_in(key, 2)),
+         "tokenizer": Tokenizer(ccfg)},
+        {"vae": vae, "params": vae.init(jax.random.fold_in(key, 1))},
+    )
+
+
+@register_node("LoraLoaderModelOnly")
+def lora_loader_model_only(ctx: InferenceContext, node: WorkflowNode, model=None):
+    name = str(node.widgets[0]) if node.widgets else ""
+    strength = float(node.widgets[1]) if len(node.widgets) > 1 else 1.0
+    path = _find_model_file(ctx, name)
+    if path is None:
+        logger.warning(f"lora '{name}' not found; passing model through")
+        return (model,)
+    from stable_renderer_tpu.models.lora import merge_lora
+    from stable_renderer_tpu.models.weights import load_state_dict
+
+    flat = load_state_dict(path)
+    new_params = merge_lora(model["params"], flat, strength, prefix="lora_unet_")
+    return ({**model, "params": new_params},)
+
+
+@register_node("CLIPTextEncode")
+def clip_text_encode(ctx: InferenceContext, node: WorkflowNode, clip=None, text=None):
+    import jax.numpy as jnp
+
+    prompt = text if text is not None else (str(node.widgets[0]) if node.widgets else "")
+    tokens = jnp.asarray(clip["tokenizer"].encode_batch([prompt]))
+    cond = clip["clip"].apply(clip["params"], tokens)
+    return ({"context": cond, "controls": [], "prompt": prompt},)
+
+
+@register_node("SceneTextEncode")
+def scene_text_encode(ctx: InferenceContext, node: WorkflowNode, clip=None, **kw):
+    """Per-sprite conditioning: resolved at sampler time from engine_data; here
+    we encode the env/sprite prompts into one conditioning like the reference's
+    fallback when no sprites carry prompts."""
+    import jax.numpy as jnp
+
+    ed = ctx.engine_data
+    texts = []
+    if ed is not None:
+        texts += [s.prompt for s in ed.sprite_infos.values() if s.prompt]
+        texts += [p.prompt for p in ed.env_prompts if p.prompt]
+    prompt = ", ".join(texts)
+    tokens = jnp.asarray(clip["tokenizer"].encode_batch([prompt]))
+    cond = clip["clip"].apply(clip["params"], tokens)
+    return ({"context": cond, "controls": [], "prompt": prompt},)
+
+
+@register_node("ControlNetLoader")
+def controlnet_loader(ctx: InferenceContext, node: WorkflowNode):
+    name = str(node.widgets[0]) if node.widgets else ""
+    path = _find_model_file(ctx, name)
+    return ({"name": name, "path": path},)
+
+
+@register_node("ControlNetApply", "ControlNetApplyAdvanced")
+def controlnet_apply(
+    ctx: InferenceContext, node: WorkflowNode,
+    conditioning=None, control_net=None, image=None, positive=None, negative=None,
+):
+    strength = float(node.widgets[0]) if node.widgets else 1.0
+    start_p, end_p = 0.0, 1.0
+    if node.type == "ControlNetApplyAdvanced" and len(node.widgets) >= 3:
+        start_p, end_p = float(node.widgets[1]), float(node.widgets[2])
+    entry = {
+        "control": control_net,
+        "hint": image,
+        "strength": strength,
+        "percent": (start_p, end_p),
+    }
+    cond = conditioning or positive
+    out = {**cond, "controls": list(cond.get("controls", [])) + [entry]}
+    if node.type == "ControlNetApplyAdvanced":
+        neg = {**(negative or {}), "controls": list((negative or {}).get("controls", []))}
+        return out, neg
+    return (out,)
+
+
+@register_node("EngineData", "EngineDataNode", "VirtualEngineData")
+def engine_data_node(ctx: InferenceContext, node: WorkflowNode):
+    """Unpack EngineData into its output slots (stable_rendering _nodes/data.py)."""
+    ed = ctx.engine_data
+    if ed is None:
+        raise ValueError("no engine_data in context (game/bake mode required)")
+    # slot order matches the reference EngineDataNode outputs exactly
+    # (stable_rendering/_nodes/data.py: colors, ids, positions, normals, depths,
+    #  canny, noises, masks, correspond_maps, sprites, env_prompt)
+    return (
+        ed.color_maps,
+        ed.id_maps,
+        ed.pos_maps,
+        ed.normal_maps,
+        ed.depth_maps,
+        ed.canny_maps,
+        {"samples": ed.noise_maps, "noise": ed.noise_maps},
+        ed.masks,
+        ed.correspond_maps,
+        ed.sprite_infos,
+        ed.env_prompts,
+    )
+
+
+@register_node("EmptyCorrMaps")
+def empty_corrmaps(ctx: InferenceContext, node: WorkflowNode, **kw):
+    return ({},)
+
+
+@register_node("DefaultCorresponder")
+def default_corresponder_node(ctx: InferenceContext, node: WorkflowNode, **kw):
+    from stable_renderer_tpu.ops.correspondence import DefaultCorresponder
+
+    return (DefaultCorresponder(),)
+
+
+@register_node("OverlapCorresponder")
+def overlap_corresponder_node(ctx: InferenceContext, node: WorkflowNode, **kw):
+    from stable_renderer_tpu.ops.correspondence import OverlapCorresponder
+
+    return (OverlapCorresponder(),)
+
+
+@register_node("KSampler", "CorrespondSampler", "KSamplerAdvanced")
+def ksampler(
+    ctx: InferenceContext, node: WorkflowNode,
+    model=None, positive=None, negative=None, latent_image=None,
+    corresponder=None, engine_data=None, **kw,
+):
+    import jax
+    import jax.numpy as jnp
+
+    from stable_renderer_tpu.models.sampling import calculate_sigmas, sample
+    from stable_renderer_tpu.models.sampling.cfg import make_denoiser
+    from stable_renderer_tpu.models.unet import AttnHooks
+
+    w = node.widgets
+    seed = int(w[0]) % (2**31) if w else 0
+    steps = int(w[2]) if len(w) > 2 else 20
+    cfg_scale = float(w[3]) if len(w) > 3 else 7.0
+    sampler_name = str(w[4]) if len(w) > 4 else "euler"
+    scheduler = str(w[5]) if len(w) > 5 else "normal"
+    denoise = float(w[6]) if len(w) > 6 else 1.0
+
+    ms = model["sampling"]
+    if sampler_name == "lcm":
+        ms = type(ms)(prediction="lcm")
+    latent = latent_image["samples"] if isinstance(latent_image, dict) else latent_image
+    noise = latent_image.get("noise") if isinstance(latent_image, dict) else None
+    b = latent.shape[0]
+    ctx_pos = positive["context"]
+    ctx_neg = negative["context"] if negative else None
+    if ctx_pos.shape[0] != b:
+        ctx_pos = jnp.broadcast_to(ctx_pos[:1], (b, *ctx_pos.shape[1:]))
+    if ctx_neg is not None and ctx_neg.shape[0] != b:
+        ctx_neg = jnp.broadcast_to(ctx_neg[:1], (b, *ctx_neg.shape[1:]))
+
+    control_fn = None
+    controls = positive.get("controls", [])
+    if controls:
+        from stable_renderer_tpu.models.controlnet import ControlNet, ControlNetConfig
+
+        entries = []
+        for c in controls:
+            cn = ControlNet(ControlNetConfig(unet=model["unet"].config))
+            if c["control"] and c["control"].get("path"):
+                from stable_renderer_tpu.models.weights import load_state_dict, nest, to_device
+                import jax.numpy as _jnp
+
+                flat = load_state_dict(c["control"]["path"])
+                params = to_device(nest(flat, "control_model."), _jnp.bfloat16)
+            else:
+                params = cn.init(jax.random.PRNGKey(5))
+            entries.append((cn, params, c))
+
+        def control_fn(x_in, t, ctx_):
+            total = None
+            for cn, params, c in entries:
+                hint = c["hint"][..., :3]
+                reps = x_in.shape[0] // hint.shape[0]
+                hint_b = jnp.concatenate([hint] * reps, 0) if reps > 1 else hint
+                ctl = cn.apply(
+                    params, x_in, hint_b, t, ctx_,
+                    strength=c["strength"], percent_range=c["percent"],
+                )
+                total = ctl if total is None else {
+                    "middle": [a + b_ for a, b_ in zip(total["middle"], ctl["middle"])],
+                    "output": [a + b_ for a, b_ in zip(total["output"], ctl["output"])],
+                }
+            return total
+
+    hooks = AttnHooks()
+    step_cb = None
+    if corresponder is not None and ctx.engine_data is not None:
+        hooks = corresponder.attn_hooks(ctx.engine_data)
+        step_cb = corresponder.make_step_callback(
+            ctx.engine_data.id_maps, jnp.asarray(ms.log_sigmas)
+        )
+        ctx.corresponder = corresponder
+
+    den = make_denoiser(
+        model["unet"], model["params"], ctx_pos,
+        None if cfg_scale == 1.0 else ctx_neg,
+        jnp.asarray(ms.log_sigmas), cfg_scale=cfg_scale,
+        prediction=ms.prediction, hooks=hooks, control_fn=control_fn,
+    )
+    sigmas = jnp.asarray(calculate_sigmas(ms, scheduler, steps, denoise))
+    if noise is None:
+        noise = jax.random.normal(jax.random.PRNGKey(seed), latent.shape)
+    out = sample(
+        den, noise, sigmas, latent_image=latent, sampler=sampler_name,
+        key=jax.random.PRNGKey(seed), step_callback=step_cb,
+    )
+    return ({"samples": out},)
+
+
+@register_node("VAEEncode")
+def vae_encode(ctx: InferenceContext, node: WorkflowNode, pixels=None, vae=None):
+    import jax.numpy as jnp
+
+    dtype = vae["params"]["quant_conv"]["weight"].dtype
+    z = vae["vae"].encode(vae["params"], (pixels * 2.0 - 1.0).astype(dtype))
+    return ({"samples": z.astype(jnp.float32)},)
+
+
+@register_node("VAEDecode")
+def vae_decode(ctx: InferenceContext, node: WorkflowNode, samples=None, vae=None, callback=None):
+    import jax.numpy as jnp
+
+    dtype = vae["params"]["quant_conv"]["weight"].dtype
+    z = samples["samples"] if isinstance(samples, dict) else samples
+    img = vae["vae"].decode(vae["params"], z.astype(dtype)).astype(jnp.float32)
+    img = jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+    # VAE-decode callback = corresponder.finished (reference nodes.py:287-302)
+    corr = callback if callback is not None else ctx.corresponder
+    if corr is not None and hasattr(corr, "finished") and ctx.engine_data is not None:
+        corr.finished(ctx.engine_data, img)
+    return (img,)
+
+
+@register_node("InferenceOutput")
+def inference_output(ctx: InferenceContext, node: WorkflowNode, **kw):
+    for v in kw.values():
+        if v is not None:
+            ctx.final_output = v
+            break
+    return (ctx.final_output,)
+
+
+@register_node("Note", "Reroute")
+def passthrough(ctx: InferenceContext, node: WorkflowNode, **kw):
+    return tuple(kw.values()) or (None,)

@@ -33,8 +33,8 @@ from stable_renderer_tpu.workflow.config import ControlNetSpec, RenderConfig
 # EngineDataNode output slot names (stable_rendering/_nodes/data.py EngineDataNode
 # unpacks EngineData into these outputs, in order)
 _ENGINE_DATA_SLOTS = [
-    "frame_indices", "sprite_infos", "color", "id", "pos", "noise",
-    "normal", "depth", "canny", "masks", "env_prompts",
+    "color", "id", "pos", "normal", "depth", "canny", "noise", "masks",
+    "correspond_maps", "sprites", "env_prompt",
 ]
 
 _CN_NAME_SOURCES = [

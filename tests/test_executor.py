@@ -1,0 +1,80 @@
+"""Graph-executor tests: run the reference's miku-control.json end-to-end with
+tiny fallback models + synthetic EngineData (PromptExecutor parity)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stable_renderer_tpu.data.engine_data import EngineData
+from stable_renderer_tpu.data.sprite import EnvPrompt, Sprite
+from stable_renderer_tpu.workflow import Workflow
+from stable_renderer_tpu.workflow.executor import PromptExecutor
+
+MIKU = "/root/reference/resources/example-workflows/miku-control.json"
+
+
+def _engine_data(n=1, h=32, w=32):
+    ids = np.zeros((n, h, w, 4), np.int32)
+    ids[:, 8:24, 8:24] = [1, 1, 4, 7]
+    return EngineData(
+        frame_indices=jnp.arange(n),
+        color_maps=jnp.full((n, h, w, 3), 0.5),
+        id_maps=jnp.asarray(ids),
+        pos_maps=jnp.zeros((n, h, w, 3)),
+        noise_maps=jnp.zeros((n, h // 8, w // 8, 4)),
+        normal_maps=jnp.full((n, h, w, 3), 0.5),
+        depth_maps=jnp.full((n, h, w, 3), 0.3),
+        canny_maps=jnp.zeros((n, h, w, 3)),
+        masks=jnp.zeros((n, h, w)),
+        sprite_infos={1: Sprite(spriteID=1, prompt="miku")},
+        env_prompts=(EnvPrompt(prompt="stage"),),
+    )
+
+
+@pytest.mark.skipif(not os.path.exists(MIKU), reason="reference workflows not mounted")
+def test_execute_miku_workflow_offline():
+    wf = Workflow.Load(MIKU)
+    ex = PromptExecutor(wf)
+    ctx = ex.execute(engine_data=_engine_data(), frame_count=0)
+    out = ctx.final_output
+    assert out is not None
+    out = np.asarray(out)
+    # spatial size = engine noise res (h/8=4) x tiny-VAE factor (2); with real
+    # SD1.5 models (pool 8, VAE 8) this is the full window size
+    assert out.shape == (1, 8, 8, 3)
+    assert np.isfinite(out).all()
+    assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+@pytest.mark.skipif(not os.path.exists(MIKU), reason="reference workflows not mounted")
+def test_loader_nodes_cached_frame_nodes_rerun():
+    wf = Workflow.Load(MIKU)
+    ex = PromptExecutor(wf)
+    ctx1 = ex.execute(engine_data=_engine_data(), frame_count=0)
+    # loader outputs persisted
+    ckpt_nodes = [n.id for n in wf.by_type("CheckpointLoaderSimple")]
+    assert ckpt_nodes[0] in ex._cache
+    model1 = ctx1.outputs[ckpt_nodes[0]][0]
+    ctx2 = ex.execute(engine_data=_engine_data(), frame_count=1)
+    model2 = ctx2.outputs[ckpt_nodes[0]][0]
+    assert model1 is model2  # cached, not re-loaded
+    # frame-tainted nodes re-ran: sampler nodes are tainted
+    sampler = (wf.by_type("KSampler") + wf.by_type("CorrespondSampler"))[0]
+    assert sampler.id in ex._frame_tainted
+
+
+def test_unknown_node_type_raises(tmp_path):
+    import json
+
+    data = {
+        "nodes": [{"id": 1, "type": "TotallyUnknownNode", "widgets_values": []}],
+        "links": [],
+    }
+    p = tmp_path / "wf.json"
+    p.write_text(json.dumps(data))
+    wf = Workflow.Load(p)
+    ex = PromptExecutor(wf)
+    with pytest.raises(NotImplementedError):
+        ex.execute(engine_data=_engine_data())
