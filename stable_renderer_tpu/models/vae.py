@@ -123,6 +123,79 @@ class VAE:
         h = conv2d(d["conv_out"], silu(group_norm(d["norm_out"], h)), padding=1)
         return h
 
+    # --- tiled variants (reference comfy/sd.py VAE tiled fallback) ----------
+
+    def decode_tiled(
+        self,
+        params: dict,
+        z: jax.Array,
+        tile: int = 64,
+        overlap: int = 16,
+    ) -> jax.Array:
+        """Decode in overlapping latent tiles with linear blend — the reference's
+        out-of-memory fallback (comfy/sd.py:245-280 decode_tiled). Host-side loop
+        over tiles; each tile decode is the compiled decoder."""
+        import numpy as np
+
+        b, h, w, c = z.shape
+        f = 2 ** (len(self.config.ch_mult) - 1)
+        step = tile - overlap
+        out = np.zeros((b, h * f, w * f, 3), np.float32)
+        weight = np.zeros((b, h * f, w * f, 1), np.float32)
+        ramp = np.minimum(np.arange(1, tile * f + 1) / max(overlap * f, 1), 1.0)
+        tile_w = np.minimum(ramp, ramp[::-1])[None, :, None]
+
+        y = 0
+        while y < h:
+            x = 0
+            y0 = min(y, max(h - tile, 0))
+            while x < w:
+                x0 = min(x, max(w - tile, 0))
+                zt = z[:, y0 : y0 + tile, x0 : x0 + tile]
+                dec = np.asarray(self.decode(params, zt).astype(jnp.float32))
+                th, tw = dec.shape[1], dec.shape[2]
+                wgt = (tile_w[:, :th] * tile_w[:, :tw].transpose(0, 2, 1))[..., None]
+                out[:, y0 * f : y0 * f + th, x0 * f : x0 * f + tw] += dec * wgt
+                weight[:, y0 * f : y0 * f + th, x0 * f : x0 * f + tw] += wgt
+                x += step
+            y += step
+        return jnp.asarray(out / np.maximum(weight, 1e-6))
+
+    def encode_tiled(
+        self,
+        params: dict,
+        x: jax.Array,
+        tile: int = 512,
+        overlap: int = 64,
+    ) -> jax.Array:
+        """Encode in overlapping pixel tiles (comfy/sd.py encode_tiled)."""
+        import numpy as np
+
+        b, h, w, _ = x.shape
+        f = 2 ** (len(self.config.ch_mult) - 1)
+        step = tile - overlap
+        zc = self.config.embed_dim
+        out = np.zeros((b, h // f, w // f, zc), np.float32)
+        weight = np.zeros((b, h // f, w // f, 1), np.float32)
+        ramp = np.minimum(np.arange(1, tile // f + 1) / max(overlap // f, 1), 1.0)
+        tile_w = np.minimum(ramp, ramp[::-1])[None, :, None]
+
+        y = 0
+        while y < h:
+            x0c = 0
+            y0 = min(y, max(h - tile, 0))
+            while x0c < w:
+                x0 = min(x0c, max(w - tile, 0))
+                xt = x[:, y0 : y0 + tile, x0 : x0 + tile]
+                enc = np.asarray(self.encode(params, xt).astype(jnp.float32))
+                th, tw = enc.shape[1], enc.shape[2]
+                wgt = (tile_w[:, :th] * tile_w[:, :tw].transpose(0, 2, 1))[..., None]
+                out[:, y0 // f : y0 // f + th, x0 // f : x0 // f + tw] += enc * wgt
+                weight[:, y0 // f : y0 // f + th, x0 // f : x0 // f + tw] += wgt
+                x0c += step
+            y += step
+        return jnp.asarray(out / np.maximum(weight, 1e-6))
+
     # --- init --------------------------------------------------------------
 
     def init(self, key: jax.Array, dtype=jnp.float32) -> dict:
