@@ -1,0 +1,54 @@
+"""Temporal-consistency metric tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stable_renderer_tpu.ops.metrics import (
+    ssim,
+    temporal_flicker_l1,
+    temporal_flicker_ssim,
+    vertex_flicker,
+)
+
+
+def test_ssim_identity_and_noise():
+    img = jax.random.uniform(jax.random.PRNGKey(0), (32, 32, 3))
+    assert float(ssim(img, img)) > 0.999
+    noisy = jnp.clip(img + jax.random.normal(jax.random.PRNGKey(1), img.shape) * 0.3, 0, 1)
+    assert float(ssim(img, noisy)) < 0.9  # clearly below identity
+
+
+def test_temporal_flicker_orders_sequences():
+    stable = jnp.broadcast_to(
+        jax.random.uniform(jax.random.PRNGKey(0), (1, 32, 32, 3)), (4, 32, 32, 3)
+    )
+    keys = [jax.random.PRNGKey(i) for i in range(4)]
+    flicker = jnp.stack([jax.random.uniform(k, (32, 32, 3)) for k in keys])
+    assert float(temporal_flicker_l1(stable)) == 0.0
+    assert float(temporal_flicker_l1(flicker)) > 0.2
+    assert float(temporal_flicker_ssim(stable)) < 1e-4
+    assert float(temporal_flicker_ssim(flicker)) > 0.5
+
+
+def test_vertex_flicker_correspondence_aware():
+    n, h, w = 3, 16, 16
+    ids = np.zeros((n, h, w, 4), np.int32)
+    # same vertex grid visible in all frames (static camera)
+    for f in range(n):
+        for y in range(4, 12):
+            for x in range(4, 12):
+                ids[f, y, x] = [1, 1, 0, y * w + x]
+    ids_j = jnp.asarray(ids)
+    base = jax.random.uniform(jax.random.PRNGKey(0), (1, h, w, 3))
+    stable = jnp.broadcast_to(base, (n, h, w, 3))
+    assert float(vertex_flicker(stable, ids_j, num_segments=1024)) < 1e-6
+    flicker = jnp.stack(
+        [jax.random.uniform(jax.random.PRNGKey(i), (h, w, 3)) for i in range(n)]
+    )
+    assert float(vertex_flicker(flicker, ids_j, num_segments=1024)) > 0.1
+    # background changes do NOT count (mask-aware)
+    bg_only = stable.at[:, 0, 0].set(
+        jnp.stack([jnp.full((3,), i / 3.0) for i in range(n)])
+    )
+    assert float(vertex_flicker(bg_only, ids_j, num_segments=1024)) < 1e-6
