@@ -1,0 +1,159 @@
+"""Image upscalers — ESRGAN/RRDBNet family.
+
+Capability match for the most-used member of the reference's chainner upscaler
+zoo (reference: comfyUI/comfy_extras/chainner_models/ — ESRGAN/RRDB is the
+workhorse; SwinIR/HAT/DAT etc. remain TODO). Functional JAX, NHWC, params in the
+"new-arch" torch layout (conv_first / body.N.rdbM.convK / conv_up1...), with the
+old-arch ESRGAN key remap (model.0.weight style) handled at load.
+
+Usage:
+    params, cfg = load_esrgan("RealESRGAN_x4plus.pth")
+    up = RRDBNet(cfg).apply(params, images)   # (N, H, W, 3) -> (N, sH, sW, 3)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stable_renderer_tpu.models.layers import conv2d, upsample_nearest_2x
+from stable_renderer_tpu.models.weights import nest
+
+
+@dataclass(frozen=True)
+class RRDBConfig:
+    num_feat: int = 64
+    num_block: int = 23
+    num_grow_ch: int = 32
+    scale: int = 4
+
+
+def _lrelu(x):
+    return jax.nn.leaky_relu(x, 0.2)
+
+
+def _rdb(p: dict, x: jax.Array) -> jax.Array:
+    """Residual dense block: 5 convs with dense connectivity, 0.2 residual."""
+    x1 = _lrelu(conv2d(p["conv1"], x, padding=1))
+    x2 = _lrelu(conv2d(p["conv2"], jnp.concatenate([x, x1], -1), padding=1))
+    x3 = _lrelu(conv2d(p["conv3"], jnp.concatenate([x, x1, x2], -1), padding=1))
+    x4 = _lrelu(conv2d(p["conv4"], jnp.concatenate([x, x1, x2, x3], -1), padding=1))
+    x5 = conv2d(p["conv5"], jnp.concatenate([x, x1, x2, x3, x4], -1), padding=1)
+    return x + 0.2 * x5
+
+
+def _rrdb(p: dict, x: jax.Array) -> jax.Array:
+    out = _rdb(p["rdb1"], x)
+    out = _rdb(p["rdb2"], out)
+    out = _rdb(p["rdb3"], out)
+    return x + 0.2 * out
+
+
+class RRDBNet:
+    def __init__(self, config: RRDBConfig = RRDBConfig()):
+        self.config = config
+
+    def apply(self, params: dict, x: jax.Array) -> jax.Array:
+        """x: (N, H, W, 3) in [0,1] -> (N, scale*H, scale*W, 3)."""
+        cfg = self.config
+        feat = conv2d(params["conv_first"], x, padding=1)
+        body = feat
+        for i in range(cfg.num_block):
+            body = _rrdb(params["body"][str(i)], body)
+        feat = feat + conv2d(params["conv_body"], body, padding=1)
+        if cfg.scale >= 2:
+            feat = _lrelu(conv2d(params["conv_up1"], upsample_nearest_2x(feat), padding=1))
+        if cfg.scale >= 4:
+            feat = _lrelu(conv2d(params["conv_up2"], upsample_nearest_2x(feat), padding=1))
+        out = conv2d(params["conv_last"], _lrelu(conv2d(params["conv_hr"], feat, padding=1)), padding=1)
+        return jnp.clip(out, 0.0, 1.0)
+
+    def init(self, key: jax.Array, dtype=jnp.float32) -> dict:
+        cfg = self.config
+        keys = iter(jax.random.split(key, 4096))
+
+        def conv(i, o, k=3):
+            return {
+                "weight": jax.random.normal(next(keys), (o, i, k, k), dtype) * 0.02,
+                "bias": jnp.zeros((o,), dtype),
+            }
+
+        nf, gc = cfg.num_feat, cfg.num_grow_ch
+
+        def rdb():
+            return {
+                "conv1": conv(nf, gc),
+                "conv2": conv(nf + gc, gc),
+                "conv3": conv(nf + 2 * gc, gc),
+                "conv4": conv(nf + 3 * gc, gc),
+                "conv5": conv(nf + 4 * gc, nf),
+            }
+
+        return {
+            "conv_first": conv(3, nf),
+            "body": {str(i): {"rdb1": rdb(), "rdb2": rdb(), "rdb3": rdb()} for i in range(cfg.num_block)},
+            "conv_body": conv(nf, nf),
+            "conv_up1": conv(nf, nf),
+            "conv_up2": conv(nf, nf),
+            "conv_hr": conv(nf, nf),
+            "conv_last": conv(nf, 3),
+        }
+
+
+_OLD_ARCH_MAP = {
+    "model.0": "conv_first",
+    "model.1.sub.23": "conv_body",
+    "model.3": "conv_up1",
+    "model.6": "conv_up2",
+    "model.8": "conv_hr",
+    "model.10": "conv_last",
+}
+
+
+def convert_esrgan_state_dict(flat: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Normalize old-arch ESRGAN keys (model.1.sub.N.RDBk.convM.0.*) to the
+    new-arch names used above (chainner does the same normalization)."""
+    if "conv_first.weight" in flat:
+        return dict(flat)
+    out: Dict[str, np.ndarray] = {}
+    for key, value in flat.items():
+        base = key.rsplit(".", 1)
+        name, leaf = base[0], base[1]
+        mapped = None
+        if name in _OLD_ARCH_MAP:
+            mapped = _OLD_ARCH_MAP[name]
+        elif name.startswith("model.1.sub."):
+            parts = name.split(".")  # model 1 sub N RDBk convM 0
+            block, rdbk, convm = parts[3], parts[4].lower(), parts[5].lower()
+            mapped = f"body.{block}.{rdbk}.{convm}"
+        if mapped is not None:
+            out[f"{mapped}.{leaf}"] = value
+        else:
+            out[key] = value
+    return out
+
+
+def load_esrgan(path: str):
+    """Load an ESRGAN/RealESRGAN .pth/.safetensors -> (params, RRDBConfig)."""
+    from stable_renderer_tpu.models.weights import load_state_dict
+
+    flat = load_state_dict(path)
+    if any(k.startswith("params_ema") or k.startswith("params.") for k in flat):
+        flat = {
+            k.split(".", 1)[1]: v
+            for k, v in flat.items()
+            if k.startswith(("params_ema.", "params."))
+        }
+    flat = convert_esrgan_state_dict(flat)
+    nf = flat["conv_first.weight"].shape[0]
+    blocks = 1 + max(
+        int(k.split(".")[1]) for k in flat if k.startswith("body.")
+    )
+    gc = flat["body.0.rdb1.conv1.weight"].shape[0]
+    scale = 4 if "conv_up2.weight" in flat else 2
+    cfg = RRDBConfig(num_feat=nf, num_block=blocks, num_grow_ch=gc, scale=scale)
+    return nest(flat, ""), cfg
