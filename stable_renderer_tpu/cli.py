@@ -1,0 +1,217 @@
+"""Command-line front end: ``python -m stable_renderer_tpu <cmd>``.
+
+Capability match for the reference's CLI surface (reference: comfy/cli_args.py
+~50 flags + the example scripts' argparse): one entry point exposing the
+framework's modes without writing a script.
+
+Subcommands:
+  render   — run a scene (procedural or OBJ) through the full loop
+  bake     — BAKE mode: accumulate a CorrespondMap, dump at exit
+  replay   — render a baked CorrespondMap in BAKED mode (no diffusion)
+  execute  — run a (reference-format) workflow JSON offline on dumped maps
+  bench    — the headline benchmark (bench.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--out", type=str, default=None, help="output dir (default: outputs/<date>)")
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--lora", action="append", default=[], help="path[:strength]")
+    p.add_argument("--steps", type=int, default=4)
+    p.add_argument("--cfg", type=float, default=2.0)
+    p.add_argument("--sampler", type=str, default="lcm")
+    p.add_argument("--scheduler", type=str, default="sgm_uniform")
+    p.add_argument("--denoise", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--prompt", type=str, default="")
+    p.add_argument("--negative", type=str, default="")
+    p.add_argument("--obj", type=str, default=None, help="OBJ mesh (default: sphere)")
+    p.add_argument("--no-diffusion", action="store_true")
+    p.add_argument("--workflow", type=str, default=None, help="reference workflow JSON")
+    p.add_argument("--gif", type=str, default=None, help="also write an animated gif")
+
+
+def _build_pipeline(args):
+    from stable_renderer_tpu.engine.pipeline import DiffusionPipeline
+    from stable_renderer_tpu.workflow import Workflow
+    from stable_renderer_tpu.workflow.config import RenderConfig
+
+    if args.workflow:
+        cfg = Workflow.Load(args.workflow).build_config()
+    else:
+        cfg = RenderConfig(
+            prompt=args.prompt, negative_prompt=args.negative, steps=args.steps,
+            cfg_scale=args.cfg, sampler=args.sampler, scheduler=args.scheduler,
+            denoise=args.denoise, seed=args.seed,
+        )
+    loras = []
+    for spec in args.lora:
+        path, _, s = spec.partition(":")
+        loras.append((path, float(s) if s else 1.0))
+    if args.checkpoint:
+        return DiffusionPipeline.from_checkpoint(args.checkpoint, cfg, loras=loras)
+    return DiffusionPipeline.from_random(cfg, tiny=args.size < 256)
+
+
+def _scene(args, corrmaps=None):
+    from stable_renderer_tpu.engine import (
+        AutoRotation, Camera, CorrMapRenderer, GameObject, Mesh, MeshRenderer, SpriteInfo,
+    )
+
+    cam = GameObject("camera")
+    cam.addComponent(Camera).env_prompt.prompt = args.prompt
+    cam.transform.position = [0.0, 0.5, 3.0]
+    cam.transform.lookAt([0.0, 0.0, 0.0])
+    obj = GameObject("subject")
+    mesh = Mesh.Load(args.obj) if args.obj else Mesh.Sphere(1.0, 48)
+    obj.addComponent(SpriteInfo, prompt=args.prompt)
+    if corrmaps:
+        obj.addComponent(CorrMapRenderer, mesh=mesh, corrmaps=corrmaps)
+    else:
+        obj.addComponent(MeshRenderer, mesh=mesh)
+    obj.addComponent(AutoRotation, speed_deg=360.0 / max(args.frames, 1))
+
+
+def cmd_render(args) -> int:
+    from stable_renderer_tpu.engine import Engine
+    from stable_renderer_tpu.utils.paths import new_run_dir
+
+    out = args.out or str(new_run_dir("render"))
+
+    class App(Engine):
+        def beforePrepare(self):
+            _scene(args)
+
+    eng = App.Run(
+        winSize=(args.size, args.size),
+        pipeline=None if args.no_diffusion else _build_pipeline(args),
+        disableComfyUI=args.no_diffusion,
+        max_frames=args.frames,
+        output_dir=out,
+        keep_frames_in_memory=bool(args.gif),
+    )
+    if args.gif:
+        from stable_renderer_tpu.utils.media import write_gif
+
+        write_gif(eng.WindowManager.frames, args.gif)
+    print(f"{args.frames} frames -> {out} (fps {eng.RuntimeManager.fps.fps:.2f})")
+    return 0
+
+
+def cmd_bake(args) -> int:
+    from stable_renderer_tpu.data.corrmap import CorrespondMap
+    from stable_renderer_tpu.engine import Engine
+    from stable_renderer_tpu.ops.correspondence import DefaultCorresponder
+    from stable_renderer_tpu.utils.paths import new_run_dir
+
+    out = args.out or str(new_run_dir("bake"))
+    cmap = CorrespondMap(name="bake", k=args.k, height=args.size, width=args.size)
+
+    class App(Engine):
+        def beforePrepare(self):
+            _scene(args, corrmaps=[cmap])
+
+        def beforeRelease(self):
+            print("corrmap ->", cmap.dump(out, force=True))
+
+    App.Bake(
+        winSize=(args.size, args.size),
+        pipeline=None if args.no_diffusion else _build_pipeline(args),
+        disableComfyUI=args.no_diffusion,
+        corresponder=DefaultCorresponder(update_corrmap_mode="first"),
+        baking_interval=min(8, args.frames),
+        max_frames=args.frames,
+        output_dir=out + "/frames",
+    )
+    return 0
+
+
+def cmd_replay(args) -> int:
+    from stable_renderer_tpu.data.corrmap import CorrespondMap
+    from stable_renderer_tpu.engine import Engine
+    from stable_renderer_tpu.utils.paths import new_run_dir
+
+    out = args.out or str(new_run_dir("replay"))
+    cmap = CorrespondMap.Load(args.map)
+
+    class App(Engine):
+        def beforePrepare(self):
+            _scene(args, corrmaps=[cmap])
+
+    eng = App.Run(
+        winSize=(args.size, args.size), disableComfyUI=True,
+        max_frames=args.frames, output_dir=out,
+    )
+    print(f"replayed -> {out} (fps {eng.RuntimeManager.fps.fps:.2f})")
+    return 0
+
+
+def cmd_execute(args) -> int:
+    from stable_renderer_tpu.data.loaders import virtual_engine_data
+    from stable_renderer_tpu.utils.media import write_png_sequence
+    from stable_renderer_tpu.utils.paths import new_run_dir
+    from stable_renderer_tpu.workflow import Workflow
+    from stable_renderer_tpu.workflow.executor import PromptExecutor
+
+    import numpy as np
+
+    ed = virtual_engine_data(
+        color_dir=args.color_dir, id_dir=args.id_dir, noise_dir=args.noise_dir,
+        normal_dir=args.normal_dir, depth_dir=args.depth_dir,
+        prompt=args.prompt,
+    )
+    ex = PromptExecutor(
+        Workflow.Load(args.workflow), model_dirs=tuple(args.model_dir or ())
+    )
+    ctx = ex.execute(engine_data=ed)
+    out = args.out or str(new_run_dir("execute"))
+    frames = np.asarray(ctx.final_output)
+    paths = write_png_sequence(frames, out)
+    print(f"{len(paths)} frames -> {out}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="stable_renderer_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("render", help="full render loop")
+    _add_common(p)
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("bake", help="bake a CorrespondMap")
+    _add_common(p)
+    p.add_argument("--k", type=int, default=3)
+    p.set_defaults(fn=cmd_bake)
+
+    p = sub.add_parser("replay", help="replay a baked CorrespondMap")
+    _add_common(p)
+    p.add_argument("--map", type=str, required=True)
+    p.set_defaults(fn=cmd_replay)
+
+    p = sub.add_parser("execute", help="run a workflow JSON on dumped maps")
+    _add_common(p)
+    p.add_argument("--color-dir", type=str, default=None)
+    p.add_argument("--id-dir", type=str, default=None)
+    p.add_argument("--noise-dir", type=str, default=None)
+    p.add_argument("--normal-dir", type=str, default=None)
+    p.add_argument("--depth-dir", type=str, default=None)
+    p.add_argument("--model-dir", action="append", default=[])
+    p.set_defaults(fn=cmd_execute)
+
+    p = sub.add_parser("bench", help="headline benchmark")
+    p.set_defaults(fn=lambda a: __import__("bench").main() or 0)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
