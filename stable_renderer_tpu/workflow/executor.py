@@ -448,3 +448,165 @@ def inference_output(ctx: InferenceContext, node: WorkflowNode, **kw):
 @register_node("Note", "Reroute")
 def passthrough(ctx: InferenceContext, node: WorkflowNode, **kw):
     return tuple(kw.values()) or (None,)
+
+
+# --- logic / IO nodes (stable_rendering/_nodes/logic.py, comfyUI nodes) -----
+
+
+@register_node("IsNotNone")
+def is_not_none(ctx: InferenceContext, node: WorkflowNode, **kw):
+    val = next(iter(kw.values()), None)
+    return (val is not None,)
+
+
+@register_node("If", "IfNode", "IfValTypeEqual")
+def if_node(ctx: InferenceContext, node: WorkflowNode, **kw):
+    """Logic branch (logic.py If/IfNode). The reference evaluates branches
+    lazily (Lazy[T]); here the graph is small enough that both inputs resolve
+    eagerly and the condition selects the value."""
+    cond = kw.get("condition", kw.get("val", None))
+    true_val = kw.get("true_value", kw.get("if_true"))
+    false_val = kw.get("false_value", kw.get("if_false"))
+    if node.type == "IfValTypeEqual":
+        type_name = str(node.widgets[0]) if node.widgets else ""
+        cond = type(cond).__name__.lower() == type_name.lower()
+    return (true_val if cond else false_val,)
+
+
+@register_node("LoadImage")
+def load_image(ctx: InferenceContext, node: WorkflowNode):
+    import jax.numpy as jnp
+    import numpy as np
+
+    name = str(node.widgets[0]) if node.widgets else ""
+    path = _find_model_file(ctx, name)
+    if path is None:
+        logger.warning(f"LoadImage: '{name}' not found; returning blank 64x64")
+        img = jnp.zeros((1, 64, 64, 3))
+        return img, jnp.ones((1, 64, 64))
+    from PIL import Image
+
+    pil = Image.open(path)
+    rgba = np.asarray(pil.convert("RGBA"), np.float32) / 255.0
+    img = jnp.asarray(rgba[None, ..., :3])
+    mask = jnp.asarray(1.0 - rgba[None, ..., 3])
+    return img, mask
+
+
+@register_node("FrameData")
+def frame_data(ctx: InferenceContext, node: WorkflowNode):
+    """Legacy alias of the EngineData node (older reference workflows)."""
+    return engine_data_node(ctx, node)
+
+
+# --- common builtin nodes (comfyUI/nodes.py) --------------------------------
+
+
+@register_node("EmptyLatentImage")
+def empty_latent_image(ctx: InferenceContext, node: WorkflowNode):
+    import jax.numpy as jnp
+
+    w = node.widgets
+    width = int(w[0]) if w else 512
+    height = int(w[1]) if len(w) > 1 else 512
+    batch = int(w[2]) if len(w) > 2 else 1
+    return ({"samples": jnp.zeros((batch, height // 8, width // 8, 4))},)
+
+
+@register_node("LatentUpscale", "LatentUpscaleBy")
+def latent_upscale(ctx: InferenceContext, node: WorkflowNode, samples=None):
+    from stable_renderer_tpu.ops.math import resize_nearest
+
+    z = samples["samples"]
+    if node.type == "LatentUpscaleBy":
+        scale = float(node.widgets[1]) if len(node.widgets) > 1 else 1.5
+        h, w = int(z.shape[1] * scale), int(z.shape[2] * scale)
+    else:
+        w = int(node.widgets[1]) // 8 if len(node.widgets) > 1 else z.shape[2]
+        h = int(node.widgets[2]) // 8 if len(node.widgets) > 2 else z.shape[1]
+    return ({"samples": resize_nearest(z, h, w)},)
+
+
+@register_node("ImageScale", "ImageScaleBy")
+def image_scale(ctx: InferenceContext, node: WorkflowNode, image=None):
+    from stable_renderer_tpu.ops.math import resize_nearest
+
+    if node.type == "ImageScaleBy":
+        scale = float(node.widgets[1]) if len(node.widgets) > 1 else 2.0
+        h, w = int(image.shape[1] * scale), int(image.shape[2] * scale)
+    else:
+        w = int(node.widgets[1]) if len(node.widgets) > 1 else image.shape[2]
+        h = int(node.widgets[2]) if len(node.widgets) > 2 else image.shape[1]
+    return (resize_nearest(image, h, w),)
+
+
+@register_node("ImageUpscaleWithModel")
+def image_upscale_with_model(ctx: InferenceContext, node: WorkflowNode,
+                             upscale_model=None, image=None):
+    net, params = upscale_model
+    return (net.apply(params, image),)
+
+
+@register_node("UpscaleModelLoader")
+def upscale_model_loader(ctx: InferenceContext, node: WorkflowNode):
+    from stable_renderer_tpu.models.upscale import RRDBConfig, RRDBNet, load_esrgan
+
+    name = str(node.widgets[0]) if node.widgets else ""
+    path = _find_model_file(ctx, name)
+    if path:
+        params, cfg = load_esrgan(path)
+        return ((RRDBNet(cfg), params),)
+    import jax
+
+    logger.warning(f"upscale model '{name}' not found; random tiny RRDBNet")
+    cfg = RRDBConfig(num_feat=16, num_block=2, num_grow_ch=8, scale=4)
+    net = RRDBNet(cfg)
+    return ((net, net.init(jax.random.PRNGKey(0))),)
+
+
+@register_node("SaveImage", "PreviewImage")
+def save_image(ctx: InferenceContext, node: WorkflowNode, images=None, **kw):
+    import numpy as np
+
+    from stable_renderer_tpu.utils.media import write_png_sequence
+    from stable_renderer_tpu.utils.paths import OUTPUT_DIR
+
+    if images is not None:
+        paths = write_png_sequence(np.asarray(images), OUTPUT_DIR / "workflow")
+        ctx.status_messages.append(f"saved {len(paths)} images")
+        if ctx.final_output is None:
+            ctx.final_output = images
+    return (images,)
+
+
+@register_node("CLIPSetLastLayer")
+def clip_set_last_layer(ctx: InferenceContext, node: WorkflowNode, clip=None):
+    skip = int(node.widgets[0]) if node.widgets else -1
+    return ({**clip, "clip_skip": skip},)
+
+
+@register_node("ConditioningCombine")
+def conditioning_combine(ctx: InferenceContext, node: WorkflowNode,
+                         conditioning_1=None, conditioning_2=None):
+    import jax.numpy as jnp
+
+    # comfy concatenates cond lists; for contexts, concat along tokens
+    a, b = conditioning_1, conditioning_2
+    return ({
+        "context": jnp.concatenate([a["context"], b["context"]], axis=1),
+        "controls": list(a.get("controls", [])) + list(b.get("controls", [])),
+        "prompt": f"{a.get('prompt', '')}, {b.get('prompt', '')}",
+    },)
+
+
+@register_node("MaskedTextEncode")
+def masked_text_encode(ctx: InferenceContext, node: WorkflowNode, clip=None,
+                       text=None, mask=None):
+    """Per-mask conditioning (stable_rendering conditions.py MaskedTextEncode):
+    records the mask; blended at sampler time via scene_cond semantics."""
+    import jax.numpy as jnp
+
+    prompt = text if text is not None else (str(node.widgets[0]) if node.widgets else "")
+    tokens = jnp.asarray(clip["tokenizer"].encode_batch([prompt]))
+    cond = clip["clip"].apply(clip["params"], tokens)
+    return ({"context": cond, "controls": [], "prompt": prompt, "mask": mask},)
