@@ -52,16 +52,44 @@ class UNetConfig:
     channel_mult: Tuple[int, ...] = (1, 2, 4, 4)
     attention_levels: Tuple[int, ...] = (0, 1, 2)  # levels with SpatialTransformer
     transformer_depth: int = 1
+    # SDXL-style per-level transformer depth; None = uniform transformer_depth
+    transformer_depth_per_level: Optional[Tuple[int, ...]] = None
     num_heads: int = 8
+    # SDXL uses fixed head_dim=64 instead of fixed head count; set to override
+    head_dim: Optional[int] = None
     context_dim: int = 768
+    # SDXL ADM conditioning (pooled text + size embeddings) input width
+    adm_in_channels: Optional[int] = None
     dtype: str = "float32"
 
     @property
     def time_embed_dim(self) -> int:
         return self.model_channels * 4
 
+    def depth_at(self, level: int) -> int:
+        if self.transformer_depth_per_level is not None:
+            return self.transformer_depth_per_level[level]
+        return self.transformer_depth
+
+    def heads_for(self, channels: int) -> int:
+        if self.head_dim is not None:
+            return max(channels // self.head_dim, 1)
+        return self.num_heads
+
 
 SD15_UNET_CONFIG = UNetConfig()
+
+SDXL_UNET_CONFIG = UNetConfig(
+    model_channels=320,
+    channel_mult=(1, 2, 4),
+    attention_levels=(1, 2),
+    transformer_depth_per_level=(0, 2, 10),
+    head_dim=64,
+    context_dim=2048,
+    adm_in_channels=2816,
+)
+"""SDXL base topology (comfy/supported_models.py SDXL): attention at levels 1-2
+with depths 2/10, 2048-dim dual-CLIP context, ADM pooled conditioning."""
 
 TINY_UNET_CONFIG = UNetConfig(
     model_channels=32,
@@ -214,23 +242,25 @@ class UNetModel:
         cfg = self.config
         ch = cfg.model_channels
         input_chs = [ch]
-        plan_in = [("conv", None)]
+        plan_in = [("conv", None, 0)]
         for level, mult in enumerate(cfg.channel_mult):
             out_ch = cfg.model_channels * mult
+            has_attn = level in cfg.attention_levels and cfg.depth_at(level) > 0
             for _ in range(cfg.num_res_blocks):
-                plan_in.append(("res_attn" if level in cfg.attention_levels else "res", out_ch))
+                plan_in.append(("res_attn" if has_attn else "res", out_ch, level))
                 ch = out_ch
                 input_chs.append(ch)
             if level != len(cfg.channel_mult) - 1:
-                plan_in.append(("down", ch))
+                plan_in.append(("down", ch, level))
                 input_chs.append(ch)
         plan_out = []
         for level in reversed(range(len(cfg.channel_mult))):
             out_ch = cfg.model_channels * cfg.channel_mult[level]
+            has_attn = level in cfg.attention_levels and cfg.depth_at(level) > 0
             for i in range(cfg.num_res_blocks + 1):
-                tag = "res_attn" if level in cfg.attention_levels else "res"
+                tag = "res_attn" if has_attn else "res"
                 up = level != 0 and i == cfg.num_res_blocks
-                plan_out.append((tag, out_ch, up))
+                plan_out.append((tag, out_ch, up, level))
         return plan_in, plan_out, input_chs
 
     def apply(
@@ -247,12 +277,16 @@ class UNetModel:
         t_emb = timestep_embedding(timesteps, cfg.model_channels).astype(x.dtype)
         emb = linear(params["time_embed"]["0"], t_emb)
         emb = linear(params["time_embed"]["2"], silu(emb))
+        if cfg.adm_in_channels is not None and y is not None:
+            # SDXL label_emb: pooled-conditioning MLP added to the time embedding
+            y_emb = linear(params["label_emb"]["0"]["0"], y.astype(x.dtype))
+            emb = emb + linear(params["label_emb"]["0"]["2"], silu(y_emb))
 
         plan_in, plan_out, _ = self.block_plan()
         layer_idx = 0
         hs = []
         h = x
-        for i, (kind, _) in enumerate(plan_in):
+        for i, (kind, _, level) in enumerate(plan_in):
             p = params["input_blocks"][str(i)]
             if kind == "conv":
                 h = conv2d(p["0"], h, padding=1)
@@ -262,22 +296,24 @@ class UNetModel:
                 h = res_block(p["0"], h, emb)
                 if kind == "res_attn":
                     h, layer_idx = spatial_transformer(
-                        p["1"], h, context, cfg.num_heads, cfg.transformer_depth,
-                        layer_idx, hooks,
+                        p["1"], h, context, cfg.heads_for(h.shape[-1]),
+                        cfg.depth_at(level), layer_idx, hooks,
                     )
             hs.append(h)
 
         mp = params["middle_block"]
+        mid_level = len(cfg.channel_mult) - 1
         h = res_block(mp["0"], h, emb)
         h, layer_idx = spatial_transformer(
-            mp["1"], h, context, cfg.num_heads, cfg.transformer_depth, layer_idx, hooks
+            mp["1"], h, context, cfg.heads_for(h.shape[-1]),
+            max(cfg.depth_at(mid_level), 1), layer_idx, hooks
         )
         h = res_block(mp["2"], h, emb)
         if control is not None and control.get("middle"):
             h = h + control["middle"][0].astype(h.dtype)
 
         ctrl_out = list(control.get("output", [])) if control is not None else []
-        for i, (kind, _, up) in enumerate(plan_out):
+        for i, (kind, _, up, level) in enumerate(plan_out):
             p = params["output_blocks"][str(i)]
             skip = hs.pop()
             if ctrl_out:
@@ -286,8 +322,8 @@ class UNetModel:
             h = res_block(p["0"], h, emb)
             if kind == "res_attn":
                 h, layer_idx = spatial_transformer(
-                    p["1"], h, context, cfg.num_heads, cfg.transformer_depth,
-                    layer_idx, hooks,
+                    p["1"], h, context, cfg.heads_for(h.shape[-1]),
+                    cfg.depth_at(level), layer_idx, hooks,
                 )
             if up:
                 key = "2" if kind == "res_attn" else "1"
@@ -350,13 +386,11 @@ class UNetModel:
                 "ff": {"net": {"0": {"proj": lin(c, d_ff * 2)}, "2": lin(d_ff, c)}},
             }
 
-        def st(c):
+        def st(c, depth):
             return {
                 "norm": norm(c),
                 "proj_in": lin(c, c),
-                "transformer_blocks": {
-                    str(d): btb(c) for d in range(cfg.transformer_depth)
-                },
+                "transformer_blocks": {str(d): btb(c) for d in range(depth)},
                 "proj_out": lin(c, c),
             }
 
@@ -371,9 +405,16 @@ class UNetModel:
             "output_blocks": {},
             "out": {},
         }
+        if cfg.adm_in_channels is not None:
+            params["label_emb"] = {
+                "0": {
+                    "0": lin(cfg.adm_in_channels, cfg.time_embed_dim),
+                    "2": lin(cfg.time_embed_dim, cfg.time_embed_dim),
+                }
+            }
         ch = cfg.model_channels
         chs = [ch]
-        for i, (kind, out_ch) in enumerate(plan_in):
+        for i, (kind, out_ch, level) in enumerate(plan_in):
             if kind == "conv":
                 params["input_blocks"][str(i)] = {"0": conv(cfg.in_channels, ch)}
             elif kind == "down":
@@ -382,16 +423,19 @@ class UNetModel:
                 blk = {"0": resb(ch, out_ch)}
                 ch = out_ch
                 if kind == "res_attn":
-                    blk["1"] = st(ch)
+                    blk["1"] = st(ch, cfg.depth_at(level))
                 params["input_blocks"][str(i)] = blk
             chs.append(ch)
-        params["middle_block"] = {"0": resb(ch, ch), "1": st(ch), "2": resb(ch, ch)}
-        for i, (kind, out_ch, up) in enumerate(plan_out):
+        mid_depth = max(cfg.depth_at(len(cfg.channel_mult) - 1), 1)
+        params["middle_block"] = {
+            "0": resb(ch, ch), "1": st(ch, mid_depth), "2": resb(ch, ch)
+        }
+        for i, (kind, out_ch, up, level) in enumerate(plan_out):
             skip_ch = chs.pop()
             blk = {"0": resb(ch + skip_ch, out_ch)}
             ch = out_ch
             if kind == "res_attn":
-                blk["1"] = st(ch)
+                blk["1"] = st(ch, cfg.depth_at(level))
             if up:
                 key_name = "2" if kind == "res_attn" else "1"
                 blk[key_name] = {"conv": conv(ch, ch)}
@@ -400,12 +444,12 @@ class UNetModel:
         return params
 
     def num_transformer_layers(self) -> int:
-        """Total BasicTransformerBlock count (16 for SD1.5) — the layer indices
-        visible to the Corresponder hooks."""
-        cfg = self.config
-        n_levels_attn = len([l for l in range(len(cfg.channel_mult)) if l in cfg.attention_levels])
-        down = n_levels_attn * cfg.num_res_blocks
-        up = n_levels_attn * (cfg.num_res_blocks + 1)
+        """Total SpatialTransformer count (16 for SD1.5) — the layer indices
+        visible to the Corresponder hooks (the reference's transformer_index
+        increments per SpatialTransformer, openaimodel.py)."""
+        plan_in, plan_out, _ = self.block_plan()
+        down = sum(1 for k in plan_in if k[0] == "res_attn")
+        up = sum(1 for k in plan_out if k[0] == "res_attn")
         return down + 1 + up
 
 

@@ -81,11 +81,29 @@ def detect_unet_config(flat: Dict[str, np.ndarray]) -> UNetConfig:
     from the state dict. Currently recognizes the SD1.x family."""
     prefix = "model.diffusion_model."
     w = flat.get(prefix + "input_blocks.0.0.weight")
-    ctx = flat.get(prefix + "input_blocks.1.1.transformer_blocks.0.attn2.to_k.weight")
     if w is None:
         raise ValueError("state dict has no diffusion model")
     model_channels = w.shape[0]
     in_channels = w.shape[1]
+    label_w = flat.get(prefix + "label_emb.0.0.weight")
+    if label_w is not None:
+        # SDXL family: ADM conditioning present; context dim from any attn2.to_k
+        from stable_renderer_tpu.models.unet import SDXL_UNET_CONFIG
+        import dataclasses
+
+        ctx_dim = 2048
+        for k, v in flat.items():
+            if k.startswith(prefix) and k.endswith("attn2.to_k.weight"):
+                ctx_dim = v.shape[1]
+                break
+        return dataclasses.replace(
+            SDXL_UNET_CONFIG,
+            in_channels=in_channels,
+            model_channels=model_channels,
+            context_dim=ctx_dim,
+            adm_in_channels=label_w.shape[1],
+        )
+    ctx = flat.get(prefix + "input_blocks.1.1.transformer_blocks.0.attn2.to_k.weight")
     context_dim = ctx.shape[1] if ctx is not None else 768
     return UNetConfig(
         in_channels=in_channels,

@@ -167,3 +167,37 @@ def test_lora_merge():
     np.testing.assert_allclose(
         np.asarray(flatten(merged)[other]), np.asarray(flatten(params)[other])
     )
+
+
+def test_sdxl_topology_forward():
+    """SDXL-style config: per-level transformer depth, head_dim, ADM conditioning."""
+    from stable_renderer_tpu.models.unet import UNetConfig
+
+    cfg = UNetConfig(
+        model_channels=32,
+        num_res_blocks=1,
+        channel_mult=(1, 2, 4),
+        attention_levels=(1, 2),
+        transformer_depth_per_level=(0, 2, 3),
+        head_dim=16,
+        context_dim=64,
+        adm_in_channels=48,
+    )
+    unet = UNetModel(cfg)
+    params = unet.init(jax.random.PRNGKey(0))
+    from stable_renderer_tpu.models.weights import flatten
+
+    keys = set(flatten(params))
+    assert "label_emb.0.0.weight" in keys
+    # level 0 has no attention; level 1 depth 2; level 2 depth 3
+    assert "input_blocks.1.1.transformer_blocks.0.attn1.to_q.weight" not in keys
+    assert "input_blocks.3.1.transformer_blocks.1.attn1.to_q.weight" in keys
+    assert "input_blocks.5.1.transformer_blocks.2.attn1.to_q.weight" in keys
+    x = jnp.zeros((1, 16, 16, 4))
+    ctx = jnp.zeros((1, 77, 64))
+    y = jnp.zeros((1, 48))
+    out = unet.apply(params, x, jnp.asarray([5.0]), ctx, y=y)
+    assert out.shape == (1, 16, 16, 4)
+    assert np.isfinite(np.asarray(out)).all()
+    # layer count: down 1*(0)+1*(1 at lvl1)+1*(1 at lvl2)=2, mid 1, up 2*(lvl1)+2*(lvl2)=4
+    assert unet.num_transformer_layers() == 2 + 1 + 4
