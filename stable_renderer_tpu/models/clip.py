@@ -59,6 +59,7 @@ class CLIPTextModel:
         params: dict,
         tokens: jax.Array,  # (B, 77) int32
         clip_skip: int = -1,
+        final_norm: bool = True,
     ) -> jax.Array:
         """tokens -> (B, 77, hidden) conditioning."""
         cfg = self.config
@@ -87,6 +88,10 @@ class CLIPTextModel:
             h = gelu_quick(h)
             x = x + linear(lp["mlp"]["fc2"], h)
 
+        if not final_norm:
+            # SDXL uses the raw penultimate hidden state for clip_l
+            # (sdxl_clip.py layer_norm_hidden_state=False)
+            return x
         return layer_norm(tm["final_layer_norm"], x)
 
     def pooled(self, params: dict, tokens: jax.Array, hidden: jax.Array) -> jax.Array:
@@ -138,6 +143,128 @@ class CLIPTextModel:
                 "final_layer_norm": norm(h),
             }
         }
+
+
+@dataclass(frozen=True)
+class OpenCLIPConfig:
+    """OpenCLIP text tower (SDXL's second encoder, ViT-bigG)."""
+
+    vocab_size: int = 49408
+    max_length: int = 77
+    width: int = 1280
+    num_layers: int = 32
+    num_heads: int = 20
+    mlp_ratio: int = 4
+    projection_dim: int = 1280
+
+
+SDXL_CLIP_G_CONFIG = OpenCLIPConfig()
+TINY_CLIP_G_CONFIG = OpenCLIPConfig(vocab_size=1000, width=64, num_layers=2, num_heads=2, projection_dim=32)
+
+
+class OpenCLIPTextModel:
+    """OpenCLIP text transformer in the SDXL checkpoint layout
+    (``conditioner.embedders.1.model.*``: token_embedding, positional_embedding,
+    transformer.resblocks.N.{ln_1,attn.in_proj_*,attn.out_proj,ln_2,mlp.c_fc,
+    mlp.c_proj}, ln_final, text_projection). GELU (not quick-gelu); combined
+    qkv in_proj split at apply time (comfy sdxl_clip.py semantics)."""
+
+    def __init__(self, config: OpenCLIPConfig = SDXL_CLIP_G_CONFIG):
+        self.config = config
+
+    def apply(self, params: dict, tokens: jax.Array, clip_skip: int = -2):
+        """tokens -> (hidden (B, L, width) at layer clip_skip, pooled (B, proj))."""
+        import jax.numpy as jnp
+
+        cfg = self.config
+        m = params["model"] if "model" in params else params
+        x = m["token_embedding"]["weight"][tokens]
+        x = x + m["positional_embedding"][: tokens.shape[1]][None]
+        l = tokens.shape[1]
+        causal = jnp.where(
+            jnp.arange(l)[None, :] <= jnp.arange(l)[:, None], 0.0, -jnp.inf
+        ).astype(jnp.float32)[None, None]
+        n_layers = cfg.num_layers if clip_skip == -1 else cfg.num_layers + 1 + clip_skip
+        hidden = x
+        for i in range(cfg.num_layers):
+            blk = m["transformer"]["resblocks"][str(i)]
+            h = layer_norm(blk["ln_1"], x)
+            w = blk["attn"]["in_proj_weight"]
+            b = blk["attn"]["in_proj_bias"]
+            qkv = h @ w.T + b
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            h = attention(q, k, v, cfg.num_heads, mask=causal)
+            x = x + linear(blk["attn"]["out_proj"], h)
+            h = layer_norm(blk["ln_2"], x)
+            h = jax.nn.gelu(linear(blk["mlp"]["c_fc"], h), approximate=False)
+            x = x + linear(blk["mlp"]["c_proj"], h)
+            if i + 1 == n_layers:
+                hidden = x
+        final = layer_norm(m["ln_final"], x)
+        eos_pos = jnp.argmax((tokens == 49407 % cfg.vocab_size).astype(jnp.int32), axis=1)
+        pooled = final[jnp.arange(tokens.shape[0]), eos_pos] @ m["text_projection"]
+        return hidden, pooled
+
+    def init(self, key: jax.Array, dtype=jnp.float32) -> dict:
+        cfg = self.config
+        from stable_renderer_tpu.models.unet import _KeyGen
+
+        keys = _KeyGen(key)
+
+        def lin(i, o):
+            return {
+                "weight": jax.random.normal(keys(), (o, i), dtype) * 0.02,
+                "bias": jnp.zeros((o,), dtype),
+            }
+
+        def norm(c):
+            return {"weight": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}
+
+        w = cfg.width
+        blocks = {
+            str(i): {
+                "ln_1": norm(w),
+                "ln_2": norm(w),
+                "attn": {
+                    "in_proj_weight": jax.random.normal(keys(), (3 * w, w), dtype) * 0.02,
+                    "in_proj_bias": jnp.zeros((3 * w,), dtype),
+                    "out_proj": lin(w, w),
+                },
+                "mlp": {
+                    "c_fc": lin(w, w * cfg.mlp_ratio),
+                    "c_proj": lin(w * cfg.mlp_ratio, w),
+                },
+            }
+            for i in range(cfg.num_layers)
+        }
+        return {
+            "model": {
+                "token_embedding": {
+                    "weight": jax.random.normal(keys(), (cfg.vocab_size, w), dtype) * 0.02
+                },
+                "positional_embedding": jax.random.normal(keys(), (cfg.max_length, w), dtype) * 0.01,
+                "transformer": {"resblocks": blocks},
+                "ln_final": norm(w),
+                "text_projection": jax.random.normal(keys(), (w, cfg.projection_dim), dtype) * 0.02,
+            }
+        }
+
+
+class SDXLClip:
+    """Dual-encoder SDXL conditioning (comfy sdxl_clip.py SDXLClipModel):
+    context = concat(clip_l penultimate (768), clip_g penultimate (1280)) = 2048;
+    pooled = clip_g text projection output."""
+
+    def __init__(self, clip_l: "CLIPTextModel", clip_g: OpenCLIPTextModel):
+        self.clip_l = clip_l
+        self.clip_g = clip_g
+
+    def apply(self, params_l: dict, params_g: dict, tokens: jax.Array):
+        import jax.numpy as jnp
+
+        hidden_l = self.clip_l.apply(params_l, tokens, clip_skip=-2, final_norm=False)
+        hidden_g, pooled = self.clip_g.apply(params_g, tokens, clip_skip=-2)
+        return jnp.concatenate([hidden_l, hidden_g], axis=-1), pooled
 
 
 class Tokenizer:

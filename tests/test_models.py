@@ -201,3 +201,25 @@ def test_sdxl_topology_forward():
     assert np.isfinite(np.asarray(out)).all()
     # layer count: down 1*(0)+1*(1 at lvl1)+1*(1 at lvl2)=2, mid 1, up 2*(lvl1)+2*(lvl2)=4
     assert unet.num_transformer_layers() == 2 + 1 + 4
+
+
+def test_sdxl_dual_clip():
+    from stable_renderer_tpu.models.clip import (
+        OpenCLIPTextModel,
+        SDXLClip,
+        TINY_CLIP_G_CONFIG,
+    )
+
+    clip_l = CLIPTextModel(TINY_CLIP_CONFIG)
+    clip_g = OpenCLIPTextModel(TINY_CLIP_G_CONFIG)
+    pl_ = clip_l.init(jax.random.PRNGKey(0))
+    pg = clip_g.init(jax.random.PRNGKey(1))
+    keys = set(flatten(pg))
+    assert "model.transformer.resblocks.0.attn.in_proj_weight" in keys
+    assert "model.text_projection" in keys
+    tokens = jnp.zeros((2, 77), jnp.int32)
+    dual = SDXLClip(clip_l, clip_g)
+    ctx, pooled = dual.apply(pl_, pg, tokens)
+    assert ctx.shape == (2, 77, TINY_CLIP_CONFIG.hidden_size + TINY_CLIP_G_CONFIG.width)
+    assert pooled.shape == (2, TINY_CLIP_G_CONFIG.projection_dim)
+    assert np.isfinite(np.asarray(ctx)).all()
