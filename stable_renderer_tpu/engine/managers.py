@@ -192,6 +192,14 @@ class RenderManager(Manager):
     def AddGBufferTask(self, draw_call) -> None:
         self.gbuffer_tasks.add_task(lambda dc=draw_call: dc, order=draw_call.order)
 
+    def AddIdenticalGBufferTask(self, draw_call) -> None:
+        """API parity with the reference's per-object isolated pre-pass
+        (renderManager.py:709-756). In this build every draw already depth-merges
+        through the explicit z-buffer compose and BAKING draws shade fully (see
+        ops/gbuffer.py), so the isolated pre-pass is unnecessary — the task joins
+        the ordinary queue."""
+        self.AddGBufferTask(draw_call)
+
     def AddDeferRenderTask(self, task: Callable, order: float = 0.0) -> None:
         self.defer_tasks.add_task(task, order)
 
