@@ -297,6 +297,15 @@ class DiffusionPipeline:
         log_sigmas = jnp.asarray(self.model_sampling.log_sigmas)
         hooks = corresponder.attn_hooks(None)
         step_cb = corresponder.make_step_callback(id_maps, log_sigmas)
+        inpaint_mask = inpaint_latent = None
+        if cfg.keep_background and id_maps is not None:
+            # denoise only AI-object pixels; background keeps the rasterized
+            # latent (KSamplerX0Inpaint semantics, comfy/samplers.py:363-430)
+            from stable_renderer_tpu.ops.correspondence import latent_vertex_ids
+
+            _, valid = latent_vertex_ids(id_maps, lh, lw)
+            inpaint_mask = valid.astype(jnp.float32)[..., None]
+            inpaint_latent = latent
         if sprite_ids:
             from stable_renderer_tpu.models.sampling.scene_cond import (
                 make_scene_denoiser,
@@ -327,6 +336,8 @@ class DiffusionPipeline:
                 prediction=self.model_sampling.prediction,
                 hooks=hooks,
                 control_fn=self._make_control_fn(hints, cn_params),
+                mask=inpaint_mask,
+                masked_latent=inpaint_latent,
             )
         out_latent = sample(
             den,

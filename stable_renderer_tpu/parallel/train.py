@@ -47,6 +47,7 @@ def diffusion_loss(
     latents: jax.Array,    # (B, h, w, 4) clean latents
     context: jax.Array,    # (B, L, D)
     key: jax.Array,
+    remat: bool = False,
 ) -> jax.Array:
     b = latents.shape[0]
     k_t, k_n = jax.random.split(key)
@@ -55,11 +56,16 @@ def diffusion_loss(
     eps = jax.random.normal(k_n, latents.shape, latents.dtype)
     noised = latents + sigma * eps
     c_in = 1.0 / jnp.sqrt(sigma**2 + 1.0)
-    pred = unet.apply(params, noised * c_in, t.astype(jnp.float32), context)
+    fwd = unet.apply
+    if remat:
+        # rematerialize the UNet forward: trade FLOPs for activation memory at
+        # large batch/resolution (jax.checkpoint over the whole apply)
+        fwd = jax.checkpoint(unet.apply, static_argnums=())
+    pred = fwd(params, noised * c_in, t.astype(jnp.float32), context)
     return jnp.mean((pred - eps) ** 2)
 
 
-@partial(jax.jit, static_argnames=("unet", "tx"), donate_argnums=(2,))
+@partial(jax.jit, static_argnames=("unet", "tx", "remat"), donate_argnums=(2,))
 def diffusion_train_step(
     unet: UNetModel,
     tx: optax.GradientTransformation,
@@ -68,9 +74,10 @@ def diffusion_train_step(
     latents: jax.Array,
     context: jax.Array,
     key: jax.Array,
+    remat: bool = False,
 ) -> Tuple[TrainState, jax.Array]:
     loss, grads = jax.value_and_grad(
-        lambda p: diffusion_loss(unet, p, ms_sigmas, latents, context, key)
+        lambda p: diffusion_loss(unet, p, ms_sigmas, latents, context, key, remat=remat)
     )(state.params)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)

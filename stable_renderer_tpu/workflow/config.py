@@ -42,6 +42,7 @@ class RenderConfig:
     seed: int = 0
     vertex_noise: bool = True
     scene_conditioning: bool = True  # per-sprite masked conditioning (SceneTextEncode)
+    keep_background: bool = False  # inpaint mode: denoise only AI-object pixels
     controlnets: Tuple[ControlNetSpec, ...] = ()
     checkpoint_path: Optional[str] = None
     lora_paths: Tuple[Tuple[str, float], ...] = ()

@@ -143,3 +143,27 @@ def test_scene_conditioning_in_pipeline():
     out = pipe.render(ed)
     assert out.shape == (1, 32, 32, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_keep_background_inpaint_mode():
+    from stable_renderer_tpu.data.engine_data import EngineData
+    from stable_renderer_tpu.engine.pipeline import DiffusionPipeline
+    from stable_renderer_tpu.workflow.config import RenderConfig
+
+    import numpy as _np
+
+    pipe = DiffusionPipeline.from_random(
+        RenderConfig(steps=2, cfg_scale=1.0, sampler="euler", scheduler="normal",
+                     keep_background=True, vertex_noise=False),
+        tiny=True,
+    )
+    ids = _np.zeros((1, 32, 32, 4), _np.int32)
+    ids[0, 8:24, 8:24] = [1, 1, 0, 5]
+    ed = EngineData(
+        frame_indices=jnp.asarray([0]),
+        color_maps=jnp.full((1, 32, 32, 3), 0.5),
+        id_maps=jnp.asarray(ids),
+    )
+    out = pipe.render(ed)
+    assert out.shape == (1, 32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()

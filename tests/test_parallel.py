@@ -100,3 +100,25 @@ def test_distributed_train_step(mesh8):
     # params actually changed
     w1 = flatten(state.params)["out.2.weight"]
     assert not np.allclose(w0, np.asarray(w1))
+
+
+def test_train_step_with_remat(mesh8):
+    from stable_renderer_tpu.models.weights import flatten
+
+    unet = UNetModel(TINY_UNET_CONFIG)
+    params = apply_param_sharding(unet.init(jax.random.PRNGKey(0)), mesh8)
+    state, tx = make_train_state(unet, params, learning_rate=1e-3)
+    ms = ModelSampling()
+    latents = jax.device_put(
+        jax.random.normal(jax.random.PRNGKey(1), (8, 16, 16, 4)),
+        NamedSharding(mesh8, P("dp")),
+    )
+    ctx = jax.device_put(
+        jax.random.normal(jax.random.PRNGKey(2), (8, 77, TINY_UNET_CONFIG.context_dim)),
+        NamedSharding(mesh8, P("dp")),
+    )
+    state, loss = diffusion_train_step(
+        unet, tx, state, jnp.asarray(ms.sigmas), latents, ctx,
+        jax.random.PRNGKey(3), remat=True,
+    )
+    assert np.isfinite(float(loss))
