@@ -1,0 +1,30 @@
+"""Guard the driver-facing bench contract: one JSON line with the required keys."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def test_bench_quick_contract():
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu", SR_BENCH_QUICK="1", SR_BENCH_FRAMES="2")
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env=env,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 1, out.stdout
+    data = json.loads(lines[0])
+    assert set(data) == {"metric", "value", "unit", "vs_baseline"}
+    assert data["unit"] == "fps"
+    assert data["value"] > 0
+    assert abs(data["vs_baseline"] - data["value"] / 2.5) < 0.01
