@@ -223,3 +223,16 @@ def test_sdxl_dual_clip():
     assert ctx.shape == (2, 77, TINY_CLIP_CONFIG.hidden_size + TINY_CLIP_G_CONFIG.width)
     assert pooled.shape == (2, TINY_CLIP_G_CONFIG.projection_dim)
     assert np.isfinite(np.asarray(ctx)).all()
+
+
+def test_sdxl_adm_vector():
+    from stable_renderer_tpu.models.sdxl import sdxl_adm_vector
+
+    pooled = jnp.ones((2, 1280))
+    adm = sdxl_adm_vector(pooled, (1024, 1024), (0, 0), (1024, 1024))
+    assert adm.shape == (2, 2816)
+    assert np.isfinite(np.asarray(adm)).all()
+    # matches SDXL_UNET_CONFIG.adm_in_channels
+    from stable_renderer_tpu.models.unet import SDXL_UNET_CONFIG
+
+    assert adm.shape[-1] == SDXL_UNET_CONFIG.adm_in_channels
