@@ -168,6 +168,13 @@ class DiffusionPipeline:
         def control_fn(x_in, t, ctx):
             total: Optional[dict] = None
             for (cn, _, spec), params, hint in zip(self.controlnets, cn_params, hints):
+                # the cldm hint tower downsamples by 8 (the SD VAE factor); bring
+                # the hint to 8x latent so residual shapes line up for any VAE
+                want = (x_in.shape[1] * 8, x_in.shape[2] * 8)
+                if hint.shape[1:3] != want:
+                    from stable_renderer_tpu.ops.math import resize_nearest
+
+                    hint = resize_nearest(hint, want[0], want[1])
                 b = x_in.shape[0] // hint.shape[0]
                 hint_b = jnp.concatenate([hint] * b, axis=0) if b > 1 else hint
                 ctl = cn.apply(
