@@ -57,6 +57,7 @@ class InferenceContext:
     model_dirs: Tuple[str, ...] = ()
     corresponder: Any = None
     status_messages: List[str] = field(default_factory=list)
+    jit_cache: Dict[Any, Any] = field(default_factory=dict)
 
 
 class PromptExecutor:
@@ -69,6 +70,7 @@ class PromptExecutor:
         self.workflow = workflow
         self.model_dirs = model_dirs
         self._cache: Dict[int, tuple] = {}
+        self._jit_cache: Dict[Any, Any] = {}
         self._frame_tainted: set = set()
         self._compute_taint()
 
@@ -99,6 +101,7 @@ class PromptExecutor:
             engine_data=engine_data,
             frame_count=frame_count,
             model_dirs=self.model_dirs,
+            jit_cache=self._jit_cache,
         )
         if extra:
             for k, v in extra.items():
@@ -353,12 +356,13 @@ def ksampler(
     if ctx_neg is not None and ctx_neg.shape[0] != b:
         ctx_neg = jnp.broadcast_to(ctx_neg[:1], (b, *ctx_neg.shape[1:]))
 
-    control_fn = None
     controls = positive.get("controls", [])
+    cn_models = []   # (ControlNet, strength, percent) — static per node
+    cn_params = []   # param trees — jit ARGS (closure capture would bake
+    cn_hints = []    # multi-GB weight constants into the lowered program)
     if controls:
         from stable_renderer_tpu.models.controlnet import ControlNet, ControlNetConfig
 
-        entries = []
         for c in controls:
             cn = ControlNet(ControlNetConfig(unet=model["unet"].config))
             if c["control"] and c["control"].get("path"):
@@ -369,45 +373,82 @@ def ksampler(
                 params = to_device(nest(flat, "control_model."), _jnp.bfloat16)
             else:
                 params = cn.init(jax.random.PRNGKey(5))
-            entries.append((cn, params, c))
+            cn_models.append((cn, float(c["strength"]), tuple(c["percent"])))
+            cn_params.append(params)
+            cn_hints.append(c["hint"][..., :3])
 
-        def control_fn(x_in, t, ctx_):
-            total = None
-            for cn, params, c in entries:
-                hint = c["hint"][..., :3]
-                reps = x_in.shape[0] // hint.shape[0]
-                hint_b = jnp.concatenate([hint] * reps, 0) if reps > 1 else hint
-                ctl = cn.apply(
-                    params, x_in, hint_b, t, ctx_,
-                    strength=c["strength"], percent_range=c["percent"],
-                )
-                total = ctl if total is None else {
-                    "middle": [a + b_ for a, b_ in zip(total["middle"], ctl["middle"])],
-                    "output": [a + b_ for a, b_ in zip(total["output"], ctl["output"])],
-                }
-            return total
-
-    hooks = AttnHooks()
-    step_cb = None
     if corresponder is not None and ctx.engine_data is not None:
-        hooks = corresponder.attn_hooks(ctx.engine_data)
-        step_cb = corresponder.make_step_callback(
-            ctx.engine_data.id_maps, jnp.asarray(ms.log_sigmas)
-        )
         ctx.corresponder = corresponder
+    id_maps = ctx.engine_data.id_maps if ctx.engine_data is not None else None
+    use_corr = corresponder is not None and id_maps is not None
 
-    den = make_denoiser(
-        model["unet"], model["params"], ctx_pos,
-        None if cfg_scale == 1.0 else ctx_neg,
-        jnp.asarray(ms.log_sigmas), cfg_scale=cfg_scale,
-        prediction=ms.prediction, hooks=hooks, control_fn=control_fn,
-    )
     sigmas = jnp.asarray(calculate_sigmas(ms, scheduler, steps, denoise))
     if noise is None:
         noise = jax.random.normal(jax.random.PRNGKey(seed), latent.shape)
-    out = sample(
-        den, noise, sigmas, latent_image=latent, sampler=sampler_name,
-        key=jax.random.PRNGKey(seed), step_callback=step_cb,
+
+    # One cached jit per (node, shapes): loader params and frame tensors flow as
+    # ARGUMENTS, so per-frame executes reuse the compiled program (the reference
+    # gets this from its (node_id, node_type) output cache, execution.py:839-928).
+    cache_key = (
+        node.id, latent.shape, ctx_pos.shape,
+        None if ctx_neg is None else ctx_neg.shape,
+        None if id_maps is None else id_maps.shape,
+        sampler_name, scheduler, steps, cfg_scale, denoise, use_corr,
+        tuple((s, p) for _, s, p in cn_models),
+    )
+    fn = ctx.jit_cache.get(cache_key) if hasattr(ctx, "jit_cache") else None
+    if fn is None:
+        log_sigmas = jnp.asarray(ms.log_sigmas)
+        unet = model["unet"]
+        prediction = ms.prediction
+        corr = corresponder  # identity-stable: corresponder node output is cached
+
+        def run(unet_params, cn_params_t, ctx_pos_, ctx_neg_, latent_, noise_,
+                sigmas_, id_maps_, hints_t, key_):
+            control_fn = None
+            if cn_models:
+                def control_fn(x_in, t, c_):
+                    total = None
+                    for (cn, strength, percent), params, hint in zip(
+                        cn_models, cn_params_t, hints_t
+                    ):
+                        want = (x_in.shape[1] * 8, x_in.shape[2] * 8)
+                        if hint.shape[1:3] != want:
+                            from stable_renderer_tpu.ops.math import resize_nearest
+
+                            hint = resize_nearest(hint, want[0], want[1])
+                        reps = x_in.shape[0] // hint.shape[0]
+                        hint_b = jnp.concatenate([hint] * reps, 0) if reps > 1 else hint
+                        ctl = cn.apply(
+                            params, x_in, hint_b, t, c_,
+                            strength=strength, percent_range=percent,
+                        )
+                        total = ctl if total is None else {
+                            "middle": [a + b_ for a, b_ in zip(total["middle"], ctl["middle"])],
+                            "output": [a + b_ for a, b_ in zip(total["output"], ctl["output"])],
+                        }
+                    return total
+
+            hooks = corr.attn_hooks(None) if use_corr else AttnHooks()
+            step_cb = corr.make_step_callback(id_maps_, log_sigmas) if use_corr else None
+            den = make_denoiser(
+                unet, unet_params, ctx_pos_,
+                None if cfg_scale == 1.0 else ctx_neg_,
+                log_sigmas, cfg_scale=cfg_scale,
+                prediction=prediction, hooks=hooks, control_fn=control_fn,
+            )
+            return sample(
+                den, noise_, sigmas_, latent_image=latent_, sampler=sampler_name,
+                key=key_, step_callback=step_cb,
+            )
+
+        fn = jax.jit(run)
+        if hasattr(ctx, "jit_cache"):
+            ctx.jit_cache[cache_key] = fn
+
+    out = fn(
+        model["params"], tuple(cn_params), ctx_pos, ctx_neg, latent, noise,
+        sigmas, id_maps, tuple(cn_hints), jax.random.PRNGKey(seed),
     )
     return ({"samples": out},)
 
