@@ -1,0 +1,337 @@
+"""Numeric parity tests for the round-2 sampler zoo.
+
+Each deterministic sampler is checked against an independent numpy
+re-implementation of the reference algorithm (comfy/k_diffusion/sampling.py,
+comfy/extra_samplers/uni_pc.py) driven by the same linear oracle model.
+Stochastic paths are covered by the oracle-convergence test.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stable_renderer_tpu.models.sampling import ModelSampling, calculate_sigmas, sample
+from stable_renderer_tpu.models.sampling.samplers import SAMPLER_NAMES
+
+A, B = 0.6, 0.1  # linear oracle: D(x, sigma) = A*x + B
+
+
+def oracle(x, sigma):
+    return A * x + B
+
+
+def oracle_np(x, sigma):
+    return A * x + B
+
+
+@pytest.fixture(scope="module")
+def sigmas():
+    return np.asarray(calculate_sigmas(ModelSampling(), "karras", 8), np.float64)
+
+
+@pytest.fixture(scope="module")
+def x0():
+    return np.asarray(
+        jax.random.normal(jax.random.PRNGKey(7), (1, 4, 4, 2)), np.float64
+    )
+
+
+def run_jax(sampler, sigmas, x0, eta=0.0):
+    noise = jnp.asarray(x0 / sigmas[0], jnp.float32)  # so x starts exactly at x0
+    out = sample(
+        oracle, noise, jnp.asarray(sigmas, jnp.float32),
+        sampler=sampler, key=jax.random.PRNGKey(0), eta=eta,
+    )
+    return np.asarray(out, np.float64)
+
+
+def to_d(x, sigma, denoised):
+    return (x - denoised) / max(sigma, 1e-8)
+
+
+# --- numpy references (ported independently from the reference algorithms) ---
+
+def np_dpm_2(x, sigmas):
+    for i in range(len(sigmas) - 1):
+        den = oracle_np(x, sigmas[i])
+        d = to_d(x, sigmas[i], den)
+        if sigmas[i + 1] == 0:
+            x = x + d * (sigmas[i + 1] - sigmas[i])
+        else:
+            sigma_mid = np.exp(0.5 * (np.log(sigmas[i]) + np.log(sigmas[i + 1])))
+            x_2 = x + d * (sigma_mid - sigmas[i])
+            d_2 = to_d(x_2, sigma_mid, oracle_np(x_2, sigma_mid))
+            x = x + d_2 * (sigmas[i + 1] - sigmas[i])
+    return x
+
+
+def np_heunpp2(x, sigmas):
+    s_end = sigmas[-1]
+    n = len(sigmas) - 1
+    for i in range(n):
+        den = oracle_np(x, sigmas[i])
+        d = to_d(x, sigmas[i], den)
+        dt = sigmas[i + 1] - sigmas[i]
+        if sigmas[i + 1] == s_end:
+            x = x + d * dt
+        elif sigmas[min(i + 2, n)] == s_end and i + 2 <= n:
+            x_2 = x + d * dt
+            d_2 = to_d(x_2, sigmas[i + 1], oracle_np(x_2, sigmas[i + 1]))
+            w = 2 * sigmas[0]
+            w2 = sigmas[i + 1] / w
+            x = x + (d * (1 - w2) + d_2 * w2) * dt
+        else:
+            x_2 = x + d * dt
+            d_2 = to_d(x_2, sigmas[i + 1], oracle_np(x_2, sigmas[i + 1]))
+            dt_2 = sigmas[i + 2] - sigmas[i + 1]
+            x_3 = x_2 + d_2 * dt_2
+            d_3 = to_d(x_3, sigmas[i + 2], oracle_np(x_3, sigmas[i + 2]))
+            w = 3 * sigmas[0]
+            w2, w3 = sigmas[i + 1] / w, sigmas[i + 2] / w
+            x = x + (d * (1 - w2 - w3) + d_2 * w2 + d_3 * w3) * dt
+    return x
+
+
+def np_lms(x, sigmas, order=4):
+    from scipy import integrate
+
+    def lms_coeff(order, t, i, j):
+        def fn(tau):
+            prod = 1.0
+            for k in range(order):
+                if j == k:
+                    continue
+                prod *= (tau - t[i - k]) / (t[i - j] - t[i - k])
+            return prod
+        return integrate.quad(fn, t[i], t[i + 1], epsrel=1e-4)[0]
+
+    ds = []
+    for i in range(len(sigmas) - 1):
+        d = to_d(x, sigmas[i], oracle_np(x, sigmas[i]))
+        ds.append(d)
+        if len(ds) > order:
+            ds.pop(0)
+        cur_order = min(i + 1, order)
+        coeffs = [lms_coeff(cur_order, sigmas, i, j) for j in range(cur_order)]
+        x = x + sum(c * d for c, d in zip(coeffs, reversed(ds)))
+    return x
+
+
+def np_dpmpp_2s_ancestral_eta0(x, sigmas):
+    for i in range(len(sigmas) - 1):
+        den = oracle_np(x, sigmas[i])
+        sigma_down = sigmas[i + 1]  # eta = 0
+        if sigma_down == 0:
+            d = to_d(x, sigmas[i], den)
+            x = x + d * (sigma_down - sigmas[i])
+        else:
+            t, t_next = -np.log(sigmas[i]), -np.log(sigma_down)
+            h = t_next - t
+            s = t + 0.5 * h
+            x_2 = (np.exp(-s) / np.exp(-t)) * x - np.expm1(-h * 0.5) * den
+            den2 = oracle_np(x_2, np.exp(-s))
+            x = (np.exp(-t_next) / np.exp(-t)) * x - np.expm1(-h) * den2
+    return x
+
+
+def np_dpmpp_sde_eta0(x, sigmas, r=0.5):
+    for i in range(len(sigmas) - 1):
+        den = oracle_np(x, sigmas[i])
+        if sigmas[i + 1] == 0:
+            d = to_d(x, sigmas[i], den)
+            x = x + d * (sigmas[i + 1] - sigmas[i])
+        else:
+            t, t_next = -np.log(sigmas[i]), -np.log(sigmas[i + 1])
+            h = t_next - t
+            s = t + h * r
+            fac = 1 / (2 * r)
+            # eta=0: sd == target sigma, su == 0
+            s_ = s
+            x_2 = (np.exp(-s_) / np.exp(-t)) * x - np.expm1(t - s_) * den
+            den2 = oracle_np(x_2, np.exp(-s))
+            denoised_d = (1 - fac) * den + fac * den2
+            x = (np.exp(-t_next) / np.exp(-t)) * x - np.expm1(t - t_next) * denoised_d
+    return x
+
+
+def np_dpmpp_2m_sde_eta0(x, sigmas):
+    old_denoised, h_last = None, None
+    for i in range(len(sigmas) - 1):
+        den = oracle_np(x, sigmas[i])
+        if sigmas[i + 1] == 0:
+            x = den
+        else:
+            t, s = -np.log(sigmas[i]), -np.log(sigmas[i + 1])
+            h = s - t
+            x = sigmas[i + 1] / sigmas[i] * x + (-np.expm1(-h)) * den
+            if old_denoised is not None:
+                r = h_last / h
+                x = x + 0.5 * (-np.expm1(-h)) * (1 / r) * (den - old_denoised)
+            h_last = h
+        old_denoised = den
+    return x
+
+
+def np_dpmpp_3m_sde_eta0(x, sigmas):
+    den_1, den_2, h_1, h_2 = None, None, None, None
+    for i in range(len(sigmas) - 1):
+        den = oracle_np(x, sigmas[i])
+        if sigmas[i + 1] == 0:
+            x = den
+            h = h_1  # unchanged
+        else:
+            t, s = -np.log(sigmas[i]), -np.log(sigmas[i + 1])
+            h = s - t
+            x = np.exp(-h) * x + (-np.expm1(-h)) * den
+            if h_2 is not None:
+                r0, r1 = h_1 / h, h_2 / h
+                d1_0 = (den - den_1) / r0
+                d1_1 = (den_1 - den_2) / r1
+                d1 = d1_0 + (d1_0 - d1_1) * r0 / (r0 + r1)
+                d2 = (d1_0 - d1_1) / (r0 + r1)
+                phi_2 = np.expm1(-h) / h + 1  # eta=0: h_eta == h
+                phi_3 = phi_2 / h - 0.5
+                x = x + phi_2 * d1 - phi_3 * d2
+            elif h_1 is not None:
+                r = h_1 / h
+                d = (den - den_1) / r
+                phi_2 = np.expm1(-h) / h + 1
+                x = x + phi_2 * d
+        den_1, den_2 = den, den_1
+        h_1, h_2 = h, h_1
+    return x
+
+
+def np_unipc(x, sigmas, variant="bh1", max_order=3):
+    """Direct numpy port of multistep UniPC with SigmaConvert semantics."""
+    steps = len(sigmas) - 1
+    order = max(1, min(max_order, steps - 1))
+    ts = sigmas.copy()
+    ts[-1] = max(ts[-1], 1e-3)
+    alpha = lambda s: 1.0 / np.sqrt(1.0 + s * s)
+    lam = lambda s: -np.log(s)
+
+    def model_fn(x_vp, sig):
+        return oracle_np(x_vp / alpha(sig), sig)
+
+    def bh_update(x, model_prev, t_prev, t, order_k, use_corrector):
+        t_prev_0 = t_prev[-1]
+        lambda_prev_0, lambda_t = lam(t_prev_0), lam(t)
+        model_prev_0 = model_prev[-1]
+        sigma_prev_0, sigma_t = t_prev_0 * alpha(t_prev_0), t * alpha(t)
+        alpha_t = alpha(t)
+        h = lambda_t - lambda_prev_0
+        rks, d1s = [], []
+        for i in range(1, order_k):
+            t_prev_i = t_prev[-(i + 1)]
+            rk = (lam(t_prev_i) - lambda_prev_0) / h
+            rks.append(rk)
+            d1s.append((model_prev[-(i + 1)] - model_prev_0) / rk)
+        rks.append(1.0)
+        rks = np.asarray(rks)
+        hh = -h
+        h_phi_1 = np.expm1(hh)
+        h_phi_k = h_phi_1 / hh - 1
+        B_h = hh if variant == "bh1" else np.expm1(hh)
+        R, b = [], []
+        factorial_i = 1
+        for i in range(1, order_k + 1):
+            R.append(rks ** (i - 1))
+            b.append(h_phi_k * factorial_i / B_h)
+            factorial_i *= i + 1
+            h_phi_k = h_phi_k / hh - 1 / factorial_i
+        R = np.stack(R)
+        b = np.asarray(b)
+        use_predictor = len(d1s) > 0
+        if d1s:
+            d1s_arr = np.stack(d1s, axis=0)
+            rhos_p = np.asarray([0.5]) if order_k == 2 else np.linalg.solve(
+                R[:-1, :-1], b[:-1]
+            )
+        x_t_ = (sigma_t / sigma_prev_0) * x - alpha_t * h_phi_1 * model_prev_0
+        pred_res = np.einsum("k,k...->...", rhos_p, d1s_arr) if use_predictor else 0
+        x_t = x_t_ - alpha_t * B_h * pred_res
+        model_t = None
+        if use_corrector:
+            rhos_c = np.asarray([0.5]) if order_k == 1 else np.linalg.solve(R, b)
+            model_t = model_fn(x_t, t)
+            corr_res = np.einsum("k,k...->...", rhos_c[:-1], d1s_arr) if d1s else 0
+            d1_t = model_t - model_prev_0
+            x_t = x_t_ - alpha_t * B_h * (corr_res + rhos_c[-1] * d1_t)
+        return x_t, model_t
+
+    x = x * alpha(ts[0])
+    model_prev, t_prev = [model_fn(x, ts[0])], [ts[0]]
+    for step_index in range(steps):
+        if step_index == 0:
+            continue  # model_prev seeded above
+        t_cur = ts[step_index]
+        if step_index < order:
+            x, model_x = bh_update(x, model_prev, t_prev, t_cur, step_index, True)
+            if model_x is None:
+                model_x = model_fn(x, t_cur)
+            model_prev.append(model_x)
+            t_prev.append(t_cur)
+        else:
+            extra = 1 if step_index == steps - 1 else 0
+            for step in range(step_index, step_index + 1 + extra):
+                t_cur = ts[step]
+                step_order = min(order, steps + 1 - step)
+                use_corrector = step < steps
+                x, model_x = bh_update(x, model_prev, t_prev, t_cur, step_order, use_corrector)
+                model_prev = model_prev[-(order - 1):] if order > 1 else []
+                t_prev = t_prev[-(order - 1):] if order > 1 else []
+                t_prev.append(t_cur)
+                if step < steps:
+                    if model_x is None:
+                        model_x = model_fn(x, t_cur)
+                    model_prev.append(model_x)
+                else:
+                    model_prev.append(model_prev[-1] if model_prev else model_fn(x, t_cur))
+    return x / alpha(ts[-1])
+
+
+PARITY_CASES = {
+    "dpm_2": np_dpm_2,
+    "heunpp2": np_heunpp2,
+    "lms": np_lms,
+    "dpmpp_2s_ancestral": np_dpmpp_2s_ancestral_eta0,
+    "dpmpp_sde": np_dpmpp_sde_eta0,
+    "dpmpp_2m_sde": np_dpmpp_2m_sde_eta0,
+    "dpmpp_3m_sde": np_dpmpp_3m_sde_eta0,
+}
+
+
+@pytest.mark.parametrize("sampler", sorted(PARITY_CASES))
+def test_sampler_matches_reference_algorithm(sampler, sigmas, x0):
+    ref = PARITY_CASES[sampler](x0.copy(), sigmas)
+    got = run_jax(sampler, sigmas, x0, eta=0.0)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("variant", ["bh1", "bh2"])
+def test_unipc_matches_reference_algorithm(variant, sigmas, x0):
+    ref = np_unipc(x0.copy(), sigmas, variant=variant)
+    name = "uni_pc" if variant == "bh1" else "uni_pc_bh2"
+    got = run_jax(name, sigmas, x0)
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+@pytest.mark.parametrize("sampler", SAMPLER_NAMES)
+def test_all_samplers_converge_to_target(sampler):
+    """Oracle D(x, sigma) = target: every sampler must land near the target."""
+    target = jnp.full((1, 4, 4, 4), 0.7)
+
+    def const_oracle(x, sigma):
+        return target
+
+    sigmas = jnp.asarray(calculate_sigmas(ModelSampling(), "karras", 12))
+    noise = jax.random.normal(jax.random.PRNGKey(0), target.shape)
+    out = sample(const_oracle, noise, sigmas, sampler=sampler, key=jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(out), 0.7, atol=0.06)
+
+
+def test_sampler_count_parity():
+    # VERDICT round-1 item 6: SAMPLER_NAMES >= 13
+    assert len(SAMPLER_NAMES) >= 13
