@@ -138,17 +138,31 @@ class DiffusionPipeline:
     # --- conditioning ---------------------------------------------------------
 
     def encode_prompts(self, prompts: List[str], negatives: List[str]):
-        tokens = jnp.asarray(self.tokenizer.encode_batch(prompts))
-        ntokens = jnp.asarray(self.tokenizer.encode_batch(negatives))
+        """Weighted multi-chunk conditioning: `(word:1.2)` weighting, >75-token
+        chunk concat, textual-inversion embeddings (sd1_clip.py:25-60 + :400-484).
+        cond and uncond are tokenized together so both pad to the same chunk
+        count (CONDCrossAttn.concat semantics, comfy/conds.py)."""
+        np_b = len(prompts)
+        ids, weights, custom = self.tokenizer.tokenize_weighted_batch(
+            list(prompts) + list(negatives)
+        )
         if not hasattr(self, "_jit_clip"):
-            self._jit_clip = jax.jit(
-                lambda p, t, n, skip: (
-                    self.clip.apply(p, t, clip_skip=skip),
-                    self.clip.apply(p, n, clip_skip=skip),
-                ),
-                static_argnames="skip",
-            )
-        return self._jit_clip(self.clip_params, tokens, ntokens, self.config.clip_skip)
+            from stable_renderer_tpu.models.clip import encode_token_weights_batch
+
+            def _enc(p, ids, w, custom, skip):
+                ctx, _ = encode_token_weights_batch(
+                    self.clip, p, ids, w, custom_embeds=custom, clip_skip=skip
+                )
+                return ctx
+            self._jit_clip = jax.jit(_enc, static_argnames="skip")
+        ctx = self._jit_clip(
+            self.clip_params,
+            jnp.asarray(ids),
+            jnp.asarray(weights),
+            None if custom is None else jnp.asarray(custom),
+            self.config.clip_skip,
+        )
+        return ctx[:np_b], ctx[np_b:]
 
     # --- the compiled program -------------------------------------------------
 

@@ -57,14 +57,23 @@ class CLIPTextModel:
     def apply(
         self,
         params: dict,
-        tokens: jax.Array,  # (B, 77) int32
+        tokens: jax.Array,  # (B, 77) int32; negative ids index custom_embeds
         clip_skip: int = -1,
         final_norm: bool = True,
+        custom_embeds: Optional[jax.Array] = None,  # (K, hidden) textual inversion
     ) -> jax.Array:
-        """tokens -> (B, 77, hidden) conditioning."""
+        """tokens -> (B, 77, hidden) conditioning.
+
+        Textual-inversion vectors ride in as negative token ids -(k+1) indexing
+        ``custom_embeds`` (jit-friendly set_up_textual_embeddings,
+        sd1_clip.py:125-162)."""
         cfg = self.config
         tm = params["text_model"]
-        x = tm["embeddings"]["token_embedding"]["weight"][tokens]
+        vocab = tm["embeddings"]["token_embedding"]["weight"]
+        x = vocab[jnp.maximum(tokens, 0)]
+        if custom_embeds is not None:
+            cidx = jnp.maximum(-tokens - 1, 0)
+            x = jnp.where((tokens < 0)[..., None], custom_embeds[cidx].astype(x.dtype), x)
         pos = tm["embeddings"]["position_embedding"]["weight"][: tokens.shape[1]]
         x = x + pos[None]
 
@@ -268,39 +277,41 @@ class SDXLClip:
 
 
 class Tokenizer:
-    """CLIP BPE tokenizer with graceful fallback.
+    """Real CLIP BPE tokenizer over the bundled vocab (assets/clip_tokenizer),
+    with `(word:1.2)` weighting and `embedding:name` textual inversion
+    (sd1_clip.py:358-484 SDTokenizer semantics via models/tokenizer.py).
 
-    Tries transformers' CLIPTokenizer from a local path or cache (zero-egress
-    environment: no downloads). Falls back to a deterministic hash of whitespace
-    tokens — shape-correct, not semantically meaningful — so the full pipeline
-    stays runnable without vocab files.
-    """
+    For tiny test configs (vocab_size < 49408) a deterministic hash tokenizer
+    keeps random-init pipelines runnable — real checkpoints always use the
+    full vocab."""
 
-    def __init__(self, config: CLIPConfig = SD15_CLIP_CONFIG, vocab_path: str | None = None):
+    def __init__(
+        self,
+        config: CLIPConfig = SD15_CLIP_CONFIG,
+        vocab_path: str | None = None,
+        embedding_directory=None,
+    ):
         self.config = config
-        self._hf = None
-        try:  # pragma: no cover - depends on local caches
-            from transformers import CLIPTokenizer, CLIPTokenizerFast  # noqa: F401
+        self._sd = None
+        if config.vocab_size >= 49408:
+            from stable_renderer_tpu.models.tokenizer import SDTokenizer
 
-            src = vocab_path or "openai/clip-vit-large-patch14"
-            self._hf = CLIPTokenizer.from_pretrained(src, local_files_only=True)
-        except Exception:
-            logger.warning(
-                "CLIP vocab unavailable (offline); using deterministic hash tokenizer."
+            self._sd = SDTokenizer(
+                tokenizer_path=vocab_path,
+                max_length=config.max_length,
+                embedding_directory=embedding_directory,
+                embedding_size=config.hidden_size,
             )
+        else:
+            logger.info("tiny CLIP config: using deterministic hash tokenizer")
 
     def encode(self, text: str) -> np.ndarray:
-        """text -> (77,) int32 with BOS/EOS + EOS padding (comfy pads with EOS)."""
+        """text -> (77,) int32 with BOS/EOS + EOS padding (first chunk only;
+        use tokenize_weighted for >75-token prompts / weights / embeddings)."""
         cfg = self.config
-        if self._hf is not None:
-            ids = self._hf(
-                text,
-                truncation=True,
-                max_length=cfg.max_length,
-                padding="max_length",
-                return_tensors="np",
-            )["input_ids"][0]
-            return ids.astype(np.int32)
+        if self._sd is not None:
+            chunk = self._sd.tokenize_with_weights(text)[0]
+            return np.asarray([t for t, _ in chunk], np.int32)
         words = text.lower().split()
         body = [
             (hash(w) % (cfg.vocab_size - 2 - 1)) + 1  # avoid 0/bos/eos
@@ -312,3 +323,99 @@ class Tokenizer:
 
     def encode_batch(self, texts: Sequence[str]) -> np.ndarray:
         return np.stack([self.encode(t) for t in texts])
+
+    def tokenize_weighted(self, text: str):
+        """text -> (ids (n_chunks, 77) i32, weights (n_chunks, 77) f32,
+        custom_embeds (K, hidden) f32 | None)."""
+        from stable_renderer_tpu.models.tokenizer import pack_chunks
+
+        if self._sd is not None:
+            return pack_chunks(self._sd.tokenize_with_weights(text))
+        ids = self.encode(text)[None]
+        return ids, np.ones_like(ids, np.float32), None
+
+    def tokenize_weighted_batch(self, texts: Sequence[str]):
+        """texts -> (ids (B, C, 77), weights (B, C, 77), custom (K, hidden)|None).
+
+        All prompts are padded to the same chunk count C with empty chunks;
+        per-prompt textual-inversion vectors are concatenated into one global
+        table with ids remapped (the host half of encode_token_weights_batch)."""
+        cfg = self.config
+        packed = [self.tokenize_weighted(t) for t in texts]
+        c = max(p[0].shape[0] for p in packed)
+        length = cfg.max_length
+        eos = cfg.eos_token % cfg.vocab_size
+        bos = cfg.bos_token % cfg.vocab_size
+        ids = np.full((len(texts), c, length), eos, np.int32)
+        ids[:, :, 0] = bos
+        weights = np.ones((len(texts), c, length), np.float32)
+        customs: list[np.ndarray] = []
+        offset = 0
+        for bi, (pid, pw, pc) in enumerate(packed):
+            pid = pid.copy()
+            if pc is not None:
+                pid[pid < 0] -= offset  # -(k+1) -> -(offset+k+1)
+                customs.append(pc)
+                offset += pc.shape[0]
+            ids[bi, : pid.shape[0]] = pid
+            weights[bi, : pw.shape[0]] = pw
+        custom = np.concatenate(customs, axis=0) if customs else None
+        return ids, weights, custom
+
+
+def encode_token_weights(
+    model: CLIPTextModel,
+    params: dict,
+    ids: jax.Array,       # (n_chunks, L) int32, negative = custom embedding
+    weights: jax.Array,   # (n_chunks, L) f32
+    custom_embeds: Optional[jax.Array] = None,
+    clip_skip: int = -1,
+    final_norm: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Weighted multi-chunk encoding (ClipTokenWeightEncoder, sd1_clip.py:25-60).
+
+    Encodes all chunks plus one empty chunk in a single batch; weighted tokens
+    are interpolated against the empty-prompt encoding:
+    ``z = (z - z_empty) * w + z_empty``. Chunks concatenate along the sequence
+    axis. Returns (context (1, n_chunks*L, hidden), pooled (1, hidden))."""
+    cfg = model.config
+    n, length = ids.shape
+    empty = jnp.full((1, length), cfg.eos_token % cfg.vocab_size, ids.dtype)
+    empty = empty.at[0, 0].set(cfg.bos_token % cfg.vocab_size)
+    batch = jnp.concatenate([ids, empty], axis=0)
+    out = model.apply(params, batch, clip_skip=clip_skip, final_norm=final_norm,
+                      custom_embeds=custom_embeds)
+    z, z_empty = out[:n], out[n]
+    z = (z - z_empty[None]) * weights[..., None] + z_empty[None]
+    pooled = model.pooled(params, ids[:1], out[:1])
+    return z.reshape(1, n * length, -1), pooled
+
+
+def encode_token_weights_batch(
+    model: CLIPTextModel,
+    params: dict,
+    ids: jax.Array,       # (B, C, L) int32; negative ids index custom_embeds globally
+    weights: jax.Array,   # (B, C, L) f32
+    custom_embeds: Optional[jax.Array] = None,  # (K, hidden)
+    clip_skip: int = -1,
+    final_norm: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Batched multi-prompt version of encode_token_weights: every prompt has C
+    chunks (pad with empty chunks host-side); one extra empty chunk provides the
+    z_empty reference. Returns (context (B, C*L, hidden), pooled (B, hidden))."""
+    cfg = model.config
+    b, c, length = ids.shape
+    flat = ids.reshape(b * c, length)
+    empty = jnp.full((1, length), cfg.eos_token % cfg.vocab_size, ids.dtype)
+    empty = empty.at[0, 0].set(cfg.bos_token % cfg.vocab_size)
+    out = model.apply(
+        params,
+        jnp.concatenate([flat, empty], axis=0),
+        clip_skip=clip_skip,
+        final_norm=final_norm,
+        custom_embeds=custom_embeds,
+    )
+    z, z_empty = out[: b * c], out[b * c]
+    z = (z - z_empty[None]) * weights.reshape(b * c, length)[..., None] + z_empty[None]
+    pooled = model.pooled(params, flat[::c], out[:b * c:c])
+    return z.reshape(b, c * length, -1), pooled

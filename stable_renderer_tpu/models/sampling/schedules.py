@@ -76,6 +76,15 @@ class ModelSampling:
         w = np.clip((low - log_sigma) / (low - high), 0, 1)
         return ((1 - w) * low_idx + w * high_idx).astype(np.float32)
 
+    def percent_to_sigma(self, percent: float) -> float:
+        """Sampling-progress percent -> sigma threshold
+        (ModelSamplingDiscrete.percent_to_sigma: 0 -> +inf, 1 -> 0)."""
+        if percent <= 0.0:
+            return 999999999.9
+        if percent >= 1.0:
+            return 0.0
+        return float(self.sigma(np.asarray((1.0 - percent) * (self.num_timesteps - 1))))
+
     def sigma(self, timestep: np.ndarray) -> np.ndarray:
         t = np.clip(timestep, 0, self.num_timesteps - 1)
         low_idx = np.floor(t).astype(np.int64)

@@ -221,32 +221,134 @@ def lora_loader_model_only(ctx: InferenceContext, node: WorkflowNode, model=None
     return ({**model, "params": new_params},)
 
 
-@register_node("CLIPTextEncode")
-def clip_text_encode(ctx: InferenceContext, node: WorkflowNode, clip=None, text=None):
+def _encode_weighted(clip: dict, prompts: list):
+    """Weighted multi-chunk CLIP encode honoring CLIPSetLastLayer's clip_skip
+    (sd1_clip.py encode_token_weights + CLIPTextEncode semantics)."""
     import jax.numpy as jnp
 
+    from stable_renderer_tpu.models.clip import encode_token_weights_batch
+
+    ids, w, custom = clip["tokenizer"].tokenize_weighted_batch(prompts)
+    skip = int(clip.get("clip_skip", -1))
+    ctx_, _ = encode_token_weights_batch(
+        clip["clip"], clip["params"], jnp.asarray(ids), jnp.asarray(w),
+        None if custom is None else jnp.asarray(custom), clip_skip=skip,
+    )
+    return ctx_
+
+
+@register_node("CLIPTextEncode")
+def clip_text_encode(ctx: InferenceContext, node: WorkflowNode, clip=None, text=None):
     prompt = text if text is not None else (str(node.widgets[0]) if node.widgets else "")
-    tokens = jnp.asarray(clip["tokenizer"].encode_batch([prompt]))
-    cond = clip["clip"].apply(clip["params"], tokens)
+    cond = _encode_weighted(clip, [prompt])
     return ({"context": cond, "controls": [], "prompt": prompt},)
 
 
 @register_node("SceneTextEncode")
 def scene_text_encode(ctx: InferenceContext, node: WorkflowNode, clip=None, **kw):
-    """Per-sprite conditioning: resolved at sampler time from engine_data; here
-    we encode the env/sprite prompts into one conditioning like the reference's
-    fallback when no sprites carry prompts."""
+    """Per-sprite masked conditioning (stable_rendering conditions.py:52-110):
+    each prompted sprite's text conditions only its ID-map pixels, the env
+    prompt conditions the background — same scene_cond path as the pipeline."""
     import jax.numpy as jnp
 
     ed = ctx.engine_data
-    texts = []
+    sprited = []
+    env_texts = []
     if ed is not None:
-        texts += [s.prompt for s in ed.sprite_infos.values() if s.prompt]
-        texts += [p.prompt for p in ed.env_prompts if p.prompt]
-    prompt = ", ".join(texts)
-    tokens = jnp.asarray(clip["tokenizer"].encode_batch([prompt]))
-    cond = clip["clip"].apply(clip["params"], tokens)
+        sprited = [(sid, s.prompt) for sid, s in ed.sprite_infos.items() if s.prompt]
+        env_texts = [p.prompt for p in ed.env_prompts if p.prompt]
+    env_text = ", ".join(env_texts)
+    if len(sprited) >= 1 and ed is not None and ed.id_maps is not None:
+        texts = [t for _, t in sprited] + [env_text]
+        ctx_s = _encode_weighted(clip, texts)  # (S+1, L, D)
+        joint = ", ".join([t for t in texts if t])
+        return ({
+            "context": _encode_weighted(clip, [joint]),
+            "scene_contexts": ctx_s,
+            "sprite_ids": tuple(sid for sid, _ in sprited),
+            "controls": [], "prompt": joint,
+        },)
+    prompt = ", ".join([t for _, t in sprited] + env_texts)
+    cond = _encode_weighted(clip, [prompt])
     return ({"context": cond, "controls": [], "prompt": prompt},)
+
+
+@register_node("ConditioningSetArea", "ConditioningSetAreaPercentage")
+def conditioning_set_area(ctx: InferenceContext, node: WorkflowNode, conditioning=None):
+    """Restrict a conditioning to a rectangle (nodes.py ConditioningSetArea;
+    pixel widgets /8 to latent units, strength kept)."""
+    w = node.widgets
+    if node.type == "ConditioningSetAreaPercentage":
+        # percentages resolved at sampler time need latent dims; store raw
+        width, height, x, y = [float(v) for v in w[:4]]
+        strength = float(w[4]) if len(w) > 4 else 1.0
+        return ({**conditioning, "area_pct": (height, width, y, x), "strength": strength},)
+    width, height, x, y = [int(v) for v in w[:4]]
+    strength = float(w[4]) if len(w) > 4 else 1.0
+    area = (height // 8, width // 8, y // 8, x // 8)
+    return ({**conditioning, "area": area, "strength": strength},)
+
+
+@register_node("SolidMask")
+def solid_mask(ctx: InferenceContext, node: WorkflowNode):
+    """(comfy_extras nodes_mask.py SolidMask) constant-value mask."""
+    import jax.numpy as jnp
+
+    w = node.widgets
+    value = float(w[0]) if w else 1.0
+    width = int(w[1]) if len(w) > 1 else 512
+    height = int(w[2]) if len(w) > 2 else 512
+    return (jnp.full((1, height, width), value),)
+
+
+@register_node("MaskComposite")
+def mask_composite(ctx: InferenceContext, node: WorkflowNode,
+                   destination=None, source=None):
+    """(comfy_extras nodes_mask.py MaskComposite) paste source into destination
+    at (x, y) with an operation."""
+    import jax.numpy as jnp
+
+    w = node.widgets
+    x = int(w[0]) if w else 0
+    y = int(w[1]) if len(w) > 1 else 0
+    op = str(w[2]) if len(w) > 2 else "add"
+    dst = jnp.asarray(destination)
+    src = jnp.asarray(source)
+    sh = min(src.shape[1], dst.shape[1] - y)
+    sw = min(src.shape[2], dst.shape[2] - x)
+    region = dst[:, y:y + sh, x:x + sw]
+    patch = src[:1, :sh, :sw]
+    if op == "add":
+        new = jnp.clip(region + patch, 0, 1)
+    elif op == "subtract":
+        new = jnp.clip(region - patch, 0, 1)
+    elif op == "multiply":
+        new = region * patch
+    else:  # 'or'/'and'/'xor' treated as max/min/abs-diff on soft masks
+        new = {"or": jnp.maximum, "and": jnp.minimum}.get(
+            op, lambda a, b: jnp.abs(a - b)
+        )(region, patch)
+    return (dst.at[:, y:y + sh, x:x + sw].set(new),)
+
+
+@register_node("ConditioningSetMask")
+def conditioning_set_mask(ctx: InferenceContext, node: WorkflowNode,
+                          conditioning=None, mask=None):
+    """Mask a conditioning (nodes.py ConditioningSetMask); set_cond_area
+    'mask bounds' is approximated by the mask itself (no bbox crop)."""
+    strength = float(node.widgets[0]) if node.widgets else 1.0
+    return ({**conditioning, "mask": mask, "mask_strength": strength},)
+
+
+@register_node("ConditioningSetTimestepRange")
+def conditioning_set_timestep_range(ctx: InferenceContext, node: WorkflowNode,
+                                    conditioning=None):
+    """Gate a conditioning to a sampling-progress window
+    (nodes.py ConditioningSetTimestepRange; percents -> sigmas at sampler time)."""
+    w = node.widgets
+    start = float(w[0]) if w else 0.0
+    end = float(w[1]) if len(w) > 1 else 1.0
+    return ({**conditioning, "timestep_range": (start, end)},)
 
 
 @register_node("ControlNetLoader")
@@ -356,6 +458,50 @@ def ksampler(
     if ctx_neg is not None and ctx_neg.shape[0] != b:
         ctx_neg = jnp.broadcast_to(ctx_neg[:1], (b, *ctx_neg.shape[1:]))
 
+    # --- cond-list assembly: area / mask / timestep-range / combine ----------
+    # (comfy samplers.py:50-135 get_area_and_mult semantics via conds.py)
+    from stable_renderer_tpu.models.sampling.conds import CondSpec
+    from stable_renderer_tpu.ops.math import resize_nearest
+
+    lh, lw = latent.shape[1], latent.shape[2]
+    entries = [positive] + list(positive.get("extra_conds", []))
+    scene_ctx = positive.get("scene_contexts")
+    sprite_ids = tuple(positive.get("sprite_ids", ()))
+    specs, cond_ctxs, cond_masks = [], [], []
+    for e in entries:
+        area = e.get("area")
+        if area is None and e.get("area_pct") is not None:
+            hp, wp, yp, xp = e["area_pct"]
+            area = (max(1, int(hp * lh)), max(1, int(wp * lw)), int(yp * lh), int(xp * lw))
+        tr = e.get("timestep_range")
+        sigma_start, sigma_end = float("inf"), 0.0
+        if tr is not None:
+            sigma_start = ms.percent_to_sigma(float(tr[0]))
+            sigma_end = ms.percent_to_sigma(float(tr[1]))
+        m = e.get("mask")
+        if m is not None:
+            m = jnp.asarray(m)
+            if m.ndim == 2:
+                m = m[None]
+            if m.shape[1:3] != (lh, lw):
+                m = resize_nearest(m[..., None], lh, lw)[..., 0]
+            if m.shape[0] != b:
+                m = jnp.broadcast_to(m[:1], (b, lh, lw))
+        c_e = e["context"]
+        if c_e.shape[0] != b:
+            c_e = jnp.broadcast_to(c_e[:1], (b, *c_e.shape[1:]))
+        specs.append(CondSpec(
+            area=area, strength=float(e.get("strength", 1.0)),
+            mask_strength=float(e.get("mask_strength", 1.0)),
+            sigma_start=sigma_start, sigma_end=sigma_end, has_mask=m is not None,
+        ))
+        cond_ctxs.append(c_e)
+        cond_masks.append(m)
+    use_conds = len(entries) > 1 or any(
+        s.area is not None or s.has_mask or s.sigma_start != float("inf")
+        or s.sigma_end != 0.0 or s.strength != 1.0 for s in specs
+    )
+
     controls = positive.get("controls", [])
     cn_models = []   # (ControlNet, strength, percent) — static per node
     cn_params = []   # param trees — jit ARGS (closure capture would bake
@@ -381,6 +527,7 @@ def ksampler(
         ctx.corresponder = corresponder
     id_maps = ctx.engine_data.id_maps if ctx.engine_data is not None else None
     use_corr = corresponder is not None and id_maps is not None
+    use_scene = scene_ctx is not None and id_maps is not None and len(sprite_ids) > 0
 
     sigmas = jnp.asarray(calculate_sigmas(ms, scheduler, steps, denoise))
     if noise is None:
@@ -395,6 +542,9 @@ def ksampler(
         None if id_maps is None else id_maps.shape,
         sampler_name, scheduler, steps, cfg_scale, denoise, use_corr,
         tuple((s, p) for _, s, p in cn_models),
+        tuple(specs), use_conds, use_scene, sprite_ids,
+        tuple(c.shape for c in cond_ctxs),
+        tuple(None if m is None else m.shape for m in cond_masks),
     )
     fn = ctx.jit_cache.get(cache_key) if hasattr(ctx, "jit_cache") else None
     if fn is None:
@@ -404,7 +554,8 @@ def ksampler(
         corr = corresponder  # identity-stable: corresponder node output is cached
 
         def run(unet_params, cn_params_t, ctx_pos_, ctx_neg_, latent_, noise_,
-                sigmas_, id_maps_, hints_t, key_):
+                sigmas_, id_maps_, hints_t, key_, cond_ctxs_t, cond_masks_t,
+                scene_ctx_):
             control_fn = None
             if cn_models:
                 def control_fn(x_in, t, c_):
@@ -431,12 +582,39 @@ def ksampler(
 
             hooks = corr.attn_hooks(None) if use_corr else AttnHooks()
             step_cb = corr.make_step_callback(id_maps_, log_sigmas) if use_corr else None
-            den = make_denoiser(
-                unet, unet_params, ctx_pos_,
-                None if cfg_scale == 1.0 else ctx_neg_,
-                log_sigmas, cfg_scale=cfg_scale,
-                prediction=prediction, hooks=hooks, control_fn=control_fn,
-            )
+            uncond = None if cfg_scale == 1.0 else ctx_neg_
+            if use_scene:
+                # per-sprite masked conditioning, same path as the pipeline
+                from stable_renderer_tpu.models.sampling.scene_cond import (
+                    make_scene_denoiser,
+                    sprite_masks,
+                )
+
+                b_ = latent_.shape[0]
+                sc = jnp.broadcast_to(
+                    scene_ctx_[:, None], (scene_ctx_.shape[0], b_, *scene_ctx_.shape[1:])
+                )
+                smasks = sprite_masks(id_maps_, sprite_ids, latent_.shape[1], latent_.shape[2])
+                den = make_scene_denoiser(
+                    unet, unet_params, sc, smasks, uncond, log_sigmas,
+                    cfg_scale=cfg_scale, prediction=prediction, hooks=hooks,
+                    control_fn=control_fn,
+                )
+            elif use_conds:
+                from stable_renderer_tpu.models.sampling.conds import make_cond_denoiser
+
+                den = make_cond_denoiser(
+                    unet, unet_params, list(cond_ctxs_t), list(specs),
+                    list(cond_masks_t), uncond, log_sigmas,
+                    cfg_scale=cfg_scale, prediction=prediction, hooks=hooks,
+                    control_fn=control_fn,
+                )
+            else:
+                den = make_denoiser(
+                    unet, unet_params, ctx_pos_, uncond,
+                    log_sigmas, cfg_scale=cfg_scale,
+                    prediction=prediction, hooks=hooks, control_fn=control_fn,
+                )
             return sample(
                 den, noise_, sigmas_, latent_image=latent_, sampler=sampler_name,
                 key=key_, step_callback=step_cb,
@@ -449,6 +627,7 @@ def ksampler(
     out = fn(
         model["params"], tuple(cn_params), ctx_pos, ctx_neg, latent, noise,
         sigmas, id_maps, tuple(cn_hints), jax.random.PRNGKey(seed),
+        tuple(cond_ctxs), tuple(cond_masks), scene_ctx,
     )
     return ({"samples": out},)
 
@@ -629,14 +808,29 @@ def clip_set_last_layer(ctx: InferenceContext, node: WorkflowNode, clip=None):
 @register_node("ConditioningCombine")
 def conditioning_combine(ctx: InferenceContext, node: WorkflowNode,
                          conditioning_1=None, conditioning_2=None):
-    import jax.numpy as jnp
-
-    # comfy concatenates cond lists; for contexts, concat along tokens
+    """comfy ConditioningCombine returns the cond LIST [a, b]; here the second
+    cond rides along as extra_conds and the sampler blends all entries with the
+    calc_cond_uncond_batch semantics (conds.py)."""
     a, b = conditioning_1, conditioning_2
     return ({
-        "context": jnp.concatenate([a["context"], b["context"]], axis=1),
+        **a,
+        "extra_conds": list(a.get("extra_conds", [])) + [b] + list(b.get("extra_conds", [])),
         "controls": list(a.get("controls", [])) + list(b.get("controls", [])),
         "prompt": f"{a.get('prompt', '')}, {b.get('prompt', '')}",
+    },)
+
+
+@register_node("ConditioningConcat")
+def conditioning_concat(ctx: InferenceContext, node: WorkflowNode,
+                        conditioning_to=None, conditioning_from=None):
+    import jax.numpy as jnp
+
+    # nodes.py ConditioningConcat: concatenate along the token axis
+    a, b = conditioning_to, conditioning_from
+    return ({
+        **a,
+        "context": jnp.concatenate([a["context"], b["context"]], axis=1),
+        "prompt": f"{a.get('prompt', '')} {b.get('prompt', '')}",
     },)
 
 
@@ -644,10 +838,7 @@ def conditioning_combine(ctx: InferenceContext, node: WorkflowNode,
 def masked_text_encode(ctx: InferenceContext, node: WorkflowNode, clip=None,
                        text=None, mask=None):
     """Per-mask conditioning (stable_rendering conditions.py MaskedTextEncode):
-    records the mask; blended at sampler time via scene_cond semantics."""
-    import jax.numpy as jnp
-
+    the mask is carried on the cond and consumed by KSampler's cond blending."""
     prompt = text if text is not None else (str(node.widgets[0]) if node.widgets else "")
-    tokens = jnp.asarray(clip["tokenizer"].encode_batch([prompt]))
-    cond = clip["clip"].apply(clip["params"], tokens)
+    cond = _encode_weighted(clip, [prompt])
     return ({"context": cond, "controls": [], "prompt": prompt, "mask": mask},)
