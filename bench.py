@@ -11,6 +11,10 @@ vs_baseline = fps / 2.5 (the reference's published 2-3 fps midpoint,
 reference README.md:45).
 
 Env knobs: SR_BENCH_QUICK=1 -> tiny model + 64x64 (CI/debug); SR_BENCH_FRAMES.
+--dp (or SR_BENCH_DP=1): bake-batched mode — 8 frames rendered as ONE dp-sharded
+program over all local devices (the reference's baking_interval=8 batching,
+renderManager.py:877-948); reports batched frames/s, so the v5e-8 projection is
+(frames/s per chip) x 8 minus collective overhead, measured not extrapolated.
 """
 
 from __future__ import annotations
@@ -23,6 +27,7 @@ import time
 
 def main() -> None:
     quick = os.environ.get("SR_BENCH_QUICK") == "1"
+    dp_mode = "--dp" in sys.argv or os.environ.get("SR_BENCH_DP") == "1"
     n_frames = int(os.environ.get("SR_BENCH_FRAMES", "8" if not quick else "4"))
 
     import jax
@@ -73,6 +78,62 @@ def main() -> None:
     sigmas = jnp.asarray(
         calculate_sigmas(pipe.model_sampling, cfg.scheduler, cfg.steps, cfg.denoise)
     )
+
+    if dp_mode:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from stable_renderer_tpu.data.engine_data import EngineData
+        from stable_renderer_tpu.parallel import create_mesh
+
+        n_dev = jax.device_count()
+        batch = max(8, n_dev)  # the reference's baking_interval=8, >=1 frame/chip
+        dmesh = create_mesh({"dp": n_dev, "tp": 1})
+
+        # rasterize + pack `batch` frames once (the bake accumulation phase)
+        packs = []
+        for i in range(batch):
+            model = translate(jnp.asarray([0.0, 0.0, 0.0]))
+            gbuf, zbuf = GBuffer.empty(size, size), jnp.ones((size, size))
+            gbuf, zbuf = _draw_pass(
+                gbuf, zbuf, buffers, view @ model, proj, uniforms, size, size,
+                noise=noise_tex,
+            )
+            packs.append(pack_frame_data(gbuf, bg_noise, i))
+        ed = EngineData(
+            frame_indices=jnp.arange(batch),
+            color_maps=jnp.stack([p["color"] for p in packs]),
+            id_maps=jnp.stack([p["id"] for p in packs]),
+            noise_maps=jnp.stack([p["noise"] for p in packs]),
+        )
+
+        def submit(key):
+            return pipe.render(ed, corresponder=corresponder, key=key, mesh=dmesh)
+
+        t0 = time.time()
+        out = submit(jax.random.PRNGKey(0))
+        _ = np.asarray(out[0, 0, 0])
+        compile_s = time.time() - t0
+        iters = max(1, n_frames // batch) * 2
+        t0 = time.time()
+        for i in range(iters):
+            out = submit(jax.random.PRNGKey(i))
+            _ = np.asarray(out[0, 0, 0])
+        dt = time.time() - t0
+        fps = iters * batch / dt
+        platform = jax.devices()[0].platform
+        print(json.dumps({
+            "metric": f"bake-batched img2img frames/s @ {size}x{size}, "
+                      f"4-step LCM cfg2, batch={batch}, dp={n_dev} ({platform})",
+            "value": round(fps, 3),
+            "unit": "frames/s",
+            "vs_baseline": round(fps / 2.5, 3),
+        }))
+        print(
+            f"# compile {compile_s:.1f}s, {iters}x{batch} frames in {dt:.2f}s, "
+            f"devices={n_dev}",
+            file=sys.stderr,
+        )
+        return
 
     def frame(angle: float, key):
         model = translate(jnp.asarray([0.0, 0.0, 0.0]))

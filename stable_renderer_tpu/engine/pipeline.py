@@ -215,11 +215,20 @@ class DiffusionPipeline:
         key: Optional[jax.Array] = None,
         prompts: Optional[List[str]] = None,
         negatives: Optional[List[str]] = None,
+        mesh=None,
+        dp_axis: str = "dp",
     ) -> jax.Array:
         """EngineData -> decoded frames (N, H, W, 3) in [0, 1].
 
         The heavy path (everything after tokenization) is one jit; repeat calls
         with the same shapes reuse the compiled program.
+
+        With ``mesh`` (a jax.sharding.Mesh with a ``dp_axis``) the frame batch is
+        sharded over the mesh's data-parallel axis — the multi-chip analogue of
+        the reference's 8-frame bake batching (renderManager.py:877-948). GSPMD
+        propagates the frame sharding through VAE/UNet/sampler; the cross-frame
+        corresponder ops (broadcast-KV, vertex averaging) lower to all-gather /
+        segment-reduce collectives over ``dp_axis``.
         """
         cfg = self.config
         n = engine_data.frame_count
@@ -271,15 +280,34 @@ class DiffusionPipeline:
         }
         hints = tuple(hint_sources[spec.source] for _, _, spec in self.controlnets)
 
+        color = engine_data.color_maps
+        noise_maps = engine_data.noise_maps
+        id_maps = engine_data.id_maps
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dp = NamedSharding(mesh, P(dp_axis))
+            rep = NamedSharding(mesh, P())
+            put = lambda x, s: None if x is None else jax.device_put(x, s)  # noqa: E731
+            color = put(color, dp)
+            noise_maps = put(noise_maps, dp)
+            id_maps = put(id_maps, dp)
+            hints = tuple(put(hh, dp) for hh in hints)
+            # scene-conditioning ctx is (S+1, B, L, D): frames on axis 1
+            ctx = put(ctx, NamedSharding(mesh, P(None, dp_axis)) if ctx.ndim == 4 else dp)
+            nctx = put(nctx, dp)
+            sigmas = put(sigmas, rep)
+            key = put(key, rep)
+
         images = self._jit_render(
             corresponder,
             sprite_ids,
             self.unet_params,
             self.vae_params,
             tuple(p for _, p, _ in self.controlnets),
-            engine_data.color_maps,
-            engine_data.noise_maps,
-            engine_data.id_maps,
+            color,
+            noise_maps,
+            id_maps,
             hints,
             ctx,
             nctx,
