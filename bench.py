@@ -1,20 +1,24 @@
 """Headline benchmark: 512x512 img2img render-loop fps on TPU.
 
 Reproduces the reference's realtime configuration (BASELINE.md: SD1.5-class UNet,
-4 steps, cfg 2.0, lcm sampler + sgm_uniform scheduler, 512x512) as the full frame
-step: rasterize scene -> pack EngineData (8x8 noise pooling + AdaIN) -> CLIP-
-conditioned CFG denoise scan with cross-frame hooks -> VAE decode -> composite.
+4 steps, cfg 2.0, lcm sampler + sgm_uniform scheduler, 512x512) by running the
+REAL engine loop — Engine.Run with a sphere scene, diffusion every frame through
+the fused single-dispatch frame program, double-buffered uint8 presents — i.e.
+the same code path a user's script executes, not a hand-rolled frame function.
 Weights are random (fps depends on architecture + shapes, not weight values).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
 vs_baseline = fps / 2.5 (the reference's published 2-3 fps midpoint,
 reference README.md:45).
 
+Modes:
+  (default)            real engine-loop fps, one frame per diffusion call
+  --dp / SR_BENCH_DP=1 bake-batched: 8 frames as ONE dp-sharded program over all
+                       local devices (the reference's baking_interval=8 batching,
+                       renderManager.py:877-948); reports batched frames/s, so
+                       the v5e-8 projection is (frames/s per chip) x 8 minus
+                       collective overhead — measured, not extrapolated.
 Env knobs: SR_BENCH_QUICK=1 -> tiny model + 64x64 (CI/debug); SR_BENCH_FRAMES.
---dp (or SR_BENCH_DP=1): bake-batched mode — 8 frames rendered as ONE dp-sharded
-program over all local devices (the reference's baking_interval=8 batching,
-renderManager.py:877-948); reports batched frames/s, so the v5e-8 projection is
-(frames/s per chip) x 8 minus collective overhead, measured not extrapolated.
 """
 
 from __future__ import annotations
@@ -39,15 +43,8 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from stable_renderer_tpu.data.engine_data import EngineData
-    from stable_renderer_tpu.engine.mesh import Mesh
     from stable_renderer_tpu.engine.pipeline import DiffusionPipeline
-    from stable_renderer_tpu.engine.render_exec import _draw_pass, mesh_device_buffers, pack_frame_data
-    from stable_renderer_tpu.data.framebuffers import GBuffer
     from stable_renderer_tpu.ops.correspondence import OverlapCorresponder
-    from stable_renderer_tpu.ops.gbuffer import DrawUniforms, RENDER_MODE_BAKING
-    from stable_renderer_tpu.ops.postprocess import PostProcessParams, post_process
-    from stable_renderer_tpu.ops.transforms import look_at, perspective, translate
     from stable_renderer_tpu.workflow.config import RenderConfig
 
     if jax.devices()[0].platform != "cpu" and os.environ.get("SR_NO_PALLAS") != "1":
@@ -64,30 +61,36 @@ def main() -> None:
     corresponder = OverlapCorresponder(
         vertex_segments=size * size, update_corrmap=False
     )
-
-    mesh = Mesh.Sphere(1.0, 48)
-    buffers = mesh_device_buffers(mesh)
-    view = look_at(jnp.asarray([0.0, 0.5, 3.0]), jnp.zeros(3), jnp.asarray([0.0, 1.0, 0.0]))
-    proj = perspective(45.0, 1.0, 0.1, 100.0)
-    uniforms = DrawUniforms(sprite_id=1, material_id=1, render_mode=RENDER_MODE_BAKING, corrmap_k=3)
-    bg_noise = jax.random.normal(jax.random.PRNGKey(7), (1, size, size, 4))
-    noise_tex = jax.random.normal(jax.random.PRNGKey(3), (256, 256, 4))
-    ctx, nctx = pipe.encode_prompts(["a ball"], [""])
-    from stable_renderer_tpu.models.sampling import calculate_sigmas
-
-    sigmas = jnp.asarray(
-        calculate_sigmas(pipe.model_sampling, cfg.scheduler, cfg.steps, cfg.denoise)
-    )
+    platform = jax.devices()[0].platform
 
     if dp_mode:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from stable_renderer_tpu.data.engine_data import EngineData
+        from stable_renderer_tpu.data.framebuffers import GBuffer
+        from stable_renderer_tpu.engine.mesh import Mesh
+        from stable_renderer_tpu.engine.render_exec import (
+            _draw_pass,
+            mesh_device_buffers,
+            pack_frame_data,
+        )
+        from stable_renderer_tpu.ops.gbuffer import DrawUniforms, RENDER_MODE_BAKING
+        from stable_renderer_tpu.ops.transforms import look_at, perspective, translate
         from stable_renderer_tpu.parallel import create_mesh
 
         n_dev = jax.device_count()
         batch = max(8, n_dev)  # the reference's baking_interval=8, >=1 frame/chip
         dmesh = create_mesh({"dp": n_dev, "tp": 1})
+
+        mesh = Mesh.Sphere(1.0, 48)
+        buffers = mesh_device_buffers(mesh)
+        view = look_at(jnp.asarray([0.0, 0.5, 3.0]), jnp.zeros(3), jnp.asarray([0.0, 1.0, 0.0]))
+        proj = perspective(45.0, 1.0, 0.1, 100.0)
+        uniforms = DrawUniforms(
+            sprite_id=1, material_id=1, render_mode=RENDER_MODE_BAKING, corrmap_k=3
+        )
+        bg_noise = jax.random.normal(jax.random.PRNGKey(7), (1, size, size, 4))
+        noise_tex = jax.random.normal(jax.random.PRNGKey(3), (256, 256, 4))
 
         # rasterize + pack `batch` frames once (the bake accumulation phase)
         packs = []
@@ -120,7 +123,6 @@ def main() -> None:
             _ = np.asarray(out[0, 0, 0])
         dt = time.time() - t0
         fps = iters * batch / dt
-        platform = jax.devices()[0].platform
         print(json.dumps({
             "metric": f"bake-batched img2img frames/s @ {size}x{size}, "
                       f"4-step LCM cfg2, batch={batch}, dp={n_dev} ({platform})",
@@ -135,61 +137,56 @@ def main() -> None:
         )
         return
 
-    def frame(angle: float, key):
-        model = translate(jnp.asarray([0.0, 0.0, 0.0]))
-        gbuf, zbuf = GBuffer.empty(size, size), jnp.ones((size, size))
-        gbuf, zbuf = _draw_pass(
-            gbuf, zbuf, buffers, view @ model, proj, uniforms, size, size,
-            noise=noise_tex,
-        )
-        pack = pack_frame_data(gbuf, bg_noise, 0)
-        images = pipe._jit_render(
-            corresponder,
-            (),
-            pipe.unet_params,
-            pipe.vae_params,
-            (),
-            pack["color"][None],
-            pack["noise"][None],
-            pack["id"][None],
-            (),
-            ctx,
-            nctx,
-            sigmas,
-            key,
-        )
-        out = post_process(
-            jnp.concatenate([images[0], jnp.ones_like(images[0][..., :1])], -1),
-            PostProcessParams(),
-        )
-        return out
+    # --- default: the REAL engine loop -------------------------------------
+    from stable_renderer_tpu.engine import (
+        AutoRotation,
+        Camera,
+        Engine,
+        GameObject,
+        Mesh,
+        MeshRenderer,
+        SpriteInfo,
+    )
 
-    # warmup/compile
-    t0 = time.time()
-    out = frame(0.0, jax.random.PRNGKey(0))
-    _ = np.asarray(out[0, 0])
-    compile_s = time.time() - t0
+    class BenchApp(Engine):
+        def beforePrepare(self):
+            cam = GameObject("camera")
+            cam.addComponent(Camera).env_prompt.prompt = "a ball"
+            cam.transform.position = [0.0, 0.5, 3.0]
+            cam.transform.lookAt([0.0, 0.0, 0.0])
+            obj = GameObject("ball")
+            obj.addComponent(SpriteInfo, prompt="a shiny ball")
+            obj.addComponent(MeshRenderer, mesh=Mesh.Sphere(1.0, 48))
+            obj.addComponent(AutoRotation, speed_deg=4.0)
 
-    # Force a device->host readback of one pixel per frame: on this runtime
-    # block_until_ready alone does not guarantee execution finished, and a real
-    # render loop reads every frame out anyway (WindowManager.present).
+    presented = []
+
+    def cb(frame, idx):
+        presented.append((time.time(), idx, frame.dtype.str, frame.shape))
+
+    # one continuous run; the first `warm` frames compile the fused program,
+    # fps is measured over the remaining n_frames from present timestamps
+    warm = 2
     t0 = time.time()
-    for i in range(n_frames):
-        out = frame(float(i), jax.random.PRNGKey(i))
-        _ = np.asarray(out[0, 0])
-    dt = time.time() - t0
+    Engine._reset()
+    BenchApp.Run(
+        winSize=(size, size), pipeline=pipe, corresponder=corresponder,
+        frame_callback=cb, max_frames=n_frames + warm,
+    )
+    assert len(presented) == n_frames + warm, len(presented)
+    compile_s = presented[warm - 1][0] - t0
+    dt = presented[-1][0] - presented[warm - 1][0]
     fps = n_frames / dt
 
-    platform = jax.devices()[0].platform
-    result = {
-        "metric": f"img2img render-loop fps @ {size}x{size}, 4-step LCM cfg2 ({platform})",
+    print(json.dumps({
+        "metric": f"engine-loop img2img fps @ {size}x{size}, 4-step LCM cfg2 ({platform})",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 2.5, 3),
-    }
-    print(json.dumps(result))
+    }))
     print(
-        f"# compile {compile_s:.1f}s, {n_frames} frames in {dt:.2f}s, device={jax.devices()[0]}",
+        f"# compile {compile_s:.1f}s, {n_frames} frames in {dt:.2f}s, "
+        f"device={jax.devices()[0]}, frame0={presented[0][1:]}",
         file=sys.stderr,
     )
 

@@ -76,7 +76,9 @@ class WindowManager(Manager):
             from PIL import Image
 
             os.makedirs(self.output_dir, exist_ok=True)
-            img = np.clip(frame[..., :3] * 255.0, 0, 255).astype(np.uint8)
+            img = frame[..., :3]
+            if img.dtype != np.uint8:  # frames arrive uint8 from the fused step
+                img = np.clip(img * 255.0, 0, 255).astype(np.uint8)
             Image.fromarray(img).save(os.path.join(self.output_dir, f"frame_{frame_index}.png"))
 
 
@@ -166,10 +168,15 @@ class RuntimeManager(Manager):
         self.fps.tick()
 
 
+_PACK_KEYS = ("color", "mask", "id", "pos", "normal", "depth", "noise", "canny")
+
+
 class RenderManager(Manager):
-    """The hot loop (renderManager.py:135-1047), TPU-shaped: draws execute as
-    compiled passes over device arrays, frame packing is one jitted function,
-    and nothing round-trips through the host between rasterize and diffusion."""
+    """The hot loop (renderManager.py:135-1047), TPU-shaped: the ENTIRE frame
+    (draws -> pack -> denoise -> decode -> compose -> uint8) compiles into ONE
+    XLA program (engine/frame_program.py) — one device dispatch per frame — and
+    presents are double-buffered: frame N+1 is dispatched before frame N's uint8
+    readback, so the host transfer overlaps device compute."""
 
     FrameRunFuncOrder = 100
 
@@ -180,6 +187,8 @@ class RenderManager(Manager):
         self._corrmaps: Dict[Tuple[int, int], object] = {}
         self._env_prompts: List[EnvPrompt] = []
         self._pending: List[dict] = []  # accumulated frame packs for bake batching
+        self._pending_indices: List[int] = []
+        self._inflight = None  # (device frame, frame_index) awaiting present
         self.timer = StageTimer()
         self._bg_noise = None
         self.last_gbuffer = None
@@ -201,10 +210,34 @@ class RenderManager(Manager):
         self.AddGBufferTask(draw_call)
 
     def AddDeferRenderTask(self, task: Callable, order: float = 0.0) -> None:
+        """Register a defer-stage pass for this frame (renderManager.py:771-777).
+        ``task(color, gbuffer) -> color | None``: a returned array replaces the
+        display color; None means side-effect only. Fewer-arg callables are
+        called with as many leading args as they accept."""
         self.defer_tasks.add_task(task, order)
 
     def AddPostProcessTask(self, task: Callable, order: float = 0.0) -> None:
+        """Register a post-process pass for this frame (renderManager.py:779-790).
+        ``task(color) -> color | None`` with the same replace/side-effect rule."""
         self.post_tasks.add_task(task, order)
+
+    @staticmethod
+    def _apply_tasks(queue: AutoSortTask, *args):
+        """Run user defer/post tasks: each may return a replacement color."""
+        import inspect
+
+        color = args[0]
+        for t in sorted(queue._tasks):
+            try:
+                n_params = len(inspect.signature(t.fn).parameters) - len(t.args) - len(t.kwargs)
+            except (TypeError, ValueError):
+                n_params = 0
+            out = t.fn(*args[: max(n_params, 0)], *t.args, **t.kwargs)
+            if out is not None:
+                color = out
+                args = (color,) + args[1:]
+        queue.clear()
+        return color
 
     def SubmitSprite(self, sprite: Sprite) -> None:
         self._sprites[sprite.spriteID] = sprite
@@ -228,82 +261,156 @@ class RenderManager(Manager):
     # --- the frame ---
 
     def on_frame_run(self):
+        import jax
         import jax.numpy as jnp
 
-        from stable_renderer_tpu.engine.render_exec import execute_draws, pack_frame_data
-        from stable_renderer_tpu.ops.postprocess import PostProcessParams, defer_render, post_process
+        from stable_renderer_tpu.engine.frame_program import (
+            display_to_uint8,
+            draw_call_inputs,
+            frame_step,
+        )
+        from stable_renderer_tpu.ops.postprocess import PostProcessParams
 
         engine = self.engine
+        dm = engine.DiffusionManager
         w, h = engine.WindowManager.WindowSize
+        frame_count = engine.RuntimeManager.FrameCount
 
-        with self.timer.stage("gbuffer"):
-            draws = [t() for t in [task.fn for task in sorted(self.gbuffer_tasks._tasks)]]
-            cam = self._main_camera()
-            gbuf = execute_draws(draws, cam, h, w)
+        with self.timer.stage("assemble"):
+            draw_calls = [t.fn() for t in sorted(self.gbuffer_tasks._tasks)]
             self.gbuffer_tasks.clear()
+            cam = self._main_camera()
+            if cam is not None and draw_calls:
+                view = jnp.asarray(cam.viewMatrix)
+                proj = jnp.asarray(cam.projectionMatrix(w / h))
+                draws, sigs = draw_call_inputs(draw_calls, view)
+            else:
+                draws, sigs, proj = (), (), jnp.eye(4)
+
+            pipe = None if engine.disableComfyUI else dm.pipeline
+            is_baking = engine.Mode.name == "BAKE"
+            run_diffusion = pipe is not None and (not is_baking or dm.ShouldSubmitBake)
+            corresponder = None
+            sprite_ids: tuple = ()
+            ctx = nctx = sigmas = key = None
+            pending = None
+            cn_sources: tuple = ()
+            cn_params: tuple = ()
+            unet_params = vae_params = None
+            if run_diffusion:
+                from stable_renderer_tpu.ops.correspondence import DefaultCorresponder
+
+                corresponder = dm.corresponder or DefaultCorresponder()
+                n = len(self._pending) + 1
+                env = self._env_tuple()
+                sprite_ids, ctx, nctx = pipe.prepare_conditioning(
+                    dict(self._sprites), env, n
+                )
+                sigmas = pipe.scheduler_sigmas()
+                key = jax.random.PRNGKey(pipe.config.seed + frame_count)
+                if self._pending:
+                    pending = {
+                        k: jnp.stack([p[k] for p in self._pending]) for k in _PACK_KEYS
+                    }
+                cn_sources = tuple(spec.source for _, _, spec in pipe.controlnets)
+                cn_params = tuple(p for _, p, _ in pipe.controlnets)
+                unet_params, vae_params = pipe.unet_params, pipe.vae_params
+
+            pp = self.post_process_params or PostProcessParams()
+            have_tasks = bool(len(self.defer_tasks) or len(self.post_tasks))
+
+        with self.timer.stage("dispatch"):
+            display, gbuf, pack, images = frame_step(
+                pipe if run_diffusion else None,
+                corresponder,
+                sprite_ids,
+                sigs,
+                h,
+                w,
+                run_diffusion,
+                is_baking,
+                pp,
+                cn_sources,
+                not have_tasks,  # uint8 on-device unless host tasks intervene
+                draws,
+                proj,
+                self.GlobalBGNoise,
+                pending,
+                ctx,
+                nctx,
+                sigmas,
+                key,
+                unet_params,
+                vae_params,
+                cn_params,
+            )
         self.last_gbuffer = gbuf
 
-        diffusion_ran = False
-        color_out = gbuf.color
-        if not engine.disableComfyUI and engine.DiffusionManager.pipeline is not None:
-            with self.timer.stage("pack_frame_data"):
-                pack = pack_frame_data(gbuf, self.GlobalBGNoise, engine.RuntimeManager.FrameCount)
-                self._pending.append(pack)
-            dm = engine.DiffusionManager
-            if engine.Mode.name != "BAKE" or dm.ShouldSubmitBake:
-                with self.timer.stage("diffusion"):
-                    engine_data = self._build_engine_data()
-                    result = dm.SubmitPrompt(engine_data)
-                    self._pending.clear()
-                if result is not None:
-                    diffusion_ran = True
-                    # write the last frame's diffusion output back as the display
-                    # color (renderManager.py:1017-1021)
-                    rgb = result[-1]
-                    color_out = jnp.concatenate(
-                        [rgb, jnp.ones_like(rgb[..., :1])], axis=-1
-                    )
-                    self.last_diffusion_frames = result
+        if have_tasks:
+            with self.timer.stage("host_tasks"):
+                display = self._apply_tasks(self.defer_tasks, display, gbuf)
+                display = self._apply_tasks(self.post_tasks, display)
+                display = display_to_uint8(display)
 
-        with self.timer.stage("compose"):
-            is_baking = engine.Mode.name == "BAKE"
-            color_out = defer_render(color_out, gbuf.id, is_baking=is_baking and not diffusion_ran)
-            for task in self.defer_tasks.execute():
-                if task is not None:
-                    color_out = task if not callable(task) else color_out
-            pp = self.post_process_params or PostProcessParams()
-            color_out = post_process(color_out, pp)
-            for task in self.post_tasks.execute():
-                pass
+        if run_diffusion:
+            with self.timer.stage("finish"):
+                self.last_diffusion_frames = images
+                engine_data = self._build_engine_data(pending, pack, frame_count)
+                corresponder.finished(engine_data, images)
+                if dm.output_maps and dm.map_output_dir:
+                    dm._dump_maps_async(engine_data, images)
+                self._pending.clear()
+                self._pending_indices.clear()
+        elif pipe is not None:
+            # bake accumulation frame: hold the pack for the batched submit
+            self._pending.append(pack)
+            self._pending_indices.append(frame_count)
 
         with self.timer.stage("present"):
-            engine.WindowManager.present(
-                np.asarray(color_out), engine.RuntimeManager.FrameCount
-            )
+            # double-buffered: dispatch this frame, read back the previous one
+            prev, self._inflight = self._inflight, (display, frame_count)
+            if prev is not None:
+                engine.WindowManager.present(np.asarray(prev[0]), prev[1])
+
+    def flush_present(self) -> None:
+        """Read back + deliver the last in-flight frame (end of run / tests)."""
+        prev, self._inflight = self._inflight, None
+        if prev is not None:
+            self.engine.WindowManager.present(np.asarray(prev[0]), prev[1])
+
+    def release(self):
+        self.flush_present()
 
     def _main_camera(self):
         from stable_renderer_tpu.engine.camera import Camera
 
         return Camera.MainCamera()
 
-    def _build_engine_data(self) -> EngineData:
-        import jax.numpy as jnp
-
-        packs = self._pending
+    def _env_tuple(self) -> tuple:
         cam = self._main_camera()
         env = (cam.env_prompt,) if cam is not None else ()
+        return env + tuple(self._env_prompts)
+
+    def _build_engine_data(self, pending, pack, frame_count: int) -> EngineData:
+        import jax.numpy as jnp
+
+        def batch(k):
+            if pending is None:
+                return pack[k][None]
+            return jnp.concatenate([pending[k], pack[k][None]], axis=0)
+
         return EngineData(
-            frame_indices=jnp.asarray([p["frame_index"] for p in packs]),
-            color_maps=jnp.stack([p["color"] for p in packs]),
-            id_maps=jnp.stack([p["id"] for p in packs]),
-            pos_maps=jnp.stack([p["pos"] for p in packs]),
-            noise_maps=jnp.stack([p["noise"] for p in packs]),
-            normal_maps=jnp.stack([p["normal"] for p in packs]),
-            depth_maps=jnp.stack([p["depth"] for p in packs]),
-            canny_maps=jnp.stack([p["canny"] for p in packs]),
-            masks=jnp.stack([p["mask"] for p in packs]),
+            frame_indices=jnp.asarray(self._pending_indices + [frame_count]),
+            color_maps=batch("color"),
+            id_maps=batch("id"),
+            pos_maps=batch("pos"),
+            noise_maps=batch("noise"),
+            normal_maps=batch("normal"),
+            depth_maps=batch("depth"),
+            canny_maps=batch("canny"),
+            masks=batch("mask"),
             sprite_infos=dict(self._sprites),
-            env_prompts=env + tuple(self._env_prompts),
+            env_prompts=self._env_tuple(),
             correspond_maps=dict(self._corrmaps),
         )
 

@@ -141,7 +141,16 @@ class DiffusionPipeline:
         """Weighted multi-chunk conditioning: `(word:1.2)` weighting, >75-token
         chunk concat, textual-inversion embeddings (sd1_clip.py:25-60 + :400-484).
         cond and uncond are tokenized together so both pad to the same chunk
-        count (CONDCrossAttn.concat semantics, comfy/conds.py)."""
+        count (CONDCrossAttn.concat semantics, comfy/conds.py).
+
+        Results are cached by (texts, clip_skip) so an unchanged prompt costs
+        nothing per frame (the reference caches via the executor's node cache)."""
+        cache_key = (tuple(prompts), tuple(negatives), self.config.clip_skip)
+        cache = getattr(self, "_cond_cache", None)
+        if cache is None:
+            cache = self._cond_cache = {}
+        if cache_key in cache:
+            return cache[cache_key]
         np_b = len(prompts)
         ids, weights, custom = self.tokenizer.tokenize_weighted_batch(
             list(prompts) + list(negatives)
@@ -162,7 +171,61 @@ class DiffusionPipeline:
             None if custom is None else jnp.asarray(custom),
             self.config.clip_skip,
         )
-        return ctx[:np_b], ctx[np_b:]
+        result = (ctx[:np_b], ctx[np_b:])
+        if len(cache) > 32:
+            cache.clear()
+        cache[cache_key] = result
+        return result
+
+    def scheduler_sigmas(self) -> jax.Array:
+        """Sigma schedule for the configured (scheduler, steps, denoise)."""
+        cfg = self.config
+        key = (cfg.scheduler, cfg.steps, cfg.denoise)
+        if getattr(self, "_sigma_cache_key", None) != key:
+            self._sigma_cache_key = key
+            self._sigma_cache = jnp.asarray(
+                calculate_sigmas(self.model_sampling, cfg.scheduler, cfg.steps, cfg.denoise)
+            )
+        return self._sigma_cache
+
+    def prepare_conditioning(
+        self,
+        sprite_infos: dict,
+        env_prompts: tuple,
+        n: int,
+        have_id_maps: bool = True,
+        prompts: Optional[List[str]] = None,
+        negatives: Optional[List[str]] = None,
+    ):
+        """Host-side prompt assembly + encoding for a frame batch of size n.
+
+        Returns (sprite_ids, ctx, nctx). sprite_ids non-empty selects the
+        SceneTextEncode path: per-sprite masked conditioning when several
+        prompted sprites are visible (conditions.py:52-110 semantics), where
+        ctx is (S+1, B, L, D); otherwise ctx is (B, L, D)."""
+        cfg = self.config
+        neg = ", ".join(
+            [s.negative_prompt for s in sprite_infos.values() if s.negative_prompt]
+            + [p.negative_prompt for p in env_prompts if p.negative_prompt]
+        ) or cfg.negative_prompt
+        if negatives is None:
+            negatives = [neg] * n
+        sprite_ids: tuple = ()
+        sprited = [(sid, sp.prompt) for sid, sp in sprite_infos.items() if sp.prompt]
+        env_text = ", ".join([p.prompt for p in env_prompts if p.prompt]) or cfg.prompt
+        if prompts is None and cfg.scene_conditioning and len(sprited) >= 2 and have_id_maps:
+            sprite_ids = tuple(sid for sid, _ in sprited)
+            scene_prompts = [t for _, t in sprited] + [env_text]
+            ctx_s, nctx = self.encode_prompts(scene_prompts, [neg] * len(scene_prompts))
+            # (S+1, L, D) -> (S+1, B, L, D); uncond: one per frame
+            ctx = jnp.broadcast_to(ctx_s[:, None], (ctx_s.shape[0], n, *ctx_s.shape[1:]))
+            nctx = jnp.broadcast_to(nctx[:1], (n, *nctx.shape[1:]))
+        else:
+            if prompts is None:
+                text = ", ".join([t for _, t in sprited] + ([env_text] if env_text else [])) or cfg.prompt
+                prompts = [text] * n
+            ctx, nctx = self.encode_prompts(prompts, negatives)
+        return sprite_ids, ctx, nctx
 
     # --- the compiled program -------------------------------------------------
 
@@ -233,43 +296,15 @@ class DiffusionPipeline:
         cfg = self.config
         n = engine_data.frame_count
         key = key if key is not None else jax.random.PRNGKey(cfg.seed)
-        neg = ", ".join(
-            [s.negative_prompt for s in engine_data.sprite_infos.values() if s.negative_prompt]
-            + [p.negative_prompt for p in engine_data.env_prompts if p.negative_prompt]
-        ) or cfg.negative_prompt
-        if negatives is None:
-            negatives = [neg] * n
-
-        # SceneTextEncode path: per-sprite masked conditioning when several
-        # prompted sprites are visible (conditions.py:52-110 semantics)
-        sprite_ids: tuple = ()
-        sprited = [
-            (sid, sp.prompt)
-            for sid, sp in engine_data.sprite_infos.items()
-            if sp.prompt
-        ]
-        env_text = ", ".join([p.prompt for p in engine_data.env_prompts if p.prompt]) or cfg.prompt
-        if (
-            prompts is None
-            and cfg.scene_conditioning
-            and len(sprited) >= 2
-            and engine_data.id_maps is not None
-        ):
-            sprite_ids = tuple(sid for sid, _ in sprited)
-            scene_prompts = [t for _, t in sprited] + [env_text]
-            ctx_s, nctx = self.encode_prompts(scene_prompts, [neg] * len(scene_prompts))
-            # (S+1, L, D) -> (S+1, B, L, D); uncond: one per frame
-            ctx = jnp.broadcast_to(ctx_s[:, None], (ctx_s.shape[0], n, *ctx_s.shape[1:]))
-            nctx = jnp.broadcast_to(nctx[:1], (n, *nctx.shape[1:]))
-        else:
-            if prompts is None:
-                text = ", ".join([t for _, t in sprited] + ([env_text] if env_text else [])) or cfg.prompt
-                prompts = [text] * n
-            ctx, nctx = self.encode_prompts(prompts, negatives)
-
-        sigmas = jnp.asarray(
-            calculate_sigmas(self.model_sampling, cfg.scheduler, cfg.steps, cfg.denoise)
+        sprite_ids, ctx, nctx = self.prepare_conditioning(
+            engine_data.sprite_infos,
+            engine_data.env_prompts,
+            n,
+            have_id_maps=engine_data.id_maps is not None,
+            prompts=prompts,
+            negatives=negatives,
         )
+        sigmas = self.scheduler_sigmas()
         corresponder = corresponder or DefaultCorresponder()
         hint_sources = {
             "normal": engine_data.normal_maps,
