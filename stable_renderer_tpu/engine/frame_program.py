@@ -69,6 +69,7 @@ def frame_step(
     pending: Optional[dict],  # traced: stacked packs of earlier bake frames
     ctx, nctx, sigmas, key,   # traced conditioning (None when not run_diffusion)
     unet_params, vae_params, cn_params,
+    y_cond=None, y_uncond=None,  # traced SDXL ADM vectors (None for SD1.x)
 ):
     gbuf = GBuffer.empty(height, width)
     zbuf = jnp.ones((height, width))
@@ -128,6 +129,8 @@ def frame_step(
             nctx,
             sigmas,
             key,
+            y_cond,
+            y_uncond,
         )
         rgb = images[-1]  # display the latest frame (renderManager.py:1017-1021)
         display = jnp.concatenate([rgb, jnp.ones_like(rgb[..., :1])], axis=-1)

@@ -293,6 +293,7 @@ class RenderManager(Manager):
             corresponder = None
             sprite_ids: tuple = ()
             ctx = nctx = sigmas = key = None
+            y_cond = y_uncond = None
             pending = None
             cn_sources: tuple = ()
             cn_params: tuple = ()
@@ -303,8 +304,8 @@ class RenderManager(Manager):
                 corresponder = dm.corresponder or DefaultCorresponder()
                 n = len(self._pending) + 1
                 env = self._env_tuple()
-                sprite_ids, ctx, nctx = pipe.prepare_conditioning(
-                    dict(self._sprites), env, n
+                sprite_ids, ctx, nctx, y_cond, y_uncond = pipe.prepare_conditioning(
+                    dict(self._sprites), env, n, image_size=(h, w)
                 )
                 sigmas = pipe.scheduler_sigmas()
                 key = jax.random.PRNGKey(pipe.config.seed + frame_count)
@@ -343,6 +344,8 @@ class RenderManager(Manager):
                 unet_params,
                 vae_params,
                 cn_params,
+                y_cond,
+                y_uncond,
             )
         self.last_gbuffer = gbuf
 

@@ -59,6 +59,13 @@ class DiffusionPipeline:
     config: RenderConfig = field(default_factory=RenderConfig)
     model_sampling: ModelSampling = field(default_factory=ModelSampling)
     controlnets: List[Tuple[ControlNet, dict, ControlNetSpec]] = field(default_factory=list)
+    # SDXL second tower (comfy sdxl_clip.py SDXLClipModel); None for SD1.x
+    clip_g: Optional[object] = None
+    clip_g_params: Optional[dict] = None
+
+    @property
+    def is_sdxl(self) -> bool:
+        return self.unet.config.adm_in_channels is not None
 
     # --- constructors --------------------------------------------------------
 
@@ -70,9 +77,18 @@ class DiffusionPipeline:
         dtype=jnp.bfloat16,
         loras: List[Tuple[str, float]] = (),
     ) -> "DiffusionPipeline":
-        """Load a reference-format SD checkpoint (+ optional LoRAs, e.g. LCM)."""
+        """Load a reference-format SD checkpoint (+ optional LoRAs, e.g. LCM).
+
+        SDXL checkpoints (detected by label_emb / ADM channels) load the dual
+        text towers from conditioner.embedders.{0,1} and the SDXL VAE scale
+        (comfy sd.py:592-712 load_checkpoint_guess_config + sdxl_clip.py)."""
         from stable_renderer_tpu.models.lora import merge_lora
-        from stable_renderer_tpu.models.weights import load_checkpoint, load_state_dict, to_device
+        from stable_renderer_tpu.models.weights import (
+            load_checkpoint,
+            load_state_dict,
+            nest,
+            to_device,
+        )
 
         unet_p, vae_p, clip_p, ucfg = load_checkpoint(path)
         for lora_path, strength in loras:
@@ -81,16 +97,30 @@ class DiffusionPipeline:
             clip_p = merge_lora(clip_p, lora_flat, strength, prefix="lora_te_")
         config = config or RenderConfig()
         ms = ModelSampling(prediction="lcm" if config.sampler == "lcm" else "eps")
+        clip_g = clip_g_params = None
+        vcfg, ccfg = SD15_VAE_CONFIG, SD15_CLIP_CONFIG
+        if ucfg.adm_in_channels is not None:
+            from stable_renderer_tpu.models.clip import OpenCLIPTextModel, SDXL_CLIP_G_CONFIG
+            from stable_renderer_tpu.models.vae import SDXL_VAE_CONFIG
+
+            flat = load_state_dict(path)
+            clip_p = nest(flat, "conditioner.embedders.0.transformer.")
+            clip_g_nested = nest(flat, "conditioner.embedders.1.model.")
+            clip_g = OpenCLIPTextModel(SDXL_CLIP_G_CONFIG)
+            clip_g_params = to_device({"model": clip_g_nested}, jnp.float32)
+            vcfg = SDXL_VAE_CONFIG
         pipe = cls(
             unet=UNetModel(ucfg),
-            vae=VAE(SD15_VAE_CONFIG),
-            clip=CLIPTextModel(SD15_CLIP_CONFIG),
-            tokenizer=Tokenizer(SD15_CLIP_CONFIG),
+            vae=VAE(vcfg),
+            clip=CLIPTextModel(ccfg),
+            tokenizer=Tokenizer(ccfg),
             unet_params=to_device(unet_p, dtype),
             vae_params=to_device(vae_p, jnp.float32),
             clip_params=to_device(clip_p, jnp.float32),
             config=config,
             model_sampling=ms,
+            clip_g=clip_g,
+            clip_g_params=clip_g_params,
         )
         return pipe
 
@@ -101,12 +131,34 @@ class DiffusionPipeline:
         tiny: bool = True,
         seed: int = 0,
         dtype=None,
+        family: str = "sd15",
     ) -> "DiffusionPipeline":
-        """Random-weight pipeline (tiny for tests; full-size bf16 for benchmarks)."""
-        ucfg = TINY_UNET_CONFIG if tiny else SD15_UNET_CONFIG
-        vcfg = TINY_VAE_CONFIG if tiny else SD15_VAE_CONFIG
-        ccfg = TINY_CLIP_CONFIG if tiny else SD15_CLIP_CONFIG
-        ccfg = replace(ccfg, hidden_size=ucfg.context_dim) if ccfg.hidden_size != ucfg.context_dim else ccfg
+        """Random-weight pipeline (tiny for tests; full-size bf16 for benchmarks).
+
+        family='sdxl' builds the SDXL-class pipeline: ADM-conditioned UNet +
+        dual text towers + SDXL VAE scale."""
+        if family == "sdxl":
+            from stable_renderer_tpu.models.clip import (
+                OpenCLIPTextModel,
+                SDXL_CLIP_G_CONFIG,
+                TINY_CLIP_G_CONFIG,
+            )
+            from stable_renderer_tpu.models.unet import SDXL_UNET_CONFIG, TINY_SDXL_UNET_CONFIG
+            from stable_renderer_tpu.models.vae import SDXL_VAE_CONFIG
+
+            ucfg = TINY_SDXL_UNET_CONFIG if tiny else SDXL_UNET_CONFIG
+            vcfg = TINY_VAE_CONFIG if tiny else SDXL_VAE_CONFIG
+            gcfg = TINY_CLIP_G_CONFIG if tiny else SDXL_CLIP_G_CONFIG
+            ccfg = TINY_CLIP_CONFIG if tiny else SD15_CLIP_CONFIG
+            # dual-tower context: hidden_l + width_g must equal the UNet ctx dim
+            ccfg = replace(ccfg, hidden_size=ucfg.context_dim - gcfg.width)
+            clip_g = OpenCLIPTextModel(gcfg)
+        else:
+            ucfg = TINY_UNET_CONFIG if tiny else SD15_UNET_CONFIG
+            vcfg = TINY_VAE_CONFIG if tiny else SD15_VAE_CONFIG
+            ccfg = TINY_CLIP_CONFIG if tiny else SD15_CLIP_CONFIG
+            ccfg = replace(ccfg, hidden_size=ucfg.context_dim) if ccfg.hidden_size != ucfg.context_dim else ccfg
+            clip_g = None
         if dtype is None:
             dtype = jnp.float32 if tiny else jnp.bfloat16
         key = jax.random.PRNGKey(seed)
@@ -125,6 +177,10 @@ class DiffusionPipeline:
             clip_params=jax.jit(clip.init)(jax.random.fold_in(key, 2)),
             config=config,
             model_sampling=ms,
+            clip_g=clip_g,
+            clip_g_params=None if clip_g is None else jax.jit(clip_g.init)(
+                jax.random.fold_in(key, 3)
+            ),
         )
 
     def add_controlnet(self, params: dict, spec: ControlNetSpec) -> None:
@@ -145,6 +201,15 @@ class DiffusionPipeline:
 
         Results are cached by (texts, clip_skip) so an unchanged prompt costs
         nothing per frame (the reference caches via the executor's node cache)."""
+        ctx_p, ctx_n, _, _ = self._encode_prompts_full(prompts, negatives)
+        return ctx_p, ctx_n
+
+    def encode_prompts_xl(self, prompts: List[str], negatives: List[str]):
+        """SDXL dual-tower encoding: also returns the pooled CLIP-G embeddings
+        feeding the ADM vector (sdxl_clip.py SDXLClipModel.encode_token_weights)."""
+        return self._encode_prompts_full(prompts, negatives)
+
+    def _encode_prompts_full(self, prompts: List[str], negatives: List[str]):
         cache_key = (tuple(prompts), tuple(negatives), self.config.clip_skip)
         cache = getattr(self, "_cond_cache", None)
         if cache is None:
@@ -156,22 +221,36 @@ class DiffusionPipeline:
             list(prompts) + list(negatives)
         )
         if not hasattr(self, "_jit_clip"):
-            from stable_renderer_tpu.models.clip import encode_token_weights_batch
+            from stable_renderer_tpu.models.clip import (
+                encode_token_weights_batch,
+                encode_token_weights_batch_xl,
+            )
 
-            def _enc(p, ids, w, custom, skip):
-                ctx, _ = encode_token_weights_batch(
-                    self.clip, p, ids, w, custom_embeds=custom, clip_skip=skip
-                )
-                return ctx
+            if self.clip_g is not None:
+                def _enc(p, pg, ids, w, custom, skip):
+                    return encode_token_weights_batch_xl(
+                        self.clip, self.clip_g, p, pg, ids, w,
+                        custom_embeds=custom, clip_skip=skip,
+                    )
+            else:
+                def _enc(p, pg, ids, w, custom, skip):
+                    ctx, pooled = encode_token_weights_batch(
+                        self.clip, p, ids, w, custom_embeds=custom, clip_skip=skip
+                    )
+                    return ctx, pooled
             self._jit_clip = jax.jit(_enc, static_argnames="skip")
-        ctx = self._jit_clip(
+        skip = self.config.clip_skip
+        if self.clip_g is not None and skip == -1:
+            skip = -2  # SDXL always conditions on the penultimate layer
+        ctx, pooled = self._jit_clip(
             self.clip_params,
+            self.clip_g_params,
             jnp.asarray(ids),
             jnp.asarray(weights),
             None if custom is None else jnp.asarray(custom),
-            self.config.clip_skip,
+            skip,
         )
-        result = (ctx[:np_b], ctx[np_b:])
+        result = (ctx[:np_b], ctx[np_b:], pooled[:np_b], pooled[np_b:])
         if len(cache) > 32:
             cache.clear()
         cache[cache_key] = result
@@ -196,13 +275,15 @@ class DiffusionPipeline:
         have_id_maps: bool = True,
         prompts: Optional[List[str]] = None,
         negatives: Optional[List[str]] = None,
+        image_size: Optional[Tuple[int, int]] = None,  # (H, W) for SDXL ADM
     ):
         """Host-side prompt assembly + encoding for a frame batch of size n.
 
-        Returns (sprite_ids, ctx, nctx). sprite_ids non-empty selects the
-        SceneTextEncode path: per-sprite masked conditioning when several
-        prompted sprites are visible (conditions.py:52-110 semantics), where
-        ctx is (S+1, B, L, D); otherwise ctx is (B, L, D)."""
+        Returns (sprite_ids, ctx, nctx, y_cond, y_uncond). sprite_ids non-empty
+        selects the SceneTextEncode path: per-sprite masked conditioning when
+        several prompted sprites are visible (conditions.py:52-110 semantics),
+        where ctx is (S+1, B, L, D); otherwise ctx is (B, L, D). y_cond/y_uncond
+        are the SDXL ADM vectors (model_base.py SDXL.encode_adm), None for SD1.x."""
         cfg = self.config
         neg = ", ".join(
             [s.negative_prompt for s in sprite_infos.values() if s.negative_prompt]
@@ -213,19 +294,33 @@ class DiffusionPipeline:
         sprite_ids: tuple = ()
         sprited = [(sid, sp.prompt) for sid, sp in sprite_infos.items() if sp.prompt]
         env_text = ", ".join([p.prompt for p in env_prompts if p.prompt]) or cfg.prompt
+        pooled = npooled = None
         if prompts is None and cfg.scene_conditioning and len(sprited) >= 2 and have_id_maps:
             sprite_ids = tuple(sid for sid, _ in sprited)
             scene_prompts = [t for _, t in sprited] + [env_text]
-            ctx_s, nctx = self.encode_prompts(scene_prompts, [neg] * len(scene_prompts))
+            ctx_s, nctx, pooled_s, npooled_s = self._encode_prompts_full(
+                scene_prompts, [neg] * len(scene_prompts)
+            )
             # (S+1, L, D) -> (S+1, B, L, D); uncond: one per frame
             ctx = jnp.broadcast_to(ctx_s[:, None], (ctx_s.shape[0], n, *ctx_s.shape[1:]))
             nctx = jnp.broadcast_to(nctx[:1], (n, *nctx.shape[1:]))
+            if self.is_sdxl:
+                # scene path: ADM from the env prompt's pooled embedding
+                pooled = jnp.broadcast_to(pooled_s[-1:], (n, pooled_s.shape[-1]))
+                npooled = jnp.broadcast_to(npooled_s[:1], (n, npooled_s.shape[-1]))
         else:
             if prompts is None:
                 text = ", ".join([t for _, t in sprited] + ([env_text] if env_text else [])) or cfg.prompt
                 prompts = [text] * n
-            ctx, nctx = self.encode_prompts(prompts, negatives)
-        return sprite_ids, ctx, nctx
+            ctx, nctx, pooled, npooled = self._encode_prompts_full(prompts, negatives)
+        y_cond = y_uncond = None
+        if self.is_sdxl and pooled is not None:
+            from stable_renderer_tpu.models.sdxl import sdxl_adm_vector
+
+            size = image_size or (1024, 1024)
+            y_cond = sdxl_adm_vector(pooled, original_size=size, target_size=size)
+            y_uncond = sdxl_adm_vector(npooled, original_size=size, target_size=size)
+        return sprite_ids, ctx, nctx, y_cond, y_uncond
 
     # --- the compiled program -------------------------------------------------
 
@@ -296,13 +391,14 @@ class DiffusionPipeline:
         cfg = self.config
         n = engine_data.frame_count
         key = key if key is not None else jax.random.PRNGKey(cfg.seed)
-        sprite_ids, ctx, nctx = self.prepare_conditioning(
+        sprite_ids, ctx, nctx, y_cond, y_uncond = self.prepare_conditioning(
             engine_data.sprite_infos,
             engine_data.env_prompts,
             n,
             have_id_maps=engine_data.id_maps is not None,
             prompts=prompts,
             negatives=negatives,
+            image_size=engine_data.color_maps.shape[1:3],
         )
         sigmas = self.scheduler_sigmas()
         corresponder = corresponder or DefaultCorresponder()
@@ -331,6 +427,8 @@ class DiffusionPipeline:
             # scene-conditioning ctx is (S+1, B, L, D): frames on axis 1
             ctx = put(ctx, NamedSharding(mesh, P(None, dp_axis)) if ctx.ndim == 4 else dp)
             nctx = put(nctx, dp)
+            y_cond = put(y_cond, dp)
+            y_uncond = put(y_uncond, dp)
             sigmas = put(sigmas, rep)
             key = put(key, rep)
 
@@ -348,6 +446,8 @@ class DiffusionPipeline:
             nctx,
             sigmas,
             key,
+            y_cond,
+            y_uncond,
         )
         corresponder.finished(engine_data, images)
         return images
@@ -355,7 +455,8 @@ class DiffusionPipeline:
     @partial(jax.jit, static_argnames=("self", "corresponder", "sprite_ids"))
     def _jit_render(
         self, corresponder, sprite_ids, unet_params, vae_params, cn_params, color,
-        noise_maps, id_maps, hints, ctx, nctx, sigmas, key
+        noise_maps, id_maps, hints, ctx, nctx, sigmas, key,
+        y_cond=None, y_uncond=None,
     ):
         # NOTE: params are explicit jit ARGUMENTS — closing over them via the
         # static `self` would bake multi-GB weight constants into the lowered
@@ -408,6 +509,8 @@ class DiffusionPipeline:
                 prediction=self.model_sampling.prediction,
                 hooks=hooks,
                 control_fn=self._make_control_fn(hints, cn_params),
+                y_cond=y_cond,
+                y_uncond=y_uncond,
             )
         else:
             den = make_denoiser(
@@ -422,6 +525,8 @@ class DiffusionPipeline:
                 control_fn=self._make_control_fn(hints, cn_params),
                 mask=inpaint_mask,
                 masked_latent=inpaint_latent,
+                y_cond=y_cond,
+                y_uncond=y_uncond,
             )
         out_latent = sample(
             den,

@@ -187,6 +187,9 @@ class OpenCLIPTextModel:
 
         cfg = self.config
         m = params["model"] if "model" in params else params
+        # negative ids mark textual-inversion slots of the L tower; the G tower
+        # has no per-checkpoint custom table here -> clamp to a harmless 0
+        tokens = jnp.maximum(tokens, 0)
         x = m["token_embedding"]["weight"][tokens]
         x = x + m["positional_embedding"][: tokens.shape[1]][None]
         l = tokens.shape[1]
@@ -419,3 +422,46 @@ def encode_token_weights_batch(
     z = (z - z_empty[None]) * weights.reshape(b * c, length)[..., None] + z_empty[None]
     pooled = model.pooled(params, flat[::c], out[:b * c:c])
     return z.reshape(b, c * length, -1), pooled
+
+
+def clip_g_pad_ids(ids: jax.Array, eos: int = 49407) -> jax.Array:
+    """SDXLClipGTokenizer pads with 0 after the first EOS (pad_with_end=False,
+    comfy sdxl_clip.py) — derive the G-tower ids from the L-tower ids."""
+    first_eos = jnp.argmax((ids == eos).astype(jnp.int32), axis=-1)
+    after = jnp.arange(ids.shape[-1]) > first_eos[..., None]
+    return jnp.where(after, 0, ids)
+
+
+def encode_token_weights_batch_xl(
+    clip_l: CLIPTextModel,
+    clip_g: "OpenCLIPTextModel",
+    params_l: dict,
+    params_g: dict,
+    ids: jax.Array,       # (B, C, L) int32 (L-tower padding; G ids derived)
+    weights: jax.Array,   # (B, C, L) f32
+    custom_embeds: Optional[jax.Array] = None,
+    clip_skip: int = -2,
+) -> tuple[jax.Array, jax.Array]:
+    """SDXL dual-tower weighted encoding (comfy sdxl_clip.py SDXLClipModel):
+    context = concat(clip_l hidden no-final-norm, clip_g hidden) per chunk,
+    pooled = clip_g text-projection of the first chunk. Both towers use the
+    (z - z_empty) * w + z_empty weighting of ClipTokenWeightEncoder."""
+    cfg_l = clip_l.config
+    b, c, length = ids.shape
+    z_l, _ = encode_token_weights_batch(
+        clip_l, params_l, ids, weights,
+        custom_embeds=custom_embeds, clip_skip=clip_skip, final_norm=False,
+    )
+    eos = cfg_l.eos_token % clip_g.config.vocab_size
+    ids_g = clip_g_pad_ids(ids.reshape(b * c, length), eos)
+    empty = jnp.zeros((1, length), ids.dtype)
+    empty = empty.at[0, 0].set(cfg_l.bos_token % clip_g.config.vocab_size)
+    empty = empty.at[0, 1].set(eos)
+    hidden, pooled = clip_g.apply(
+        params_g, jnp.concatenate([ids_g, empty], axis=0), clip_skip=clip_skip
+    )
+    zg, zg_empty = hidden[: b * c], hidden[b * c]
+    zg = (zg - zg_empty[None]) * weights.reshape(b * c, length)[..., None] + zg_empty[None]
+    z_g = zg.reshape(b, c * length, -1)
+    pooled_first = pooled[: b * c : c]  # first chunk of each prompt
+    return jnp.concatenate([z_l, z_g], axis=-1), pooled_first

@@ -71,6 +71,8 @@ def make_denoiser(
     control_fn: Optional[Callable] = None,  # (x_in, t, batched_context) -> control dict
     mask: Optional[jax.Array] = None,       # (B, h, w, 1) inpaint mask (1 = denoise)
     masked_latent: Optional[jax.Array] = None,
+    y_cond: Optional[jax.Array] = None,     # (B, adm) SDXL ADM conditioning
+    y_uncond: Optional[jax.Array] = None,
 ) -> Callable:
     """Build the (x, sigma) -> denoised closure for samplers.sample().
 
@@ -133,9 +135,14 @@ def make_denoiser(
             x_b, ctx = x_in, cond_context
         ctx = ctx.astype(compute_dtype)
         tb = jnp.broadcast_to(t, (x_b.shape[0],))
+        y = None
+        if y_cond is not None:
+            # SDXL ADM rides the same cond/uncond batching (model_base.py SDXL)
+            yu = y_uncond if y_uncond is not None else y_cond
+            y = jnp.concatenate([y_cond, yu], axis=0) if use_cfg else y_cond
         control = control_fn(x_b, tb, ctx) if control_fn is not None else None
         out = unet.apply(
-            params, x_b, tb, ctx, control=control, hooks=wrap_hooks(b)
+            params, x_b, tb, ctx, control=control, hooks=wrap_hooks(b), y=y
         ).astype(jnp.float32)
         x32 = x.astype(jnp.float32)
         if use_cfg:

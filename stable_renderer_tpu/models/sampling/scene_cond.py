@@ -63,6 +63,8 @@ def make_scene_denoiser(
     prediction: str = "eps",
     hooks: AttnHooks = AttnHooks(),
     control_fn: Optional[Callable] = None,
+    y_cond: Optional[jax.Array] = None,     # (B, adm) SDXL ADM conditioning
+    y_uncond: Optional[jax.Array] = None,
 ) -> Callable:
     """(x, sigma) -> denoised with mask-blended multi-conditioning.
 
@@ -128,9 +130,15 @@ def make_scene_denoiser(
             ctx_flat = jnp.concatenate([ctx_flat, uncond_context], axis=0)
         ctx_flat = ctx_flat.astype(compute_dtype)
         tb = jnp.broadcast_to(t, (x_tiled.shape[0],))
+        y = None
+        if y_cond is not None:
+            y = jnp.concatenate([y_cond] * s1, axis=0)
+            if use_cfg:
+                yu = y_uncond if y_uncond is not None else y_cond
+                y = jnp.concatenate([y, yu], axis=0)
         control = control_fn(x_tiled, tb, ctx_flat) if control_fn is not None else None
         out = unet.apply(
-            params, x_tiled, tb, ctx_flat, control=control, hooks=wrap_hooks(hooks)
+            params, x_tiled, tb, ctx_flat, control=control, hooks=wrap_hooks(hooks), y=y
         ).astype(jnp.float32)
         cond_out = out[: s1 * b].reshape(s1, b, *out.shape[1:])
         # mask-weighted blend of the S+1 model outputs

