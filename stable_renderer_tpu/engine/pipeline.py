@@ -191,6 +191,40 @@ class DiffusionPipeline:
         cn = ControlNet(ControlNetConfig(unet=self.unet.config))
         self.controlnets.append((cn, cn.init(jax.random.PRNGKey(seed)), spec))
 
+    def add_control_lora(self, control_weights: dict, spec: ControlNetSpec) -> None:
+        """ControlLora file (comfy controlnet.py:303): UNet trunk + low-rank
+        control deltas composed into full ControlNet params at load time."""
+        cn = ControlNet(ControlNetConfig(unet=self.unet.config))
+        params = cn.init_control_lora(self.unet_params, control_weights)
+        self.controlnets.append((cn, params, spec))
+
+    def add_t2i_adapter(self, params: dict, spec: ControlNetSpec, config=None) -> None:
+        from stable_renderer_tpu.models.t2i_adapter import T2IAdapter, T2IAdapterConfig
+
+        ad = T2IAdapter(config or T2IAdapterConfig())
+        self.controlnets.append((ad, params, spec))
+
+    def add_control_from_state_dict(self, flat: dict, spec: ControlNetSpec) -> None:
+        """Format-sniffing control loader (comfy load_controlnet/load_t2i_adapter,
+        controlnet.py:360-560): ControlLora marker -> lora composition; adapter
+        body keys -> T2IAdapter; else a plain ControlNet ('control_model.'
+        prefix stripped when present)."""
+        from stable_renderer_tpu.models.weights import nest
+
+        if "lora_controlnet" in flat:
+            self.add_control_lora(flat, spec)
+            return
+        if any(k.startswith(("adapter.", "body.")) or k == "conv_in.weight" for k in flat):
+            from stable_renderer_tpu.models.t2i_adapter import load_t2i_adapter
+
+            ad, params = load_t2i_adapter(flat)
+            self.controlnets.append((ad, params, spec))
+            return
+        if any(k.startswith("control_model.") for k in flat):
+            flat = {k[len("control_model."):]: v for k, v in flat.items()
+                    if k.startswith("control_model.")}
+        self.add_controlnet(nest(flat, ""), spec)
+
     # --- conditioning ---------------------------------------------------------
 
     def encode_prompts(self, prompts: List[str], negatives: List[str]):
@@ -356,12 +390,19 @@ class DiffusionPipeline:
                     total_timesteps=total_t,
                 )
                 if total is None:
-                    total = ctl
+                    total = dict(ctl)
                 else:
-                    total = {
-                        "middle": [a + b_ for a, b_ in zip(total["middle"], ctl["middle"])],
-                        "output": [a + b_ for a, b_ in zip(total["output"], ctl["output"])],
-                    }
+                    # chained controls sum per-entry (ControlBase.control_merge
+                    # with control_prev); keys may differ (ControlNet: middle/
+                    # output, T2IAdapter: input) and entries may be None
+                    for k2, lst in ctl.items():
+                        if k2 not in total:
+                            total[k2] = lst
+                        else:
+                            total[k2] = [
+                                a if b_ is None else (b_ if a is None else a + b_)
+                                for a, b_ in zip(total[k2], lst)
+                            ]
             return total
 
         return control_fn

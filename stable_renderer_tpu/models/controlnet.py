@@ -120,6 +120,44 @@ class ControlNet:
             "output": [o * gate for o in outs],
         }
 
+    def init_control_lora(self, unet_params: dict, control_weights: dict) -> dict:
+        """ControlLora: compose ControlNet params from the UNet's weights plus a
+        low-rank control delta file (comfy/controlnet.py:303-352 ControlLora +
+        ControlLoraOps).
+
+        The file stores: full tensors for the control-specific parts (input hint
+        block, zero convs, norms, biases) and ``<name>.up``/``<name>.down``
+        low-rank factors for the shared linear/conv weights. The reference
+        composes ``W + up @ down`` inside every forward; weights are static at
+        inference so we merge once at load time (same rationale as the
+        merge-based LoRA path, models/lora.py)."""
+        import numpy as np
+
+        from stable_renderer_tpu.models.weights import flatten, nest
+
+        flat_unet = flatten(unet_params)
+        out: dict = {}
+        # start from the UNet's shared trunk (the reference copies the diffusion
+        # model's state dict into the control model, controlnet.py:329-336)
+        for k, v in flat_unet.items():
+            if k.startswith(("time_embed.", "input_blocks.", "middle_block.", "label_emb.")):
+                out[k] = v
+        ups = {}
+        for k, v in control_weights.items():
+            if k == "lora_controlnet":
+                continue
+            if k.endswith(".up") or k.endswith(".down"):
+                ups.setdefault(k.rsplit(".", 1)[0], {})[k.rsplit(".", 1)[1]] = np.asarray(v)
+            else:
+                out[k] = jnp.asarray(v)
+        for base, ud in ups.items():
+            key = base + ".weight"
+            w = np.asarray(out[key])
+            up, down = ud["up"], ud["down"]
+            delta = (up.reshape(up.shape[0], -1) @ down.reshape(down.shape[0], -1)).reshape(w.shape)
+            out[key] = jnp.asarray(w + delta.astype(w.dtype))
+        return nest(out, "")
+
     def init(self, key: jax.Array, dtype=jnp.float32) -> dict:
         """Random init with the checkpoint tree structure."""
         cfg = self.config.unet

@@ -297,6 +297,10 @@ class UNetModel:
         layer_idx = 0
         hs = []
         h = x
+        # T2I-Adapter residuals: per-input-block list (None where no residual),
+        # added to h after the block (apply_control(h, control, 'input'),
+        # openaimodel.py:891)
+        ctrl_in = control.get("input") if control is not None else None
         for i, (kind, _, level) in enumerate(plan_in):
             p = params["input_blocks"][str(i)]
             if kind == "conv":
@@ -310,6 +314,8 @@ class UNetModel:
                         p["1"], h, context, cfg.heads_for(h.shape[-1]),
                         cfg.depth_at(level), layer_idx, hooks,
                     )
+            if ctrl_in is not None and i < len(ctrl_in) and ctrl_in[i] is not None:
+                h = h + ctrl_in[i].astype(h.dtype)
             hs.append(h)
 
         mp = params["middle_block"]

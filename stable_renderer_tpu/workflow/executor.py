@@ -515,8 +515,20 @@ def ksampler(
                 from stable_renderer_tpu.models.weights import load_state_dict, nest, to_device
                 import jax.numpy as _jnp
 
+                # format sniffing per comfy load_controlnet/load_t2i_adapter
+                # (controlnet.py:360-560): ControlLora marker, adapter body
+                # keys, or a plain cldm ControlNet
                 flat = load_state_dict(c["control"]["path"])
-                params = to_device(nest(flat, "control_model."), _jnp.bfloat16)
+                if "lora_controlnet" in flat:
+                    params = cn.init_control_lora(model["params"], flat)
+                elif any(k.startswith(("adapter.", "body.")) or k == "conv_in.weight"
+                         for k in flat):
+                    from stable_renderer_tpu.models.t2i_adapter import load_t2i_adapter
+
+                    cn, params = load_t2i_adapter(flat)
+                    params = to_device(params, _jnp.bfloat16)
+                else:
+                    params = to_device(nest(flat, "control_model."), _jnp.bfloat16)
             else:
                 params = cn.init(jax.random.PRNGKey(5))
             cn_models.append((cn, float(c["strength"]), tuple(c["percent"])))
@@ -574,10 +586,19 @@ def ksampler(
                             params, x_in, hint_b, t, c_,
                             strength=strength, percent_range=percent,
                         )
-                        total = ctl if total is None else {
-                            "middle": [a + b_ for a, b_ in zip(total["middle"], ctl["middle"])],
-                            "output": [a + b_ for a, b_ in zip(total["output"], ctl["output"])],
-                        }
+                        if total is None:
+                            total = dict(ctl)
+                        else:
+                            # key-generic chained merge (ControlBase.control_merge):
+                            # ControlNet emits middle/output, T2IAdapter input
+                            for k2, lst in ctl.items():
+                                if k2 not in total:
+                                    total[k2] = lst
+                                else:
+                                    total[k2] = [
+                                        a if b_ is None else (b_ if a is None else a + b_)
+                                        for a, b_ in zip(total[k2], lst)
+                                    ]
                     return total
 
             hooks = corr.attn_hooks(None) if use_corr else AttnHooks()
