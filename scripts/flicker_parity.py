@@ -1,0 +1,136 @@
+"""Temporal-flicker parity harness — BASELINE metric #2.
+
+Scores temporal stability of frame sequences with the framework's metrics
+(consecutive-frame L1, 1 - SSIM, correspondence-aware vertex flicker when id
+maps exist, LPIPS when a VGG/LPIPS checkpoint is provided) and writes a
+committed parity report (PARITY.md + PARITY.json at the repo root).
+
+The default run scores the REFERENCE's own dumped render outputs
+(/root/reference/resources/example-map-outputs) — the reference's observed
+temporal behavior is the parity target (BASELINE.md: "temporal flicker parity
+with reference"). Score your own render with --ours <dir-of-pngs> (e.g. an
+Engine output_dir) and the report compares both; parity = our flicker <= the
+reference's on the same metric.
+
+Usage:
+  python scripts/flicker_parity.py [--ours DIR] [--ids DIR] [--lpips CKPT]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+REFERENCE_FIXTURES = "/root/reference/resources/example-map-outputs"
+
+
+def score_sequence(frames, id_maps=None, lpips_params=None) -> dict:
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stable_renderer_tpu.ops.metrics import (
+        temporal_flicker_l1,
+        temporal_flicker_ssim,
+        vertex_flicker,
+    )
+
+    frames = jnp.asarray(frames)
+    out = {
+        "frames": int(frames.shape[0]),
+        "flicker_l1": float(temporal_flicker_l1(frames)),
+        "flicker_ssim": float(temporal_flicker_ssim(frames)),
+    }
+    if id_maps is not None:
+        out["vertex_flicker"] = float(
+            vertex_flicker(frames, jnp.asarray(id_maps), num_segments=65536)
+        )
+    if lpips_params is not None:
+        from stable_renderer_tpu.ops.metrics import lpips_flicker
+
+        out["flicker_lpips"] = float(lpips_flicker(frames, lpips_params))
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ours", type=str, default=None,
+                    help="directory of our rendered frames (pngs)")
+    ap.add_argument("--ids", type=str, default=None,
+                    help="directory of id .npy maps for vertex flicker")
+    ap.add_argument("--lpips", type=str, default=None,
+                    help="LPIPS/VGG checkpoint path (optional)")
+    ap.add_argument("--out", type=str, default=str(Path(__file__).resolve().parents[1]))
+    args = ap.parse_args()
+
+    from stable_renderer_tpu.data.loaders import load_image_sequence
+
+    lpips_params = None
+    if args.lpips and os.path.exists(args.lpips):
+        from stable_renderer_tpu.models.weights import load_state_dict
+
+        lpips_params = load_state_dict(args.lpips)
+
+    report: dict = {"metric_defs": {
+        "flicker_l1": "mean |frame_t - frame_{t+1}| (lower = stabler)",
+        "flicker_ssim": "1 - mean SSIM of consecutive frames",
+        "vertex_flicker": "RMS color deviation per 3D vertex across frames",
+    }}
+
+    for name in ("miku-sphere", "miku-no-sphere"):
+        d = os.path.join(REFERENCE_FIXTURES, name, "color")
+        if os.path.isdir(d):
+            frames = load_image_sequence(d)
+            ids = None
+            id_dir = os.path.join(REFERENCE_FIXTURES, name, "id")
+            if os.path.isdir(id_dir):
+                import numpy as np
+
+                from stable_renderer_tpu.data.idmap import IDMap
+
+                ids = IDMap.from_directory(id_dir).tensor
+            report[f"reference/{name}"] = score_sequence(frames, ids, lpips_params)
+
+    if args.ours and os.path.isdir(args.ours):
+        frames = load_image_sequence(args.ours)
+        ids = None
+        if args.ids and os.path.isdir(args.ids):
+            from stable_renderer_tpu.data.idmap import IDMap
+
+            ids = IDMap.from_directory(args.ids).tensor
+        report["ours"] = score_sequence(frames, ids, lpips_params)
+        ref = report.get("reference/miku-sphere") or report.get("reference/miku-no-sphere")
+        if ref:
+            report["parity"] = {
+                k: {
+                    "ours": report["ours"][k],
+                    "reference": ref[k],
+                    "parity": bool(report["ours"][k] <= ref[k] * 1.05),
+                }
+                for k in ("flicker_l1", "flicker_ssim")
+            }
+
+    json_path = os.path.join(args.out, "PARITY.json")
+    with open(json_path, "w") as f:
+        json.dump(report, f, indent=2)
+    md = ["# Temporal-flicker parity report (BASELINE metric #2)", "",
+          "Scored with `stable_renderer_tpu.ops.metrics` — see PARITY.json for raw values.", ""]
+    for section, vals in report.items():
+        if section in ("metric_defs",):
+            continue
+        md.append(f"## {section}")
+        if isinstance(vals, dict):
+            for k, v in vals.items():
+                md.append(f"- **{k}**: {v}")
+        md.append("")
+    with open(os.path.join(args.out, "PARITY.md"), "w") as f:
+        f.write("\n".join(md) + "\n")
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

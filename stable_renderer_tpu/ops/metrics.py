@@ -13,9 +13,12 @@ provides:
     camera motion — stricter and more meaningful than frame-difference proxies.
   * ``ssim`` — standard SSIM for image-pair quality.
 
-LPIPS proper requires pretrained VGG features (unavailable offline); when
-parity-vs-reference runs are needed, plug frames into any external LPIPS — these
-metrics cover in-repo regression tracking.
+  * ``lpips`` / ``lpips_flicker`` — the real LPIPS (VGG16 backbone + linear
+    calibration heads) implemented in jnp; weights load from a merged flat dict
+    of torchvision VGG16 ``features.N.*`` + lpips ``linK.model.1.weight`` keys
+    (scripts/flicker_parity.py --lpips). No pretrained weights ship with this
+    repo (offline image), so CI tests run it shape/zero-checked with random
+    weights; with real weights it reproduces lpips.LPIPS(net='vgg').
 """
 
 from __future__ import annotations
@@ -95,3 +98,59 @@ def vertex_flicker(
     mask = valid.reshape(-1).astype(jnp.float32)
     mse = jnp.sum(sq * mask) / jnp.maximum(jnp.sum(mask), 1.0)
     return jnp.sqrt(mse)
+
+
+# ---------------------------------------------------------------------------
+# LPIPS (Zhang et al.) — VGG16 backbone + linear calibration heads.
+# Weight layout: merged flat dict of torchvision VGG16 ("features.0.weight",
+# "features.0.bias", ... convs at torch indices 0,2,5,7,10,12,14,17,19,21,
+# 24,26,28) and lpips linear heads ("lin0.model.1.weight" ... "lin4...",
+# shape (1, C, 1, 1)). Feature taps after relu1_2/2_2/3_3/4_3/5_3.
+
+_VGG16_CONV_IDX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+_VGG16_POOL_AFTER = (2, 7, 14, 21)      # maxpool after these conv indices
+_VGG16_TAPS = (2, 7, 14, 21, 28)        # relu outputs feeding the lin heads
+_LPIPS_SHIFT = (-0.030, -0.088, -0.188)
+_LPIPS_SCALE = (0.458, 0.448, 0.450)
+
+
+def _vgg16_tap_features(flat: dict, x: jax.Array) -> list:
+    """x (B, H, W, 3) in [0, 1] -> the five LPIPS tap activations."""
+    h = x * 2.0 - 1.0
+    h = (h - jnp.asarray(_LPIPS_SHIFT)) / jnp.asarray(_LPIPS_SCALE)
+    taps = []
+    for i in _VGG16_CONV_IDX:
+        w = jnp.asarray(flat[f"features.{i}.weight"])  # (O, I, 3, 3) torch layout
+        b = jnp.asarray(flat[f"features.{i}.bias"])
+        h = jax.lax.conv_general_dilated(
+            h, jnp.transpose(w, (2, 3, 1, 0)), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b
+        h = jax.nn.relu(h)
+        if i in _VGG16_TAPS:
+            taps.append(h)
+        if i in _VGG16_POOL_AFTER:
+            h = jax.lax.reduce_window(
+                h, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+            )
+    return taps
+
+
+def lpips(flat: dict, a: jax.Array, b: jax.Array) -> jax.Array:
+    """LPIPS distance per pair: unit-normalized VGG features, squared diff,
+    1x1 linear head, spatial mean, summed over the five taps."""
+    x = jnp.concatenate([a, b], axis=0)
+    taps = _vgg16_tap_features(flat, x)
+    n = a.shape[0]
+    total = 0.0
+    for k, t in enumerate(taps):
+        t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-10)
+        diff = (t[:n] - t[n:]) ** 2
+        lin = jnp.asarray(flat[f"lin{k}.model.1.weight"]).reshape(-1)  # (C,)
+        total = total + jnp.mean(jnp.sum(diff * lin, axis=-1), axis=(1, 2))
+    return total
+
+
+def lpips_flicker(frames: jax.Array, flat: dict) -> jax.Array:
+    """Mean LPIPS between consecutive frames (BASELINE metric #2 proper)."""
+    return jnp.mean(lpips(flat, frames[:-1], frames[1:]))

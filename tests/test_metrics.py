@@ -52,3 +52,35 @@ def test_vertex_flicker_correspondence_aware():
         jnp.stack([jnp.full((3,), i / 3.0) for i in range(n)])
     )
     assert float(vertex_flicker(bg_only, ids_j, num_segments=1024)) < 1e-6
+
+
+def test_lpips_shapes_and_zero_distance():
+    """LPIPS (VGG16 + lin heads) with random VGG-shaped weights: identical
+    frames score exactly 0; different frames score > 0; jittable."""
+    import jax
+    import jax.numpy as jnp
+
+    from stable_renderer_tpu.ops.metrics import lpips, lpips_flicker
+
+    rng = np.random.default_rng(0)
+    chans = [64, 64, 128, 128, 256, 256, 256, 512, 512, 512, 512, 512, 512]
+    idxs = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+    taps = {2: 64, 7: 128, 14: 256, 21: 512, 28: 512}
+    flat = {}
+    in_c = 3
+    for i, o in zip(idxs, chans):
+        flat[f"features.{i}.weight"] = rng.normal(size=(o, in_c, 3, 3)).astype(np.float32) * 0.05
+        flat[f"features.{i}.bias"] = np.zeros(o, np.float32)
+        in_c = o
+    for k, (i, c) in enumerate(sorted(taps.items())):
+        flat[f"lin{k}.model.1.weight"] = np.abs(rng.normal(size=(1, c, 1, 1))).astype(np.float32)
+    a = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)).astype(np.float32))
+    d_same = np.asarray(lpips(flat, a, a))
+    d_diff = np.asarray(lpips(flat, a, b))
+    assert d_same.shape == (2,)
+    np.testing.assert_allclose(d_same, 0.0, atol=1e-6)
+    assert (d_diff > 0).all()
+    frames = jnp.concatenate([a, b], axis=0)
+    f = float(jax.jit(lpips_flicker)(frames, flat))
+    assert f > 0 and np.isfinite(f)
