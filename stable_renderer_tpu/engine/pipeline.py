@@ -521,7 +521,7 @@ class DiffusionPipeline:
             noise = jax.random.normal(key, latent.shape)
         uncond = None if cfg.cfg_scale == 1.0 else nctx
         log_sigmas = jnp.asarray(self.model_sampling.log_sigmas)
-        hooks = corresponder.attn_hooks(None)
+        hooks = corresponder.attn_hooks(None, key=jax.random.fold_in(key, 2))
         step_cb = corresponder.make_step_callback(id_maps, log_sigmas)
         inpaint_mask = inpaint_latent = None
         if cfg.keep_background and id_maps is not None:

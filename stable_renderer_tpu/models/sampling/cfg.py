@@ -84,9 +84,13 @@ def make_denoiser(
     use_cfg = uncond_context is not None
 
     def wrap_hooks(batch: int) -> AttnHooks:
-        """Apply user hooks per reference slicing: pre on the full batch, post on
-        positive rows only (attention.py:565-599)."""
-        if hooks.pre is None and hooks.post is None:
+        """Apply user hooks per reference slicing: pre on the full batch, post
+        (and the attn replacement) on positive rows only (attention.py:565-599).
+        mid (GLIGEN) also applies to positive rows only — the reference
+        attaches gligen per-cond, and the uncond normally carries none
+        (samplers.py gligen cond field)."""
+        if (hooks.pre is None and hooks.post is None and hooks.attn is None
+                and hooks.mid is None):
             return AttnHooks()
 
         def pre(q, k, v, layer):
@@ -118,7 +122,29 @@ def make_denoiser(
             pos = hooks.post(vals[:batch], layer)
             return jnp.concatenate([pos, vals[batch:]], 0)
 
-        return AttnHooks(pre=pre, post=post)
+        attn = None
+        if hooks.attn is not None:
+            from stable_renderer_tpu.models.layers import attention as _default_attn
+
+            def attn(q, k, v, heads, layer):
+                if not use_cfg:
+                    return hooks.attn(q, k, v, heads, layer)
+                # positives get the replaced (cross-frame) attention; negatives
+                # keep plain per-frame attention
+                pos = hooks.attn(q[:batch], k[:batch], v[:batch], heads, layer)
+                neg = _default_attn(q[batch:], k[batch:], v[batch:], heads)
+                return jnp.concatenate([pos, neg], 0)
+
+        mid = None
+        if hooks.mid is not None:
+
+            def mid(x, layer):
+                if not use_cfg:
+                    return hooks.mid(x, layer)
+                pos = hooks.mid(x[:batch], layer)
+                return jnp.concatenate([pos, x[batch:]], 0)
+
+        return AttnHooks(pre=pre, post=post, attn=attn, mid=mid)
 
     # run UNet activations in the params' dtype (bf16 on TPU, fp32 stats inside)
     compute_dtype = params["time_embed"]["0"]["weight"].dtype

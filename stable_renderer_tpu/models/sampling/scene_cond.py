@@ -82,7 +82,8 @@ def make_scene_denoiser(
         """Apply the correspondence hooks per conditioning group (frames axis),
         never across groups or onto the uncond rows — the batch layout is
         [cond_0 x B, ..., cond_S x B, uncond x B]."""
-        if user.pre is None and user.post is None:
+        if (user.pre is None and user.post is None and user.attn is None
+                and user.mid is None):
             return AttnHooks()
 
         def pre(q, k, v, layer):
@@ -118,7 +119,35 @@ def make_scene_denoiser(
                 return out
             return jnp.concatenate([out, vals[s1 * b :]], 0)
 
-        return AttnHooks(pre=pre, post=post)
+        attn = None
+        if user.attn is not None:
+            from stable_renderer_tpu.models.layers import attention as _default_attn
+
+            def attn(q, k, v, heads, layer):
+                # apply the replaced (cross-frame) attention per conditioning
+                # group (frames axis); uncond rows keep plain attention.
+                # static python loop: ring shard_map composes per group.
+                outs = [
+                    user.attn(
+                        q[g * b : (g + 1) * b], k[g * b : (g + 1) * b],
+                        v[g * b : (g + 1) * b], heads, layer,
+                    )
+                    for g in range(s1)
+                ]
+                if use_cfg:
+                    outs.append(_default_attn(q[s1 * b :], k[s1 * b :], v[s1 * b :], heads))
+                return jnp.concatenate(outs, 0)
+
+        mid = None
+        if user.mid is not None:
+
+            def mid(x, layer):
+                outs = [user.mid(x[g * b : (g + 1) * b], layer) for g in range(s1)]
+                if use_cfg:
+                    outs.append(x[s1 * b :])
+                return jnp.concatenate(outs, 0)
+
+        return AttnHooks(pre=pre, post=post, attn=attn, mid=mid)
 
     def denoise(x: jax.Array, sigma: jax.Array) -> jax.Array:
         t = timestep_from_sigma(log_sigmas, sigma)

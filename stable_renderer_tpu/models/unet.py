@@ -124,10 +124,24 @@ class AttnHooks(NamedTuple):
           called on the attention output of self-attention
           (reference attention.py:596-599; the reference applies it to
           positive-cond rows only — the caller slices).
+    attn: (q, k, v, heads, layer_idx) -> values
+          replaces the self-attention computation itself (post-projection) —
+          the hook point for cross-frame / ring attention, where the frame
+          batch is the sequence-parallel axis (SURVEY.md section 2.6). No
+          reference analogue (the reference's optimized_attention is
+          backend-selection only); on TPU this is where frame-sharded
+          sequence parallelism plugs in.
+    mid:  (x, layer_idx) -> x
+          fires after the attn1 residual add, before cross-attention — the
+          reference's "middle_patch" transformer-patch point where GLIGEN
+          fusers attach (comfy/ldm/modules/attention.py BasicTransformerBlock
+          middle_patch; gligen.py Gligen._set_position).
     """
 
     pre: Optional[Callable] = None
     post: Optional[Callable] = None
+    attn: Optional[Callable] = None
+    mid: Optional[Callable] = None
 
 
 # ---------------------------------------------------------------------------
@@ -164,10 +178,16 @@ def basic_transformer_block(
     q = linear(p["attn1"]["to_q"], q_ctx)
     k = linear(p["attn1"]["to_k"], k_ctx)
     v = linear(p["attn1"]["to_v"], v_ctx)
-    attn_out = attention(q, k, v, heads)
+    if hooks.attn is not None:
+        attn_out = hooks.attn(q, k, v, heads, layer_idx)
+    else:
+        attn_out = attention(q, k, v, heads)
     if hooks.post is not None:
         attn_out = hooks.post(attn_out, layer_idx)
     x = x + linear(p["attn1"]["to_out"]["0"], attn_out)
+
+    if hooks.mid is not None:  # GLIGEN fuser point (middle_patch)
+        x = hooks.mid(x, layer_idx)
 
     # cross-attention (attn2) over the text context
     n = layer_norm(p["norm2"], x)

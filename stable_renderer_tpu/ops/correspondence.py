@@ -43,20 +43,24 @@ from stable_renderer_tpu.ops.math import adain, group_average_by_id, group_randn
 def broadcast_kv_injection(
     k: jax.Array,  # (B, L, C) self-attn key context (pre-projection)
     v: jax.Array,  # (B, L, C)
-    frame_indices: Tuple[int, ...] = (0,),
+    frame_indices=(0,),  # static ints OR a traced int array (per-run random pick)
 ) -> Tuple[jax.Array, jax.Array]:
     """Replace every frame's K/V context with the concatenation of the selected
     frames' contexts (OverlapCorresponder.pre_atten_inject :188-220).
 
-    The reference picks random frame indices once per run; here they are static
-    ints chosen by the host (pass a rotating choice for the same effect) so the
-    gather compiles to a slice + broadcast.
+    ``frame_indices`` may be static host ints or a traced index array — the
+    latter reproduces the reference's per-run random frame pick
+    (corresponder.py:203-208 torch.randint once per run) without recompiling:
+    the gather is dynamic, the shapes static.
     """
     b = k.shape[0]
-    sel_k = jnp.concatenate([k[i % b] for i in frame_indices], axis=0)
-    sel_v = jnp.concatenate([v[i % b] for i in frame_indices], axis=0)
-    k_out = jnp.broadcast_to(sel_k[None], (b, *sel_k.shape))
-    v_out = jnp.broadcast_to(sel_v[None], (b, *sel_v.shape))
+    idx = jnp.asarray(frame_indices) % b
+    n_sel = idx.shape[0]
+    l, c = k.shape[1], k.shape[2]
+    sel_k = k[idx].reshape(n_sel * l, c)
+    sel_v = v[idx].reshape(n_sel * l, c)
+    k_out = jnp.broadcast_to(sel_k[None], (b, n_sel * l, c))
+    v_out = jnp.broadcast_to(sel_v[None], (b, n_sel * l, c))
     return k_out, v_out
 
 
@@ -136,13 +140,21 @@ class Corresponder:
     hook points; ``attn_hooks``/``step_callback`` adapt them into the compiled
     denoise loop."""
 
-    layer_range: Tuple[int, ...] = (6,)
+    layer_range: Optional[Tuple[int, ...]] = (6,)
 
     def prepare(self, engine_data) -> None:  # noqa: ANN001
         pass
 
-    def attn_hooks(self, engine_data) -> AttnHooks:  # noqa: ANN001
+    def attn_hooks(self, engine_data, key: Optional[jax.Array] = None) -> AttnHooks:  # noqa: ANN001
+        """Build the traced attention hooks. ``key`` (traced) seeds per-run
+        randomness (the reference's once-per-run random frame pick)."""
         return AttnHooks()
+
+    def _gate_layer(self, layer: int) -> bool:
+        """layer_range gating (corresponder.py:162-166: 'the layers that the
+        correspond function will be applied to'; None = all layers). layer is a
+        static trace-time int, so gating costs nothing compiled."""
+        return self.layer_range is None or layer in self.layer_range
 
     def step_callback(self, engine_data, ms=None, sigmas=None):  # noqa: ANN001
         """Returns (x, denoised, sigma, i) -> x for samplers.sample, or None."""
@@ -195,22 +207,74 @@ class DefaultCorresponder(Corresponder):
 
 @dataclass(eq=False)
 class OverlapCorresponder(DefaultCorresponder):
-    """Cross-frame-consistency corresponder (corresponder.py:157-377)."""
+    """Cross-frame-consistency corresponder (corresponder.py:157-377).
+
+    Modes:
+      * default: every frame attends to the K/V of ``pre_attn_frames``
+        (static) — or, when ``pre_attn_frames`` is None, of
+        ``pre_attn_inject_num_random_frames`` frames picked randomly per run
+        from the traced key (the reference's torch.randint-once semantics,
+        corresponder.py:203-208, recompile-free).
+      * ``all_frames=True``: full cross-frame attention — sequence = frames x
+        tokens (SURVEY.md section 2.6 'all-frames' long-context mechanism).
+        With ``mesh`` set, routes through ring attention over the dp-sharded
+        frame axis (parallel/ring_attention.py): K/V blocks rotate via
+        ppermute, no chip materializes the full sequence.
+    """
 
     update_corrmap_mode: str = "first"
     pre_attn_inject_num_random_frames: int = 1
-    pre_attn_frames: Tuple[int, ...] = (1,)
+    pre_attn_frames: Optional[Tuple[int, ...]] = (1,)
     step_finished_inject_ratio: float = 0.1
     step_finished_stop_inject_timestep: float = 500.0
     vertex_segments: int = 262144
+    all_frames: bool = False
+    mesh: Optional[object] = None  # jax Mesh: ring-attention routing when set
+    mesh_axis: str = "dp"
+    allow_any_sampler: bool = False  # the reference restricts CorrespondSampler
+    # + OverlapCorresponder to ddim/ddpm (stable_rendering/_nodes/samplers.py:163)
+    # and the executor enforces it; the scan-based injection here is actually
+    # sampler-agnostic, so True opts out (engine/pipeline paths never gate)
 
-    def attn_hooks(self, engine_data) -> AttnHooks:  # noqa: ANN001
+    def attn_hooks(self, engine_data, key: Optional[jax.Array] = None) -> AttnHooks:  # noqa: ANN001
+        if self.all_frames:
+            from stable_renderer_tpu.parallel.ring_attention import (
+                cross_frame_attention,
+                ring_cross_frame_attention,
+            )
+
+            def attn(q, k, v, heads, layer):
+                from stable_renderer_tpu.models.layers import attention as _plain
+
+                if not self._gate_layer(layer):
+                    return _plain(q, k, v, heads)
+                if self.mesh is not None:
+                    return ring_cross_frame_attention(
+                        q, k, v, heads, self.mesh, self.mesh_axis
+                    )
+                return cross_frame_attention(q, k, v, heads)
+
+            return AttnHooks(attn=attn)
         if self.pre_attn_inject_num_random_frames < 0:
             return AttnHooks()
-        frames = self.pre_attn_frames[: max(self.pre_attn_inject_num_random_frames, 1)]
+        n_sel = max(self.pre_attn_inject_num_random_frames, 1)
+        random_pick = self.pre_attn_frames is None
+        if not random_pick:
+            frames = jnp.asarray(self.pre_attn_frames[:n_sel])
+        elif key is not None:
+            # per-run random bits; mapped to [1, B) inside pre where the frame
+            # count is known (reference torch.randint(1, B, (n,)) once per run,
+            # corresponder.py:203-208)
+            frames = jax.random.randint(key, (n_sel,), 0, 1_000_003)
+        else:
+            frames = jnp.arange(1, n_sel + 1)
+            random_pick = False
 
         def pre(q, k, v, layer):
-            k2, v2 = broadcast_kv_injection(k, v, frames)
+            if not self._gate_layer(layer):
+                return q, k, v
+            idx = 1 + frames % max(k.shape[0] - 1, 1) if random_pick else frames
+            k2, v2 = broadcast_kv_injection(k, v, idx)
             return q, k2, v2
 
         return AttnHooks(pre=pre)
