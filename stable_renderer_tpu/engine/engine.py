@@ -63,6 +63,7 @@ class Engine:
         keep_frames_in_memory: bool = False,
         max_frames: Optional[int] = None,
         verbose: bool = False,
+        debug: bool = False,
         **kwargs,
     ):
         from stable_renderer_tpu.engine.gameobj import GameObject
@@ -74,6 +75,7 @@ class Engine:
         self._managers: list[Manager] = []
         self._running = False
         self.verbose = verbose
+        self.debug = debug  # True: manager errors raise; False: log + continue
 
         # manager init order matches the reference (engine.py:144-172)
         self.WindowManager = WindowManager(
@@ -127,6 +129,24 @@ class Engine:
         with profile_cm:
             self._run_inner()
 
+    def _contained(self, manager: Manager, hook_name: str) -> None:
+        """Run one manager hook with the reference's error policy
+        (manager.py:147-199): debug mode raises, production logs the traceback
+        and continues — one bad component must not kill the engine."""
+        try:
+            getattr(manager, hook_name)()
+        except (KeyboardInterrupt, SystemExit):
+            raise
+        except Exception:
+            if self.debug:
+                raise
+            import traceback
+
+            EngineLogger.error(
+                f"{type(manager).__name__}.{hook_name} failed (continuing):\n"
+                + traceback.format_exc()
+            )
+
     def _run_inner(self) -> None:
         self._running = True
         self.beforePrepare()
@@ -143,13 +163,13 @@ class Engine:
                     break
                 self.beforeFrameBegin()
                 for m in sorted(self._managers, key=lambda m: m.FrameBeginFuncOrder):
-                    m.on_frame_begin()
+                    self._contained(m, "on_frame_begin")
                 self.beforeFrameRun()
                 for m in sorted(self._managers, key=lambda m: m.FrameRunFuncOrder):
-                    m.on_frame_run()
+                    self._contained(m, "on_frame_run")
                 self.beforeFrameEnd()
                 for m in sorted(self._managers, key=lambda m: m.FrameEndFuncOrder):
-                    m.on_frame_end()
+                    self._contained(m, "on_frame_end")
         finally:
             self.beforeRelease()
             for m in sorted(self._managers, key=lambda m: m.ReleaseFuncOrder):

@@ -144,22 +144,58 @@ class InputManager(Manager):
 
 
 class RuntimeManager(Manager):
-    """Frame clock + GameObject phase driver (runtimeManager.py:15-325)."""
+    """Frame clock + GameObject phase driver (runtimeManager.py:15-325).
+
+    Real wall clock: ``DeltaTime`` is measured per frame, and ``fixedUpdate``
+    runs on an accumulator at ``FixedDeltaTime`` cadence (0..max_substeps
+    times per frame) so physics/controls are per-second, not per-frame
+    (reference runtimeManager.py fixedUpdate pacing). Headless runs that want
+    determinism can pin the clock with ``fixed_clock=True`` (every frame
+    advances exactly FixedDeltaTime — the round-1 behaviour, used by tests)."""
 
     FrameRunFuncOrder = 0  # runs before RenderManager (order 100)
 
-    def __init__(self, engine, fixed_delta_time: float = 1.0 / 60.0):
+    def __init__(self, engine, fixed_delta_time: float = 1.0 / 60.0,
+                 fixed_clock: bool = False, max_substeps: int = 4):
         super().__init__(engine)
         self.FrameCount = 0
         self.FixedDeltaTime = fixed_delta_time
         self.DeltaTime = fixed_delta_time
         self.Gravity = np.asarray([0.0, -9.8, 0.0], np.float32)
         self.fps = FPSCounter()
+        self.fixed_clock = fixed_clock
+        self.max_substeps = max_substeps
+        self._last_time: Optional[float] = None
+        self._accum = 0.0
+
+    def on_frame_begin(self):
+        import time
+
+        if self.fixed_clock:
+            self.DeltaTime = self.FixedDeltaTime
+            self._accum = self.FixedDeltaTime
+            return
+        now = time.perf_counter()
+        if self._last_time is None:
+            self.DeltaTime = self.FixedDeltaTime
+        else:
+            # clamp huge stalls (debugger, first compile) to one substep burst
+            self.DeltaTime = min(now - self._last_time,
+                                 self.FixedDeltaTime * self.max_substeps)
+        self._last_time = now
+        self._accum += self.DeltaTime
 
     def on_frame_run(self):
         from stable_renderer_tpu.engine.gameobj import GameObject
 
-        for phase in ("fixedUpdate", "update", "lateUpdate"):
+        n_fixed = 0
+        while self._accum >= self.FixedDeltaTime and n_fixed < self.max_substeps:
+            self._accum -= self.FixedDeltaTime
+            n_fixed += 1
+        for _ in range(n_fixed):
+            for root in GameObject.roots():
+                root._run_phase("fixedUpdate")
+        for phase in ("update", "lateUpdate"):
             for root in GameObject.roots():
                 root._run_phase(phase)
 
