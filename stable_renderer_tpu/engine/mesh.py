@@ -152,8 +152,29 @@ class Mesh:
     @classmethod
     def Load(cls, path: str | Path, name: str | None = None) -> "Mesh":
         path = Path(path)
-        if path.suffix.lower() != ".obj":
-            raise ValueError(f"Only .obj supported by the host loader (got {path.suffix})")
+        suffix = path.suffix.lower()
+        if suffix != ".obj":
+            # glTF/GLB/STL/PLY parsers (assimp-format replacement,
+            # reference mesh.py:155-318; see mesh_formats.py)
+            from stable_renderer_tpu.engine.mesh_formats import LOADERS
+
+            if suffix not in LOADERS:
+                raise ValueError(
+                    f"Unsupported mesh format '{suffix}' "
+                    f"(have .obj {' '.join(sorted(LOADERS))}; export FBX/DAE "
+                    "assets to glTF)")
+            pos, uv, nrm, colors, tris, tri_mat, names = LOADERS[suffix](path)
+            mesh = cls(
+                positions=pos,
+                normals=nrm,
+                uvs=uv,
+                colors=colors,
+                tris=tris,
+                tri_material=tri_mat,
+                name=name or path.stem,
+            )
+            mesh.material_names = names  # type: ignore[attr-defined]
+            return mesh
         # prefer the native C++ parser (stable_renderer_tpu/native/objloader.cpp);
         # the pure-Python parser below is the no-toolchain fallback
         try:

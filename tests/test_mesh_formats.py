@@ -1,0 +1,194 @@
+"""glTF/GLB/STL/PLY loader tests (VERDICT r1 missing #11; reference
+mesh.py:155-318 assimp formats)."""
+
+import json
+import struct
+
+import numpy as np
+import pytest
+
+from stable_renderer_tpu.engine.mesh import Mesh
+
+# a unit right triangle + a second triangle sharing an edge (quad)
+QUAD_POS = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32)
+QUAD_UV = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+QUAD_TRIS = np.array([[0, 1, 2], [0, 2, 3]], np.uint16)
+
+
+def _write_glb(path, translation=None):
+    pos = QUAD_POS.tobytes()
+    uv = QUAD_UV.tobytes()
+    idx = QUAD_TRIS.tobytes()
+    bin_chunk = pos + uv + idx
+    pad_bin = (-len(bin_chunk)) % 4
+    bin_chunk += b"\x00" * pad_bin
+    node = {"mesh": 0}
+    if translation is not None:
+        node["translation"] = translation
+    gltf = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [node],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0, "TEXCOORD_0": 1},
+            "indices": 2, "material": 0,
+        }]}],
+        "materials": [{"name": "mat0"}],
+        "buffers": [{"byteLength": len(bin_chunk)}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": len(pos)},
+            {"buffer": 0, "byteOffset": len(pos), "byteLength": len(uv)},
+            {"buffer": 0, "byteOffset": len(pos) + len(uv), "byteLength": len(idx)},
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 4, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5126, "count": 4, "type": "VEC2"},
+            {"bufferView": 2, "componentType": 5123, "count": 6, "type": "SCALAR"},
+        ],
+    }
+    js = json.dumps(gltf).encode()
+    js += b" " * ((-len(js)) % 4)
+    total = 12 + 8 + len(js) + 8 + len(bin_chunk)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<III", 0x46546C67, 2, total))
+        f.write(struct.pack("<II", len(js), 0x4E4F534A) + js)
+        f.write(struct.pack("<II", len(bin_chunk), 0x004E4942) + bin_chunk)
+
+
+def test_glb_roundtrip(tmp_path):
+    p = tmp_path / "quad.glb"
+    _write_glb(p)
+    m = Mesh.Load(p)
+    assert m.vertex_count == 4 and m.triangle_count == 2
+    np.testing.assert_allclose(m.positions, QUAD_POS)
+    np.testing.assert_allclose(m.uvs, QUAD_UV)
+    assert m.tri_material.tolist() == [0, 0]
+    assert m.material_names == ["mat0"]
+    # generated normals face +z (counter-clockwise winding)
+    np.testing.assert_allclose(m.normals[:, 2], 1.0, atol=1e-5)
+
+
+def test_glb_node_transform_baked(tmp_path):
+    p = tmp_path / "moved.glb"
+    _write_glb(p, translation=[10.0, 0.0, 0.0])
+    m = Mesh.Load(p)
+    np.testing.assert_allclose(m.positions[:, 0], QUAD_POS[:, 0] + 10.0, atol=1e-5)
+
+
+def test_gltf_json_with_data_uri(tmp_path):
+    import base64
+
+    bin_data = QUAD_POS.tobytes() + QUAD_TRIS.astype(np.uint16).tobytes()
+    gltf = {
+        "asset": {"version": "2.0"},
+        "scenes": [{"nodes": [0]}], "scene": 0,
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{"attributes": {"POSITION": 0}, "indices": 1}]}],
+        "buffers": [{
+            "byteLength": len(bin_data),
+            "uri": "data:application/octet-stream;base64,"
+                   + base64.b64encode(bin_data).decode(),
+        }],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 48},
+            {"buffer": 0, "byteOffset": 48, "byteLength": 12},
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 4, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5123, "count": 6, "type": "SCALAR"},
+        ],
+    }
+    p = tmp_path / "quad.gltf"
+    p.write_text(json.dumps(gltf))
+    m = Mesh.Load(p)
+    assert m.vertex_count == 4 and m.triangle_count == 2
+
+
+def test_stl_binary_dedup(tmp_path):
+    tri_pts = QUAD_POS[QUAD_TRIS.astype(int)]  # (2,3,3) duplicated verts
+    p = tmp_path / "quad.stl"
+    with open(p, "wb") as f:
+        f.write(b"\x00" * 80)
+        f.write(struct.pack("<I", 2))
+        for t in tri_pts:
+            f.write(np.zeros(3, np.float32).tobytes())  # normal
+            f.write(t.astype(np.float32).tobytes())
+            f.write(struct.pack("<H", 0))
+    m = Mesh.Load(p)
+    assert m.vertex_count == 4  # deduplicated from 6
+    assert m.triangle_count == 2
+
+
+def test_stl_ascii(tmp_path):
+    lines = ["solid quad"]
+    for t in QUAD_POS[QUAD_TRIS.astype(int)]:
+        lines += ["facet normal 0 0 1", "outer loop"]
+        lines += [f"vertex {v[0]} {v[1]} {v[2]}" for v in t]
+        lines += ["endloop", "endfacet"]
+    lines.append("endsolid quad")
+    p = tmp_path / "quad_ascii.stl"
+    p.write_text("\n".join(lines))
+    m = Mesh.Load(p)
+    assert m.vertex_count == 4 and m.triangle_count == 2
+
+
+def test_ply_ascii_with_quad_face(tmp_path):
+    p = tmp_path / "quad.ply"
+    p.write_text("\n".join([
+        "ply", "format ascii 1.0",
+        "element vertex 4",
+        "property float x", "property float y", "property float z",
+        "property uchar red", "property uchar green", "property uchar blue",
+        "element face 1",
+        "property list uchar int vertex_indices",
+        "end_header",
+        "0 0 0 255 0 0",
+        "1 0 0 0 255 0",
+        "1 1 0 0 0 255",
+        "0 1 0 255 255 255",
+        "4 0 1 2 3",  # quad -> fan-triangulated to 2 tris
+    ]))
+    m = Mesh.Load(p)
+    assert m.vertex_count == 4
+    assert m.triangle_count == 2
+    np.testing.assert_allclose(m.colors[0], [1.0, 0.0, 0.0], atol=1e-2)
+
+
+def test_ply_binary(tmp_path):
+    header = "\n".join([
+        "ply", "format binary_little_endian 1.0",
+        "element vertex 4",
+        "property float x", "property float y", "property float z",
+        "element face 2",
+        "property list uchar uint vertex_indices",
+        "end_header",
+    ]) + "\n"
+    body = QUAD_POS.astype("<f4").tobytes()
+    for t in QUAD_TRIS:
+        body += struct.pack("<B", 3) + np.asarray(t, "<u4").tobytes()
+    p = tmp_path / "quad_bin.ply"
+    p.write_bytes(header.encode() + body)
+    m = Mesh.Load(p)
+    assert m.vertex_count == 4 and m.triangle_count == 2
+    np.testing.assert_allclose(m.positions, QUAD_POS)
+
+
+def test_unsupported_format_message(tmp_path):
+    p = tmp_path / "x.fbx"
+    p.write_bytes(b"\x00")
+    with pytest.raises(ValueError, match="gltf"):
+        Mesh.Load(p)
+
+
+def test_loaded_mesh_renders(tmp_path):
+    """A glb mesh goes through the actual raster path like any OBJ."""
+    import jax.numpy as jnp
+
+    from stable_renderer_tpu.engine.render_exec import mesh_device_buffers
+
+    p = tmp_path / "quad.glb"
+    _write_glb(p)
+    m = Mesh.Load(p)
+    bufs = mesh_device_buffers(m)
+    assert bufs is not None
