@@ -66,13 +66,32 @@ class PromptExecutor:
 
     FRAME_DEPENDENT = {"EngineData", "EngineDataNode", "VirtualEngineData"}
 
-    def __init__(self, workflow: Workflow, model_dirs: Tuple[str, ...] = ()):
+    def __init__(self, workflow: Workflow, model_dirs: Tuple[str, ...] = (),
+                 validate: bool = True):
         self.workflow = workflow
         self.model_dirs = model_dirs
         self._cache: Dict[int, tuple] = {}
         self._jit_cache: Dict[Any, Any] = {}
         self._frame_tainted: set = set()
         self._compute_taint()
+        self.validation_errors: List[dict] = []
+        if validate:
+            self.validate()
+
+    def validate(self) -> List[dict]:
+        """Validate the prompt graph before execution (execution.py:1170-1512):
+        unknown nodes, broken links, slot arity, typed link compatibility with
+        adapter lookup, widget coercion + min/max/combo. Raises
+        WorkflowValidationError when invalid."""
+        from stable_renderer_tpu.workflow.validation import (
+            WorkflowValidationError,
+            validate_workflow,
+        )
+
+        self.validation_errors = validate_workflow(self.workflow, NODE_REGISTRY)
+        if self.validation_errors:
+            raise WorkflowValidationError(self.validation_errors)
+        return self.validation_errors
 
     def _compute_taint(self) -> None:
         """Mark nodes downstream of frame-dependent nodes (re-run every frame)."""
@@ -133,11 +152,33 @@ class PromptExecutor:
                 f"workflow node type '{node.type}' has no implementation "
                 f"(registered: {sorted(NODE_REGISTRY)})"
             )
+        from stable_renderer_tpu.workflow.validation import (
+            NODE_SPECS,
+            Lazy,
+            find_adapter,
+        )
+
+        spec = NODE_SPECS.get(node.type)
         inputs: Dict[str, Any] = {}
         for name, (src_id, slot) in node.inputs.items():
             src = self.workflow.nodes[src_id]
+            if spec and name in spec.lazy_inputs:
+                # Lazy[T]: don't execute the producing subgraph unless forced
+                # (types/basic.py:1026-1133)
+                to_type = spec.input_types.get(name, "ANY")
+                inputs[name] = Lazy(self, ctx, src, slot, to_type)
+                continue
             out = self._run_node(src, ctx)
-            inputs[name] = out[slot] if slot < len(out) else None
+            val = out[slot] if slot < len(out) else None
+            # adapter insertion on typed links (adapters.py find_adapter)
+            src_spec = NODE_SPECS.get(src.type)
+            if (spec and src_spec and name in spec.input_types
+                    and slot < len(src_spec.return_types)):
+                adapter = find_adapter(src_spec.return_types[slot],
+                                       spec.input_types[name])
+                if adapter is not None:
+                    val = adapter(val)
+            inputs[name] = val
         result = impl(ctx, node, **inputs)
         if not isinstance(result, tuple):
             result = (result,)
@@ -381,6 +422,94 @@ def controlnet_apply(
     return (out,)
 
 
+@register_node("GLIGENLoader")
+def gligen_loader(ctx: InferenceContext, node: WorkflowNode):
+    """Load a GLIGEN checkpoint (nodes.py GLIGENLoader; gligen.py load_gligen)."""
+    name = str(node.widgets[0]) if node.widgets else ""
+    path = _find_model_file(ctx, name)
+    if path is None:
+        raise FileNotFoundError(f"gligen checkpoint '{name}' not found")
+    from stable_renderer_tpu.models.gligen import load_gligen
+    from stable_renderer_tpu.models.weights import load_state_dict
+
+    return (load_gligen(load_state_dict(path)),)
+
+
+@register_node("GLIGENTextBoxApply")
+def gligen_textbox_apply(ctx: InferenceContext, node: WorkflowNode,
+                         conditioning_to=None, conditioning=None, clip=None,
+                         gligen_textbox_model=None):
+    """Ground a text phrase to a box (nodes.py GLIGENTextBoxApply): encodes the
+    phrase, appends (pooled, h/8, w/8, y/8, x/8) to the cond's gligen position
+    params (consumed by the sampler's mid hook)."""
+    import jax.numpy as jnp
+
+    w = node.widgets
+    text = str(w[0]) if w else ""
+    bw = int(w[1]) if len(w) > 1 else 64
+    bh = int(w[2]) if len(w) > 2 else 64
+    bx = int(w[3]) if len(w) > 3 else 0
+    by = int(w[4]) if len(w) > 4 else 0
+    cond = conditioning_to or conditioning or {}
+    # pooled phrase embedding: mean over the encoded chunk (the reference uses
+    # CLIP's cond_pooled from encode_from_tokens(return_pooled=True))
+    enc = _encode_weighted(clip, [text])
+    pooled = jnp.mean(enc[0], axis=0)
+    prev = cond.get("gligen")
+    params = list(prev[2]) if prev else []
+    params.append((pooled, bh // 8, bw // 8, by // 8, bx // 8))
+    return ({**cond, "gligen": ("position", gligen_textbox_model, params)},)
+
+
+@register_node("CLIPVisionLoader")
+def clip_vision_loader(ctx: InferenceContext, node: WorkflowNode):
+    """Load a CLIP vision checkpoint (nodes.py CLIPVisionLoader;
+    clip_vision.py load)."""
+    name = str(node.widgets[0]) if node.widgets else ""
+    path = _find_model_file(ctx, name)
+    if path is None:
+        raise FileNotFoundError(f"clip vision checkpoint '{name}' not found")
+    from stable_renderer_tpu.models.clip_vision import load_clip_vision
+
+    model, params = load_clip_vision(path)
+    return ({"model": model, "params": params},)
+
+
+@register_node("CLIPVisionEncode")
+def clip_vision_encode(ctx: InferenceContext, node: WorkflowNode,
+                       clip_vision=None, image=None):
+    """Image -> CLIP vision output (nodes.py CLIPVisionEncode;
+    clip_vision.py:71-80 encode_image). jitted + cached per executor."""
+    import jax
+
+    key = ("clip_vision_encode", id(clip_vision["model"]))
+    fn = ctx.jit_cache.get(key)
+    if fn is None:
+        model = clip_vision["model"]
+        fn = jax.jit(lambda p, img: model.encode_image(p, img))
+        ctx.jit_cache[key] = fn
+    out = fn(clip_vision["params"], image)
+    return ({"last_hidden_state": out.last_hidden_state,
+             "penultimate_hidden_states": out.penultimate_hidden_states,
+             "image_embeds": out.image_embeds},)
+
+
+@register_node("unCLIPConditioning")
+def unclip_conditioning(ctx: InferenceContext, node: WorkflowNode,
+                        conditioning=None, clip_vision_output=None):
+    """Attach image-embed guidance to a conditioning (nodes.py
+    unCLIPConditioning: appends {clip_vision_output, strength,
+    noise_augmentation} to every cond entry). The ADM builder folds
+    ``unclip`` entries into the model's y-vector for unCLIP checkpoints."""
+    w = node.widgets
+    strength = float(w[0]) if w else 1.0
+    noise_aug = float(w[1]) if len(w) > 1 else 0.0
+    entry = {"embeds": clip_vision_output["image_embeds"],
+             "strength": strength, "noise_augmentation": noise_aug}
+    cond = conditioning or {}
+    return ({**cond, "unclip": list(cond.get("unclip", [])) + [entry]},)
+
+
 @register_node("EngineData", "EngineDataNode", "VirtualEngineData")
 def engine_data_node(ctx: InferenceContext, node: WorkflowNode):
     """Unpack EngineData into its output slots (stable_rendering _nodes/data.py)."""
@@ -438,12 +567,40 @@ def ksampler(
     from stable_renderer_tpu.models.unet import AttnHooks
 
     w = node.widgets
-    seed = int(w[0]) % (2**31) if w else 0
-    steps = int(w[2]) if len(w) > 2 else 20
-    cfg_scale = float(w[3]) if len(w) > 3 else 7.0
-    sampler_name = str(w[4]) if len(w) > 4 else "euler"
-    scheduler = str(w[5]) if len(w) > 5 else "normal"
-    denoise = float(w[6]) if len(w) > 6 else 1.0
+    if node.type == "CorrespondSampler":
+        # CorrespondSampler has NO seed widget: [steps, cfg, sampler_name,
+        # scheduler, denoise] (stable_rendering/_nodes/samplers.py:139-143;
+        # noise comes from EngineData's packed noise maps, seed=None at :188)
+        seed = 0
+        steps = int(w[0]) if w else 20
+        cfg_scale = float(w[1]) if len(w) > 1 else 8.0
+        sampler_name = str(w[2]) if len(w) > 2 else "euler"
+        scheduler = str(w[3]) if len(w) > 3 else "normal"
+        denoise = float(w[4]) if len(w) > 4 else 1.0
+    else:
+        # KSampler: [seed, seed_mode, steps, cfg, sampler, scheduler, denoise]
+        seed = int(w[0]) % (2**31) if w else 0
+        steps = int(w[2]) if len(w) > 2 else 20
+        cfg_scale = float(w[3]) if len(w) > 3 else 7.0
+        sampler_name = str(w[4]) if len(w) > 4 else "euler"
+        scheduler = str(w[5]) if len(w) > 5 else "normal"
+        denoise = float(w[6]) if len(w) > 6 else 1.0
+
+    if node.type == "CorrespondSampler" and corresponder is not None:
+        # reference gate: OverlapCorresponder only with ddim/ddpm
+        # (stable_rendering/_nodes/samplers.py:163); our scan-based injection
+        # works with any sampler, so allow an explicit opt-out
+        from stable_renderer_tpu.ops.correspondence import OverlapCorresponder
+
+        if (
+            isinstance(corresponder, OverlapCorresponder)
+            and sampler_name not in ("ddim", "ddpm")
+            and not getattr(corresponder, "allow_any_sampler", False)
+        ):
+            raise ValueError(
+                "OverlapCorresponder only works with ddim or ddpm sampler_name "
+                "(set allow_any_sampler=True to override)"
+            )
 
     ms = model["sampling"]
     if sampler_name == "lcm":
@@ -557,6 +714,7 @@ def ksampler(
         tuple(specs), use_conds, use_scene, sprite_ids,
         tuple(c.shape for c in cond_ctxs),
         tuple(None if m is None else m.shape for m in cond_masks),
+        None if positive.get("gligen") is None else len(positive["gligen"][2]),
     )
     fn = ctx.jit_cache.get(cache_key) if hasattr(ctx, "jit_cache") else None
     if fn is None:
@@ -601,7 +759,21 @@ def ksampler(
                                     ]
                     return total
 
-            hooks = corr.attn_hooks(None) if use_corr else AttnHooks()
+            hooks = (
+                corr.attn_hooks(None, key=jax.random.fold_in(key_, 2))
+                if use_corr else AttnHooks()
+            )
+            gligen_spec = positive.get("gligen")
+            if gligen_spec is not None:
+                # grounded boxes -> per-transformer-index fuser mid hook
+                # (nodes.py GLIGENTextBoxApply -> samplers gligen cond;
+                # models/gligen.py). Applied to positive rows by wrap_hooks.
+                _, gl_model, gl_pos = gligen_spec
+                objs = gl_model.grounding_tokens(
+                    latent_.shape[0], gl_pos, (latent_.shape[1], latent_.shape[2]))
+                hooks = AttnHooks(pre=hooks.pre, post=hooks.post,
+                                  attn=hooks.attn,
+                                  mid=gl_model.make_mid_hook(objs))
             step_cb = corr.make_step_callback(id_maps_, log_sigmas) if use_corr else None
             uncond = None if cfg_scale == 1.0 else ctx_neg_
             if use_scene:
@@ -702,16 +874,18 @@ def is_not_none(ctx: InferenceContext, node: WorkflowNode, **kw):
 
 @register_node("If", "IfNode", "IfValTypeEqual")
 def if_node(ctx: InferenceContext, node: WorkflowNode, **kw):
-    """Logic branch (logic.py If/IfNode). The reference evaluates branches
-    lazily (Lazy[T]); here the graph is small enough that both inputs resolve
-    eagerly and the condition selects the value."""
-    cond = kw.get("condition", kw.get("val", None))
+    """Logic branch (logic.py If/IfNode). Branch inputs are declared Lazy
+    (validation.py NODE_SPECS), matching the reference's Lazy[T] semantics
+    (types/basic.py:1026-1133): only the taken branch's subgraph executes."""
+    from stable_renderer_tpu.workflow.validation import resolve
+
+    cond = resolve(kw.get("condition", kw.get("val", None)))
     true_val = kw.get("true_value", kw.get("if_true"))
     false_val = kw.get("false_value", kw.get("if_false"))
     if node.type == "IfValTypeEqual":
         type_name = str(node.widgets[0]) if node.widgets else ""
         cond = type(cond).__name__.lower() == type_name.lower()
-    return (true_val if cond else false_val,)
+    return (resolve(true_val if cond else false_val),)
 
 
 @register_node("LoadImage")

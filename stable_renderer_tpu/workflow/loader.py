@@ -65,6 +65,14 @@ class Workflow:
     def Load(cls, path: str | Path) -> "Workflow":
         with open(path) as f:
             data = json.load(f)
+        wf = cls.from_dict(data)
+        wf.path = str(path)
+        return wf
+
+    @classmethod
+    def from_dict(cls, data: dict) -> "Workflow":
+        """Parse an in-memory ComfyUI workflow dict (the web-server POST /prompt
+        payload shape; reference workflow.py:39-594)."""
         links = {}  # link_id -> (from_node, from_slot)
         for link in data.get("links", []):
             # link = [id, from_node, from_slot, to_node, to_slot, type]
@@ -83,7 +91,7 @@ class Workflow:
                 if lid is not None and lid in links:
                     node.inputs[inp.get("name", "")] = links[lid]
             nodes[node.id] = node
-        return cls(nodes=nodes, unknown_types=unknown, path=str(path))
+        return cls(nodes=nodes, unknown_types=unknown, path=None)
 
     # --- graph helpers ---
 
@@ -168,13 +176,13 @@ class Workflow:
                 scheduler = str(w[5])
                 denoise = float(w[6])
             elif len(w) >= 5:
-                # CorrespondSampler: [seed, mode, steps, cfg, sampler, scheduler, ...]
-                seed = int(w[0]) % (2**31)
-                steps = int(w[2]) if len(w) > 2 else steps
-                cfg = float(w[3]) if len(w) > 3 else cfg
-                sampler = str(w[4]) if len(w) > 4 else sampler
-                if len(w) > 5:
-                    scheduler = str(w[5])
+                # CorrespondSampler: [steps, cfg, sampler, scheduler, denoise]
+                # — no seed widget (stable_rendering/_nodes/samplers.py:139-143)
+                steps = int(w[0])
+                cfg = float(w[1])
+                sampler = str(w[2])
+                scheduler = str(w[3])
+                denoise = float(w[4])
 
         for n in self.by_type("CLIPTextEncode"):
             known.add(n.id)

@@ -75,6 +75,12 @@ def test_unknown_node_type_raises(tmp_path):
     p = tmp_path / "wf.json"
     p.write_text(json.dumps(data))
     wf = Workflow.Load(p)
-    ex = PromptExecutor(wf)
+    # validation rejects the graph up front (execution.py:1170 validate_prompt)
+    from stable_renderer_tpu.workflow.validation import WorkflowValidationError
+
+    with pytest.raises(WorkflowValidationError):
+        PromptExecutor(wf)
+    # with validation off, execution still raises at the unknown node
+    ex = PromptExecutor(wf, validate=False)
     with pytest.raises(NotImplementedError):
         ex.execute(engine_data=_engine_data())
