@@ -178,6 +178,34 @@ def cmd_execute(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """HTTP server mode (the reference main.run() server + PySide6 viewer
+    replacement): live MJPEG frame view + POST /prompt workflow execution."""
+    from stable_renderer_tpu.data.loaders import virtual_engine_data
+    from stable_renderer_tpu.server import FrameServer, serve_workflows
+
+    server = FrameServer(host=args.host, port=args.port).start()
+    print(f"viewer: http://{args.host}:{server.port}/  "
+          f"(POST workflow JSON to /prompt; /history; /queue)")
+
+    ed_fn = None
+    if args.color_dir or args.id_dir:
+        def ed_fn():
+            return virtual_engine_data(
+                color_dir=args.color_dir, id_dir=args.id_dir,
+                noise_dir=args.noise_dir, normal_dir=args.normal_dir,
+                depth_dir=args.depth_dir, prompt=args.prompt)
+
+    try:
+        serve_workflows(server, model_dirs=tuple(args.model_dir or ()),
+                        engine_data_fn=ed_fn, max_prompts=args.max_prompts)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.stop()
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="stable_renderer_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -205,6 +233,20 @@ def main(argv=None) -> int:
     p.add_argument("--depth-dir", type=str, default=None)
     p.add_argument("--model-dir", action="append", default=[])
     p.set_defaults(fn=cmd_execute)
+
+    p = sub.add_parser("serve", help="HTTP viewer + prompt server")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8188)
+    p.add_argument("--prompt", type=str, default="")
+    p.add_argument("--color-dir", type=str, default=None)
+    p.add_argument("--id-dir", type=str, default=None)
+    p.add_argument("--noise-dir", type=str, default=None)
+    p.add_argument("--normal-dir", type=str, default=None)
+    p.add_argument("--depth-dir", type=str, default=None)
+    p.add_argument("--model-dir", action="append", default=[])
+    p.add_argument("--max-prompts", type=int, default=None,
+                   help="exit after N prompts (default: run forever)")
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("bench", help="headline benchmark")
     p.set_defaults(fn=lambda a: __import__("bench").main() or 0)

@@ -1,0 +1,301 @@
+"""HTTP viewer + prompt server — the headless L6 surface.
+
+Capability match for two reference pieces the TPU build replaces:
+
+  * the PySide6 editor's live render view (reference: ui/main.py:23-160) —
+    here a zero-dependency stdlib HTTP server that streams engine frames as
+    MJPEG (`/stream`) plus single-frame (`/frame.png`) and a tiny HTML page
+    (`/`), so any browser is the remote viewer for a TPU host;
+  * the ComfyUI web server's prompt queue + history (reference:
+    comfyUI/execution.py:1515-1617 PromptQueue put/get/task_done/history,
+    main.run() server mode) — `PromptQueue` mirrors the mutex/condition
+    queue + bounded history, and `POST /prompt` / `GET /history` /
+    `GET /queue` expose it.
+
+Threading model: the HTTP server runs daemon threads; the engine/executor
+stays on the main thread and calls ``FrameServer.publish`` (a numpy uint8
+frame) — publish never blocks the render loop (latest-frame mailbox, no
+backpressure; stream clients drop frames they're too slow for).
+"""
+
+from __future__ import annotations
+
+import heapq
+import io
+import json
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from stable_renderer_tpu.utils.log import get_logger
+
+logger = get_logger("sr_tpu.server")
+
+MAX_HISTORY = 10000  # execution.py PromptQueue history bound
+
+
+@dataclass(order=True)
+class QueueTask:
+    priority: float
+    prompt_id: int = field(compare=False)
+    workflow: dict = field(compare=False)
+    extra: dict = field(compare=False, default_factory=dict)
+
+
+class PromptQueue:
+    """Priority prompt queue + bounded history (execution.py:1515-1617)."""
+
+    def __init__(self):
+        self.mutex = threading.RLock()
+        self.not_empty = threading.Condition(self.mutex)
+        self.task_counter = 0
+        self.queue: List[QueueTask] = []
+        self.currently_running: Dict[int, QueueTask] = {}
+        self.history: Dict[int, dict] = {}
+
+    def put(self, workflow: dict, priority: float = 0.0,
+            extra: Optional[dict] = None) -> int:
+        with self.mutex:
+            pid = self.task_counter
+            self.task_counter += 1
+            heapq.heappush(self.queue, QueueTask(priority, pid, workflow, extra or {}))
+            self.not_empty.notify()
+            return pid
+
+    def get(self, timeout: Optional[float] = None) -> Optional[QueueTask]:
+        with self.not_empty:
+            while not self.queue:
+                self.not_empty.wait(timeout=timeout)
+                if timeout is not None and not self.queue:
+                    return None
+            item = heapq.heappop(self.queue)
+            self.currently_running[item.prompt_id] = item
+            return item
+
+    def task_done(self, prompt_id: int, status: str = "success",
+                  messages: Optional[List[str]] = None) -> None:
+        with self.mutex:
+            item = self.currently_running.pop(prompt_id, None)
+            if len(self.history) >= MAX_HISTORY:
+                self.history.pop(next(iter(self.history)))
+            self.history[prompt_id] = {
+                "prompt_id": prompt_id,
+                "status": status,
+                "completed": status == "success",
+                "messages": messages or [],
+                "workflow": None if item is None else item.workflow,
+                "ts": time.time(),
+            }
+
+    def get_history(self) -> List[dict]:
+        with self.mutex:
+            return list(self.history.values())
+
+    def queue_info(self) -> dict:
+        with self.mutex:
+            return {
+                "queue_pending": len(self.queue),
+                "queue_running": len(self.currently_running),
+                "task_counter": self.task_counter,
+            }
+
+
+_INDEX_HTML = b"""<!doctype html>
+<html><head><title>stable_renderer_tpu</title>
+<style>body{background:#111;color:#ddd;font-family:monospace;text-align:center}
+img{image-rendering:pixelated;max-width:90vw;border:1px solid #444}</style>
+</head><body>
+<h3>stable_renderer_tpu live view</h3>
+<img src="/stream" alt="render stream"/>
+<p id="s"></p>
+<script>setInterval(async()=>{const r=await fetch('/status');
+document.getElementById('s').textContent=JSON.stringify(await r.json());},1000);
+</script></body></html>"""
+
+
+def _encode_png(frame: np.ndarray) -> bytes:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(frame[..., :3]).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _encode_jpeg(frame: np.ndarray, quality: int = 85) -> bytes:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(frame[..., :3]).save(buf, format="JPEG", quality=quality)
+    return buf.getvalue()
+
+
+class FrameServer:
+    """Latest-frame mailbox + HTTP endpoints. Start with ``start()``; publish
+    uint8 frames from the engine loop via ``publish``."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 8188):
+        self.host = host
+        self.port = port
+        self.queue = PromptQueue()
+        self._frame: Optional[np.ndarray] = None
+        self._frame_index = -1
+        self._frame_cv = threading.Condition()
+        self._httpd: Optional[ThreadingHTTPServer] = None
+        self._thread: Optional[threading.Thread] = None
+        self.stats: Dict[str, Any] = {}
+
+    # --- engine side ---
+
+    def publish(self, frame: np.ndarray, frame_index: int = -1) -> None:
+        if frame.dtype != np.uint8:
+            frame = np.clip(frame * 255.0, 0, 255).astype(np.uint8)
+        with self._frame_cv:
+            self._frame = np.asarray(frame)
+            self._frame_index = frame_index
+            self._frame_cv.notify_all()
+
+    def frame_callback(self, frame: np.ndarray, frame_index: int) -> None:
+        """Drop-in for Engine(frame_callback=...)."""
+        self.publish(frame, frame_index)
+
+    # --- server lifecycle ---
+
+    def start(self) -> "FrameServer":
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # route into our logger
+                logger.debug("http: " + fmt % args)
+
+            def _json(self, obj, code=200):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path in ("/", "/index.html"):
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html")
+                    self.end_headers()
+                    self.wfile.write(_INDEX_HTML)
+                elif self.path.startswith("/frame"):
+                    with server._frame_cv:
+                        frame = server._frame
+                    if frame is None:
+                        self._json({"error": "no frame yet"}, 404)
+                        return
+                    png = _encode_png(frame)
+                    self.send_response(200)
+                    self.send_header("Content-Type", "image/png")
+                    self.send_header("Content-Length", str(len(png)))
+                    self.end_headers()
+                    self.wfile.write(png)
+                elif self.path.startswith("/stream"):
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type",
+                        "multipart/x-mixed-replace; boundary=srtpuframe")
+                    self.end_headers()
+                    last = -2
+                    try:
+                        while True:
+                            with server._frame_cv:
+                                if server._frame_index == last:
+                                    server._frame_cv.wait(timeout=1.0)
+                                frame = server._frame
+                                last = server._frame_index
+                            if frame is None:
+                                continue
+                            jpg = _encode_jpeg(frame)
+                            self.wfile.write(b"--srtpuframe\r\n")
+                            self.wfile.write(b"Content-Type: image/jpeg\r\n")
+                            self.wfile.write(
+                                f"Content-Length: {len(jpg)}\r\n\r\n".encode())
+                            self.wfile.write(jpg)
+                            self.wfile.write(b"\r\n")
+                    except (BrokenPipeError, ConnectionResetError):
+                        return
+                elif self.path.startswith("/history"):
+                    self._json(server.queue.get_history())
+                elif self.path.startswith("/queue"):
+                    self._json(server.queue.queue_info())
+                elif self.path.startswith("/status"):
+                    with server._frame_cv:
+                        idx = server._frame_index
+                    self._json({"frame": idx, **server.queue.queue_info(),
+                                **server.stats})
+                else:
+                    self._json({"error": f"unknown path {self.path}"}, 404)
+
+            def do_POST(self):
+                if self.path.startswith("/prompt"):
+                    n = int(self.headers.get("Content-Length", 0))
+                    try:
+                        payload = json.loads(self.rfile.read(n) or b"{}")
+                    except json.JSONDecodeError as ex:
+                        self._json({"error": f"bad json: {ex}"}, 400)
+                        return
+                    wf = payload.get("prompt", payload)
+                    pid = server.queue.put(wf,
+                                           priority=payload.get("priority", 0.0))
+                    self._json({"prompt_id": pid})
+                else:
+                    self._json({"error": f"unknown path {self.path}"}, 404)
+
+        self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
+        self._httpd.daemon_threads = True
+        self.port = self._httpd.server_address[1]  # resolve port=0
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        daemon=True, name="sr-tpu-http")
+        self._thread.start()
+        logger.info(f"viewer at http://{self.host}:{self.port}/")
+        return self
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+
+def serve_workflows(server: FrameServer, model_dirs: Tuple[str, ...] = (),
+                    engine_data_fn=None, poll_timeout: float = 1.0,
+                    max_prompts: Optional[int] = None) -> None:
+    """Worker loop: drain the prompt queue with PromptExecutor (the reference
+    main.run() prompt_worker, main.py). Blocks; run on the main thread."""
+    from stable_renderer_tpu.workflow.executor import PromptExecutor
+    from stable_renderer_tpu.workflow.loader import Workflow
+
+    done = 0
+    while max_prompts is None or done < max_prompts:
+        task = server.queue.get(timeout=poll_timeout)
+        if task is None:
+            continue
+        try:
+            wf = Workflow.from_dict(task.workflow)
+            ex = PromptExecutor(wf, model_dirs=model_dirs)
+            ed = engine_data_fn() if engine_data_fn is not None else None
+            ctx = ex.execute(engine_data=ed)
+            out = ctx.final_output
+            if isinstance(out, dict):
+                out = out.get("samples")
+            if out is not None and getattr(out, "ndim", 0) >= 3:
+                arr = np.asarray(out)
+                if arr.ndim == 4:
+                    arr = arr[0]
+                if arr.shape[-1] not in (1, 3, 4):  # latent: preview via slice
+                    arr = arr[..., :3]
+                server.publish(arr[..., :3], task.prompt_id)
+            server.queue.task_done(task.prompt_id, "success",
+                                   ctx.status_messages)
+        except Exception as ex:  # noqa: BLE001 — server must survive bad prompts
+            logger.error(f"prompt {task.prompt_id} failed: {ex}")
+            server.queue.task_done(task.prompt_id, "error", [str(ex)])
+        done += 1

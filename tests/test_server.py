@@ -1,0 +1,119 @@
+"""HTTP viewer/prompt-server tests (VERDICT r1 missing #12 + §2.3 PromptQueue,
+web server; reference execution.py:1515-1617, ui/main.py viewer)."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from stable_renderer_tpu.server import FrameServer, PromptQueue, serve_workflows
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=5) as r:
+        return r.status, r.read(), r.headers
+
+
+@pytest.fixture
+def server():
+    s = FrameServer(port=0).start()  # ephemeral port
+    yield s
+    s.stop()
+
+
+def test_prompt_queue_priority_and_history():
+    q = PromptQueue()
+    a = q.put({"n": "low"}, priority=5.0)
+    b = q.put({"n": "hi"}, priority=-1.0)
+    t1 = q.get()
+    assert t1.prompt_id == b  # lower priority value first (heapq)
+    q.task_done(t1.prompt_id, "success")
+    t2 = q.get()
+    q.task_done(t2.prompt_id, "error", ["boom"])
+    hist = q.get_history()
+    assert {h["prompt_id"] for h in hist} == {a, b}
+    assert [h for h in hist if h["prompt_id"] == t2.prompt_id][0]["status"] == "error"
+    assert q.queue_info()["queue_pending"] == 0
+
+
+def test_index_status_and_frame_endpoints(server):
+    base = f"http://127.0.0.1:{server.port}"
+    code, body, _ = _get(base + "/")
+    assert code == 200 and b"stream" in body
+    # no frame yet -> 404
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(base + "/frame.png")
+    assert ei.value.code == 404
+    # publish a frame: /frame.png serves PNG, /status reports the index
+    server.publish(np.full((16, 16, 3), 0.5, np.float32), frame_index=7)
+    code, body, headers = _get(base + "/frame.png")
+    assert code == 200 and headers["Content-Type"] == "image/png"
+    assert body[:8] == b"\x89PNG\r\n\x1a\n"
+    code, body, _ = _get(base + "/status")
+    assert json.loads(body)["frame"] == 7
+
+
+def test_mjpeg_stream_delivers_frames(server):
+    base = f"http://127.0.0.1:{server.port}"
+    server.publish(np.zeros((8, 8, 3), np.uint8), frame_index=0)
+    got = {}
+
+    def read_stream():
+        req = urllib.request.urlopen(base + "/stream", timeout=5)
+        data = b""
+        while data.count(b"\xff\xd8") < 2:  # two JPEG SOI markers
+            data += req.read(256)
+        got["data"] = data
+
+    t = threading.Thread(target=read_stream, daemon=True)
+    t.start()
+    import time
+
+    for i in range(1, 20):
+        time.sleep(0.05)
+        server.publish(np.full((8, 8, 3), i * 10, np.uint8), frame_index=i)
+        if "data" in got:
+            break
+    t.join(timeout=5)
+    assert "data" in got
+    assert b"image/jpeg" in got["data"]
+
+
+def test_post_prompt_and_worker_executes(server):
+    """POST a minimal workflow; serve_workflows drains it with the real
+    PromptExecutor and publishes the output frame + history entry."""
+    base = f"http://127.0.0.1:{server.port}"
+    wf = {
+        "nodes": [
+            {"id": 1, "type": "EmptyLatentImage", "widgets_values": [64, 64, 1]},
+            {"id": 2, "type": "InferenceOutput",
+             "inputs": [{"name": "value", "link": 10}]},
+        ],
+        "links": [[10, 1, 0, 2, 0, "LATENT"]],
+    }
+    req = urllib.request.Request(
+        base + "/prompt", data=json.dumps({"prompt": wf}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req, timeout=5) as r:
+        pid = json.loads(r.read())["prompt_id"]
+
+    serve_workflows(server, max_prompts=1, poll_timeout=0.1)
+    code, body, _ = _get(base + "/history")
+    hist = json.loads(body)
+    assert hist and hist[0]["prompt_id"] == pid
+    assert hist[0]["status"] == "success"
+
+    # bad prompt -> error history entry, server survives
+    req = urllib.request.Request(
+        base + "/prompt",
+        data=json.dumps({"prompt": {"nodes": [
+            {"id": 1, "type": "NopeNode", "widgets_values": []}], "links": []}}).encode(),
+        method="POST")
+    with urllib.request.urlopen(req, timeout=5) as r:
+        pid2 = json.loads(r.read())["prompt_id"]
+    serve_workflows(server, max_prompts=1, poll_timeout=0.1)
+    hist = json.loads(_get(base + "/history")[1])
+    entry = [h for h in hist if h["prompt_id"] == pid2][0]
+    assert entry["status"] == "error"
