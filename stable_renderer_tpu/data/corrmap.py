@@ -127,6 +127,123 @@ def corrmap_update(
     return out_vals.reshape(values.shape).astype(values.dtype), out_written.reshape(written.shape)
 
 
+def corrmap_update_sharded(
+    values: jax.Array,        # (K2, M, C) float — replicated
+    written: jax.Array,       # (K2, M) bool — replicated
+    color_frames: jax.Array,  # (B, H, W, C') — dp-sharded over frames
+    id_maps: jax.Array,       # (B, H, W, 4) int32 — dp-sharded
+    mesh,                     # jax.sharding.Mesh
+    axis: str = "dp",
+    mode: str = "first_avg",
+    masks: Optional[jax.Array] = None,  # (B, H, W) — dp-sharded
+    sprite_id: Optional[int] = None,
+    material_id: Optional[int] = None,
+    ignore_obj_mat_id: bool = False,
+    num_bins: int = 9,
+) -> Tuple[jax.Array, jax.Array]:
+    """Collective corrmap scatter (SURVEY.md section 2.6 last bullet): frames
+    stay dp-sharded on their devices; each chip segment-reduces its local
+    frames, then ICI collectives (pmin for the winning frame / psum for sums
+    and counts) merge per-cell across the mesh. No chip ever materializes the
+    full frame batch, and the result is replicated and EXACTLY equal to the
+    host-sequential per-frame loop (CorrespondMap.update):
+
+      * first / first_avg — the earliest frame touching an unwritten cell
+        wins (sequential gating reproduced via per-cell winning-frame
+        selection, then the reduction restricted to that frame);
+      * replace / replace_avg — the latest frame touching the cell wins;
+      * non-avg modes take the winning frame's smallest screen index pixel,
+        avg modes take the mean over the winning frame's contributions.
+    """
+    if mode not in _MODES:
+        raise ValueError(f"mode must be one of {_MODES}")
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    k2, m, c = values.shape
+    b_total, h, w = color_frames.shape[:3]
+    n_seg = num_bins * m
+    hw = h * w
+    big = jnp.iinfo(jnp.int32).max
+
+    def local_update(vals, writ, cfs, ids_b, msk):
+        ax = jax.lax.axis_index(axis)
+        b_local = cfs.shape[0]
+        n_pix = b_local * hw
+
+        cf = cfs.reshape(n_pix, cfs.shape[-1]).astype(jnp.float32)
+        if cf.shape[-1] > c:
+            cf = cf[:, :c]
+        elif c == 4 and cf.shape[-1] == 3:
+            cf = jnp.concatenate([cf, jnp.ones_like(cf[:, :1])], axis=-1)
+        ids = ids_b.reshape(n_pix, 4)
+        map_index, vertex_id = ids[:, 2], ids[:, 3]
+        valid = ((map_index >= 0) & (map_index < num_bins)
+                 & (vertex_id >= 0) & (vertex_id < m))
+        if msk is not None:
+            valid &= msk.reshape(n_pix) > 0
+        if not ignore_obj_mat_id:
+            if sprite_id is not None:
+                valid &= ids[:, 0] == sprite_id
+            if material_id is not None:
+                valid &= ids[:, 1] == material_id
+        seg = jnp.where(valid, map_index * m + vertex_id, n_seg)
+        if mode in ("first", "first_avg"):
+            cell_written = writ.reshape(-1)[jnp.clip(seg, 0, n_seg - 1)]
+            valid &= ~cell_written
+            seg = jnp.where(valid, seg, n_seg)
+
+        # global frame index of every local pixel
+        gframe = ax * b_local + jnp.repeat(jnp.arange(b_local, dtype=jnp.int32), hw)
+        # winning-frame key: first* -> earliest frame; replace* -> latest
+        fkey = gframe if mode.startswith("first") else (b_total - 1 - gframe)
+        fwin = jax.ops.segment_min(
+            jnp.where(valid, fkey, big), seg, num_segments=n_seg + 1)[:-1]
+        fwin = jax.lax.pmin(fwin, axis)
+        touched = fwin != big
+        valid &= fkey == fwin[jnp.clip(seg, 0, n_seg - 1)]
+        seg = jnp.where(valid, seg, n_seg)
+
+        if mode.endswith("_avg"):
+            sums = jax.ops.segment_sum(
+                jnp.where(valid[:, None], cf, 0.0), seg, num_segments=n_seg + 1)[:-1]
+            counts = jax.ops.segment_sum(
+                valid.astype(jnp.float32), seg, num_segments=n_seg + 1)[:-1]
+            sums = jax.lax.psum(sums, axis)
+            counts = jax.lax.psum(counts, axis)
+            new_cell = sums / jnp.maximum(counts, 1.0)[:, None]
+        else:
+            # smallest screen index within the winning frame; unique winner,
+            # so a masked psum broadcasts its color
+            pix_in_frame = jnp.tile(jnp.arange(hw, dtype=jnp.int32), b_local)
+            pwin = jax.ops.segment_min(
+                jnp.where(valid, pix_in_frame, big), seg, num_segments=n_seg + 1)[:-1]
+            pwin = jax.lax.pmin(pwin, axis)
+            is_winner = valid & (pix_in_frame == pwin[jnp.clip(seg, 0, n_seg - 1)])
+            new_cell = jax.ops.segment_sum(
+                jnp.where(is_winner[:, None], cf, 0.0), seg,
+                num_segments=n_seg + 1)[:-1]
+            new_cell = jax.lax.psum(new_cell, axis)
+
+        flat_vals = vals.reshape(n_seg, c).astype(jnp.float32)
+        out_vals = jnp.where(touched[:, None], new_cell, flat_vals)
+        out_written = writ.reshape(n_seg) | touched
+        return (out_vals.reshape(vals.shape).astype(vals.dtype),
+                out_written.reshape(writ.shape))
+
+    if masks is None:
+        fn = shard_map(
+            lambda v, wr, cf, ids: local_update(v, wr, cf, ids, None),
+            mesh=mesh, in_specs=(P(), P(), P(axis), P(axis)),
+            out_specs=(P(), P()), check_rep=False)
+        return fn(values, written, color_frames, id_maps)
+    fn = shard_map(
+        local_update, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()), check_rep=False)
+    return fn(values, written, color_frames, id_maps, masks)
+
+
 @dataclass
 class CorrespondMap:
     """Host wrapper around the (values, written) device arrays.
@@ -213,6 +330,35 @@ class CorrespondMap:
         self.values, self.written = vals, writ
         EngineLogger.debug(
             f"Updated CorrespondMap {self.name}: mode={mode} sprite={spriteID} mat={materialID}"
+        )
+
+    def update_batch(
+        self,
+        color_frames: jax.Array,  # (B, H, W, C')
+        id_maps: jax.Array,       # (B, H, W, 4)
+        mesh,
+        axis: str = "dp",
+        spriteID: int | None = None,
+        materialID: int | None = None,
+        mode: UpdateMode = "first_avg",
+        masks: jax.Array | None = None,
+        inverse_masks: bool = False,
+        ignore_obj_mat_id: bool = False,
+    ) -> None:
+        """Sharded batch scatter: frames stay dp-sharded across ``mesh``, the
+        map updates via collectives (corrmap_update_sharded). Result is exactly
+        the sequential ``update`` loop's."""
+        if masks is not None:
+            masks = jnp.asarray(masks)
+            if masks.ndim == 4:
+                masks = masks[..., 0]
+            if inverse_masks:
+                masks = 1.0 - masks
+        self.values, self.written = corrmap_update_sharded(
+            self.values, self.written, jnp.asarray(color_frames),
+            jnp.asarray(id_maps), mesh, axis=axis, mode=mode, masks=masks,
+            sprite_id=spriteID, material_id=materialID,
+            ignore_obj_mat_id=ignore_obj_mat_id, num_bins=self.k * self.k,
         )
 
     # --- on-disk interchange (reference format, corrmap.py:738-872) ---
