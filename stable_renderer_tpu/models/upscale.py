@@ -157,3 +157,99 @@ def load_esrgan(path: str):
     scale = 4 if "conv_up2.weight" in flat else 2
     cfg = RRDBConfig(num_feat=nf, num_block=blocks, num_grow_ch=gc, scale=scale)
     return nest(flat, ""), cfg
+
+
+# ---------------------------------------------------------------------------
+# SRVGG / RealESRGAN-compact (chainner SRVGG.py:10-116)
+
+
+@dataclass(frozen=True)
+class SRVGGConfig:
+    num_feat: int = 64
+    num_conv: int = 16
+    scale: int = 4
+    in_ch: int = 3
+
+
+class SRVGGNetCompact:
+    """VGG-style compact SR: conv+prelu body, one pixelshuffle, nearest
+    residual (SRVGG.py forward)."""
+
+    def __init__(self, config: SRVGGConfig = SRVGGConfig()):
+        self.config = config
+
+    def apply(self, params: dict, x: jax.Array) -> jax.Array:
+        cfg = self.config
+        body = params["body"]
+        out = x
+        for i in range(0, 2 * (cfg.num_conv + 1), 2):
+            out = conv2d(body[str(i)], out, padding=1)
+            prelu_w = body[str(i + 1)]["weight"].astype(out.dtype)
+            out = jnp.maximum(out, 0.0) + prelu_w * jnp.minimum(out, 0.0)
+        out = conv2d(body[str(2 * (cfg.num_conv + 1))], out, padding=1)
+        from stable_renderer_tpu.models.swinir import pixel_shuffle
+
+        out = pixel_shuffle(out, cfg.scale)
+        base = jnp.repeat(jnp.repeat(x, cfg.scale, 1), cfg.scale, 2)
+        return out + base
+
+    def init(self, key: jax.Array, dtype=jnp.float32) -> dict:
+        cfg = self.config
+        keys = iter(jax.random.split(key, 256))
+
+        def conv(i, o):
+            return {"weight": jax.random.normal(next(keys), (o, i, 3, 3), dtype) * 0.05,
+                    "bias": jnp.zeros((o,), dtype)}
+
+        body = {"0": conv(cfg.in_ch, cfg.num_feat),
+                "1": {"weight": jnp.full((cfg.num_feat,), 0.25, dtype)}}
+        for c in range(cfg.num_conv):
+            body[str(2 + 2 * c)] = conv(cfg.num_feat, cfg.num_feat)
+            body[str(3 + 2 * c)] = {"weight": jnp.full((cfg.num_feat,), 0.25, dtype)}
+        body[str(2 * (cfg.num_conv + 1))] = conv(
+            cfg.num_feat, cfg.in_ch * cfg.scale * cfg.scale)
+        return {"body": body}
+
+
+def detect_srvgg_config(flat) -> "SRVGGConfig | None":
+    keys = sorted(flat.keys(), key=lambda k: tuple(
+        int(p) if p.isdigit() else p for p in k.split(".")))
+    if not keys or not keys[0].startswith("body.0."):
+        return None
+    if any(not k.startswith("body.") for k in keys):
+        return None
+    last_idx = max(int(k.split(".")[1]) for k in keys)
+    num_conv = (last_idx - 2) // 2
+    num_feat = flat["body.0.weight"].shape[0]
+    in_ch = flat["body.0.weight"].shape[1]
+    ps_shape = flat[f"body.{last_idx}.weight"].shape[0]
+    import math as _math
+
+    scale = int(_math.sqrt(ps_shape / in_ch))
+    return SRVGGConfig(num_feat=num_feat, num_conv=num_conv, scale=scale,
+                       in_ch=in_ch)
+
+
+# ---------------------------------------------------------------------------
+# unified loader (chainner __init__.py load_state_dict dispatch)
+
+
+def load_upscale_model(path: str):
+    """Sniff the architecture and load: SwinIR / SRVGG / ESRGAN-RRDB.
+    Returns (model, params) where model.apply(params, images) upscales and
+    model.config.scale (or .scale) gives the factor."""
+    from stable_renderer_tpu.models.weights import load_state_dict
+
+    flat = load_state_dict(path)
+    if any(k.startswith(("params_ema.", "params.")) for k in flat):
+        flat = {k.split(".", 1)[1]: v for k, v in flat.items()
+                if k.startswith(("params_ema.", "params."))}
+    if "layers.0.residual_group.blocks.0.norm1.weight" in flat:
+        from stable_renderer_tpu.models.swinir import load_swinir
+
+        return load_swinir(path)
+    srvgg = detect_srvgg_config(flat)
+    if srvgg is not None:
+        return SRVGGNetCompact(srvgg), nest(flat, "")
+    params, cfg = load_esrgan(path)
+    return RRDBNet(cfg), params

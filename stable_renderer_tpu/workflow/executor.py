@@ -964,13 +964,18 @@ def image_upscale_with_model(ctx: InferenceContext, node: WorkflowNode,
 
 @register_node("UpscaleModelLoader")
 def upscale_model_loader(ctx: InferenceContext, node: WorkflowNode):
-    from stable_renderer_tpu.models.upscale import RRDBConfig, RRDBNet, load_esrgan
+    """Architecture-sniffing loader (chainner dispatch): SwinIR / SRVGG /
+    ESRGAN-RRDB by state-dict shape."""
+    from stable_renderer_tpu.models.upscale import (
+        RRDBConfig,
+        RRDBNet,
+        load_upscale_model,
+    )
 
     name = str(node.widgets[0]) if node.widgets else ""
     path = _find_model_file(ctx, name)
     if path:
-        params, cfg = load_esrgan(path)
-        return ((RRDBNet(cfg), params),)
+        return (load_upscale_model(path),)
     import jax
 
     logger.warning(f"upscale model '{name}' not found; random tiny RRDBNet")
