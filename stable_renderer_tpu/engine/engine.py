@@ -205,7 +205,10 @@ class Engine:
         from stable_renderer_tpu.engine.gameobj import GameObject
         from stable_renderer_tpu.engine.renderers import Light
 
+        from stable_renderer_tpu.engine.resources import _clear_all
+
         GameObject._clear_scene()
         Camera._clear()
         Light._clear()
+        _clear_all()
         cls._instance = None

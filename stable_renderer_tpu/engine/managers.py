@@ -561,10 +561,22 @@ class SceneManager(Manager):
 
 
 class ResourcesManager(Manager):
-    """Deferred resource preparation (resourcesManager.py:12-45). Device arrays
-    are materialized lazily by jax, so 'loading' = warming mesh buffers."""
+    """Deferred resource preparation (resourcesManager.py:12-60): drains the
+    ResourcesObj load queue (sorted by LoadOrder) after the scene is built so
+    all host->HBM uploads happen in one batched pass before the frame loop,
+    and drains the destroy queue at release."""
 
     PrepareFuncOrder = 100
+    ReleaseFuncOrder = 0
 
     def prepare(self):
-        pass
+        from stable_renderer_tpu.engine.resources import drain_load_queue
+
+        n = drain_load_queue()
+        if n:
+            EngineLogger.info(f"ResourcesManager: uploaded {n} resources to device")
+
+    def release(self):
+        from stable_renderer_tpu.engine.resources import drain_destroy_queue
+
+        drain_destroy_queue()

@@ -42,6 +42,7 @@ class DrawCall:
     diffuse: Optional[Texture] = None
     noise: Optional[Texture] = None
     corrmap: Optional[CorrespondMap] = None
+    shader: Optional[object] = None  # engine/shader.py Shader (None = fixed)
 
 
 class MeshRenderer(Component):
@@ -53,6 +54,12 @@ class MeshRenderer(Component):
         super().__init__(game_object)
         self.mesh = mesh
         self.materials = materials or [Material.DefaultOpaqueMaterial()]
+        if mesh is not None:
+            # deferred HBM upload: ResourcesManager.prepare batches all mesh
+            # uploads before the frame loop (resources_obj.py semantics)
+            from stable_renderer_tpu.engine.resources import MeshResource
+
+            self._mesh_resource = MeshResource(mesh, name=mesh.name)
 
     def load_MTL_Materials(self, path) -> None:
         mats = Material.Load_MTL(path)
@@ -93,6 +100,7 @@ class MeshRenderer(Component):
                     order=order,
                     diffuse=mat.diffuse,
                     noise=mat.noise,
+                    shader=getattr(mat, "shader", None),
                 )
             )
 
