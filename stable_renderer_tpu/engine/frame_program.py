@@ -73,10 +73,15 @@ def frame_step(
 ):
     gbuf = GBuffer.empty(height, width)
     zbuf = jnp.ones((height, width))
-    for d, (uniforms, corr_size) in zip(draws, draw_sigs):
-        clip_pos, view_pos, view_normal = vertex_stage(
-            d["buffers"]["positions"], d["buffers"]["normals"], d["mv"], proj
-        )
+    for d, (uniforms, corr_size, vertex_fn, fragment_fn) in zip(draws, draw_sigs):
+        if vertex_fn is not None:  # user vertex shader (engine/shader.py)
+            clip_pos, view_pos, view_normal = vertex_fn(
+                d["buffers"]["positions"], d["buffers"]["normals"], d["mv"], proj
+            )
+        else:
+            clip_pos, view_pos, view_normal = vertex_stage(
+                d["buffers"]["positions"], d["buffers"]["normals"], d["mv"], proj
+            )
         vis = rasterize_auto(
             clip_pos, d["buffers"]["tris"], height, width, cull_backface=True
         )
@@ -93,6 +98,7 @@ def frame_step(
             noise_tex=d["noise"],
             corrmap_values=d["corrmap"],
             corrmap_size=corr_size,
+            fragment_fn=fragment_fn,
         )
         gbuf, zbuf = compose_draw(gbuf, zbuf, g, vis, uniforms.render_mode)
 
@@ -171,5 +177,10 @@ def draw_call_inputs(draw_calls, view) -> Tuple[tuple, tuple]:
                 corrmap=corr_vals,
             )
         )
-        sigs.append((dc.uniforms, corr_size))
+        shader = getattr(dc, "shader", None)
+        sigs.append((
+            dc.uniforms, corr_size,
+            None if shader is None else shader.vertex_fn,
+            None if shader is None else shader.bound_fragment(),
+        ))
     return tuple(draws), tuple(sigs)

@@ -47,6 +47,9 @@ class Material:
         self.render_order = render_order
         self.textures: Dict[DefaultTextureType, object] = {}
         self.variables: Dict[str, object] = {}
+        # user-programmable shading (engine/shader.py); None = fixed pipeline
+        # (the reference Material holds a Shader program, material.py)
+        self.shader = None
 
     def addDefaultTexture(self, texture, ttype: DefaultTextureType) -> None:
         self.textures[ttype] = texture

@@ -41,7 +41,8 @@ def mesh_device_buffers(mesh: Mesh) -> dict:
     return _mesh_cache[key]
 
 
-@partial(jax.jit, static_argnames=("uniforms", "height", "width", "corrmap_size"))
+@partial(jax.jit, static_argnames=("uniforms", "height", "width", "corrmap_size",
+                                   "fragment_fn", "vertex_fn"))
 def _draw_pass(
     prev: GBuffer,
     prev_zbuf: jax.Array,
@@ -55,10 +56,17 @@ def _draw_pass(
     noise: Optional[jax.Array] = None,
     corrmap_values: Optional[jax.Array] = None,
     corrmap_size=(512, 512),
+    fragment_fn=None,  # user shader hooks (engine/shader.py), static
+    vertex_fn=None,
 ):
-    clip, view_pos, view_normal = vertex_stage(
-        buffers["positions"], buffers["normals"], mv, proj
-    )
+    if vertex_fn is not None:
+        clip, view_pos, view_normal = vertex_fn(
+            buffers["positions"], buffers["normals"], mv, proj
+        )
+    else:
+        clip, view_pos, view_normal = vertex_stage(
+            buffers["positions"], buffers["normals"], mv, proj
+        )
     vis = rasterize_auto(clip, buffers["tris"], height, width, cull_backface=True)
     gbuf = shade_draw(
         vis,
@@ -73,6 +81,7 @@ def _draw_pass(
         noise_tex=noise,
         corrmap_values=corrmap_values,
         corrmap_size=corrmap_size,
+        fragment_fn=fragment_fn,
     )
     return compose_draw(prev, prev_zbuf, gbuf, vis, uniforms.render_mode)
 
@@ -107,6 +116,8 @@ def execute_draws(draws: List, camera, height: int, width: int) -> GBuffer:
             noise=None if dc.noise is None else dc.noise.array,
             corrmap_values=corr_vals,
             corrmap_size=corr_size,
+            fragment_fn=None if dc.shader is None else dc.shader.bound_fragment(),
+            vertex_fn=None if dc.shader is None else dc.shader.vertex_fn,
         )
     return gbuf
 

@@ -115,7 +115,7 @@ def canny_from_normal(view_normal: jax.Array) -> jax.Array:
     return jnp.broadcast_to(edge[..., None].astype(jnp.float32), (*edge.shape, 3))
 
 
-@partial(jax.jit, static_argnames=("uniforms", "corrmap_size"))
+@partial(jax.jit, static_argnames=("uniforms", "corrmap_size", "fragment_fn"))
 def shade_draw(
     vis: VisibilityBuffer,
     tris: jax.Array,
@@ -129,6 +129,7 @@ def shade_draw(
     noise_tex: Optional[jax.Array] = None,     # (Hn, Wn, 4)
     corrmap_values: Optional[jax.Array] = None,  # (k*k, Hc*Wc, C)
     corrmap_size: Tuple[int, int] = (512, 512),
+    fragment_fn=None,  # user shader hook (engine/shader.py): FragmentInputs -> color
 ) -> GBuffer:
     """Shade one draw into a standalone GBuffer (no composition yet)."""
     covered = vis.tri_id >= 0
@@ -210,6 +211,20 @@ def shade_draw(
     else:
         color = jnp.zeros((h, w, 4), jnp.float32)
     color = jnp.where(covered[..., None], color, 0.0)
+
+    if fragment_fn is not None:
+        # user programmable fragment stage (engine/shader.py): traces into
+        # this same compiled pass — replaces the reference's GLSL fragment
+        # shader (shader.py:391-570) with zero extra dispatch
+        from stable_renderer_tpu.engine.shader import FragmentInputs
+
+        user_color = fragment_fn(FragmentInputs(
+            view_pos=pos, normal=n, uv=uv_px, vertex_color=vcol,
+            color=color, covered=covered))
+        if user_color.shape[-1] == 3:
+            user_color = jnp.concatenate(
+                [user_color, jnp.ones_like(user_color[..., :1])], -1)
+        color = jnp.where(covered[..., None], user_color, 0.0)
 
     canny = jnp.where(covered[..., None], canny_from_normal(n), 0.0)
     pos = jnp.where(covered[..., None], pos, 0.0)
