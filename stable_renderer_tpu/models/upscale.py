@@ -248,6 +248,10 @@ def load_upscale_model(path: str):
         from stable_renderer_tpu.models.swinir import load_swinir
 
         return load_swinir(path)
+    if "m_head.0.weight" in flat and "m_down1.0.trans_block.ln1.weight" in flat:
+        from stable_renderer_tpu.models.scunet import load_scunet
+
+        return load_scunet(path)
     srvgg = detect_srvgg_config(flat)
     if srvgg is not None:
         return SRVGGNetCompact(srvgg), nest(flat, "")
