@@ -567,6 +567,9 @@ def ksampler(
     from stable_renderer_tpu.models.unet import AttnHooks
 
     w = node.widgets
+    add_noise = True
+    start_at_step, end_at_step = 0, 10000
+    force_full_denoise = True
     if node.type == "CorrespondSampler":
         # CorrespondSampler has NO seed widget: [steps, cfg, sampler_name,
         # scheduler, denoise] (stable_rendering/_nodes/samplers.py:139-143;
@@ -577,6 +580,21 @@ def ksampler(
         sampler_name = str(w[2]) if len(w) > 2 else "euler"
         scheduler = str(w[3]) if len(w) > 3 else "normal"
         denoise = float(w[4]) if len(w) > 4 else 1.0
+    elif node.type == "KSamplerAdvanced":
+        # [add_noise, noise_seed, seed_mode, steps, cfg, sampler, scheduler,
+        #  start_at_step, end_at_step, return_with_leftover_noise]
+        # (nodes.py KSamplerAdvanced -> common_ksampler disable_noise /
+        #  start_step / last_step / force_full_denoise)
+        add_noise = str(w[0]) != "disable" if w else True
+        seed = int(w[1]) % (2**31) if len(w) > 1 else 0
+        steps = int(w[3]) if len(w) > 3 else 20
+        cfg_scale = float(w[4]) if len(w) > 4 else 7.0
+        sampler_name = str(w[5]) if len(w) > 5 else "euler"
+        scheduler = str(w[6]) if len(w) > 6 else "normal"
+        start_at_step = int(w[7]) if len(w) > 7 else 0
+        end_at_step = int(w[8]) if len(w) > 8 else 10000
+        force_full_denoise = (str(w[9]) != "enable") if len(w) > 9 else True
+        denoise = 1.0
     else:
         # KSampler: [seed, seed_mode, steps, cfg, sampler, scheduler, denoise]
         seed = int(w[0]) % (2**31) if w else 0
@@ -699,8 +717,22 @@ def ksampler(
     use_scene = scene_ctx is not None and id_maps is not None and len(sprite_ids) > 0
 
     sigmas = jnp.asarray(calculate_sigmas(ms, scheduler, steps, denoise))
+    if node.type == "KSamplerAdvanced":
+        # sigma-window slicing (comfy sample.py sample_custom semantics):
+        # run steps [start_at, end_at); leftover-noise keeps the tail sigma
+        end = min(end_at_step, steps)
+        sigmas = sigmas[start_at_step: end + 1]
+        if force_full_denoise:
+            sigmas = jnp.concatenate([sigmas[:-1], jnp.zeros((1,))])
+        if sigmas.shape[0] < 2:
+            raise ValueError(
+                f"KSamplerAdvanced window [{start_at_step}, {end_at_step}) "
+                "leaves no steps")
     if noise is None:
-        noise = jax.random.normal(jax.random.PRNGKey(seed), latent.shape)
+        if add_noise:
+            noise = jax.random.normal(jax.random.PRNGKey(seed), latent.shape)
+        else:
+            noise = jnp.zeros_like(latent)
 
     # One cached jit per (node, shapes): loader params and frame tensors flow as
     # ARGUMENTS, so per-frame executes reuse the compiled program (the reference
@@ -715,6 +747,7 @@ def ksampler(
         tuple(c.shape for c in cond_ctxs),
         tuple(None if m is None else m.shape for m in cond_masks),
         None if positive.get("gligen") is None else len(positive["gligen"][2]),
+        (add_noise, start_at_step, end_at_step, force_full_denoise),
     )
     fn = ctx.jit_cache.get(cache_key) if hasattr(ctx, "jit_cache") else None
     if fn is None:

@@ -311,7 +311,28 @@ def _declare_default_specs() -> None:
         widgets=(WidgetSpec("text", "STRING"),),
     )
     register_spec(
-        "KSampler", "KSamplerAdvanced",
+        "KSamplerAdvanced",
+        input_types={"model": "MODEL", "positive": "CONDITIONING",
+                     "negative": "CONDITIONING", "latent_image": "LATENT"},
+        return_types=("LATENT",),
+        # [add_noise, noise_seed, seed_mode, steps, cfg, sampler, scheduler,
+        #  start_at_step, end_at_step, return_with_leftover_noise]
+        widgets=(
+            WidgetSpec("add_noise", "COMBO", choices=("enable", "disable")),
+            WidgetSpec("noise_seed", "INT", min=0),
+            WidgetSpec("control_after_generate", "ANY"),
+            WidgetSpec("steps", "INT", min=1, max=10000),
+            WidgetSpec("cfg", "FLOAT", min=0.0, max=100.0),
+            WidgetSpec("sampler_name", "COMBO", choices=tuple(SAMPLER_NAMES)),
+            WidgetSpec("scheduler", "COMBO", choices=tuple(SCHEDULER_NAMES)),
+            WidgetSpec("start_at_step", "INT", min=0, max=10000),
+            WidgetSpec("end_at_step", "INT", min=0, max=10000),
+            WidgetSpec("return_with_leftover_noise", "COMBO",
+                       choices=("enable", "disable")),
+        ),
+    )
+    register_spec(
+        "KSampler",
         input_types={"model": "MODEL", "positive": "CONDITIONING",
                      "negative": "CONDITIONING", "latent_image": "LATENT"},
         return_types=("LATENT",),

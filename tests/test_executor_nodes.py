@@ -71,3 +71,67 @@ def test_image_scale_and_save(tmp_path, monkeypatch):
     assert out[0].shape == (1, 32, 32, 3)
     out2 = NODE_REGISTRY["ImageScaleBy"](None, _node(9, "ImageScaleBy", widgets=["nearest", 0.5]), image=img)
     assert out2[0].shape == (1, 8, 8, 3)
+
+
+def test_ksampler_advanced_windowed_two_stage():
+    """KSamplerAdvanced start/end step windows: stage 1 runs steps [0,2) with
+    leftover noise, stage 2 finishes [2,4) from the stage-1 latent — the
+    two-stage refine pattern (nodes.py KSamplerAdvanced -> common_ksampler
+    start_step/last_step/force_full_denoise/disable_noise)."""
+    import jax
+
+    from stable_renderer_tpu.workflow.executor import (
+        NODE_REGISTRY,
+        InferenceContext,
+    )
+
+    ictx = InferenceContext(model_dirs=(), jit_cache={})
+
+    class _Ck:
+        widgets = ["none.safetensors"]
+        type = "CheckpointLoaderSimple"
+
+    model, clip, vae = NODE_REGISTRY["CheckpointLoaderSimple"](ictx, _Ck())
+
+    class _Enc:
+        widgets = ["hi"]
+        type = "CLIPTextEncode"
+
+    (pos,) = NODE_REGISTRY["CLIPTextEncode"](ictx, _Enc(), clip=clip)
+
+    class _Lat:
+        widgets = [64, 64, 1]
+        type = "EmptyLatentImage"
+
+    (latent,) = NODE_REGISTRY["EmptyLatentImage"](ictx, _Lat())
+
+    def adv(widgets, latent_in):
+        class _N:
+            type = "KSamplerAdvanced"
+            id = hash(tuple(widgets)) % 1000
+
+        _N.widgets = widgets
+        (out,) = NODE_REGISTRY["KSamplerAdvanced"](
+            ictx, _N(), model=model, positive=pos, negative=pos,
+            latent_image=latent_in)
+        return out
+
+    # stage 1: steps [0,2) of 4, keep leftover noise
+    s1 = adv(["enable", 7, "fixed", 4, 1.0, "euler", "normal", 0, 2, "enable"],
+             latent)
+    # stage 2: steps [2,4), no fresh noise, full denoise
+    s2 = adv(["disable", 7, "fixed", 4, 1.0, "euler", "normal", 2, 10000,
+              "disable"], s1)
+    import numpy as np
+
+    a1 = np.asarray(s1["samples"] if isinstance(s1, dict) else s1)
+    a2 = np.asarray(s2["samples"] if isinstance(s2, dict) else s2)
+    assert a1.shape == a2.shape == (1, 8, 8, 4)
+    assert np.isfinite(a1).all() and np.isfinite(a2).all()
+    assert not np.allclose(a1, a2)  # second stage continued denoising
+    # a window leaving no steps raises
+    import pytest
+
+    with pytest.raises(ValueError, match="no steps"):
+        adv(["enable", 7, "fixed", 4, 1.0, "euler", "normal", 4, 4, "disable"],
+            latent)
