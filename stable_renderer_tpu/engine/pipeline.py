@@ -62,10 +62,30 @@ class DiffusionPipeline:
     # SDXL second tower (comfy sdxl_clip.py SDXLClipModel); None for SD1.x
     clip_g: Optional[object] = None
     clip_g_params: Optional[dict] = None
+    # TAESD tiny autoencoder for RenderConfig.realtime_taesd frame loops
+    taesd: Optional[object] = None
+    taesd_params: Optional[dict] = None
 
     @property
     def is_sdxl(self) -> bool:
         return self.unet.config.adm_in_channels is not None
+
+    def with_taesd(self, encoder_path: Optional[str] = None,
+                   decoder_path: Optional[str] = None,
+                   key: Optional[jax.Array] = None) -> "DiffusionPipeline":
+        """Attach a TAESD tiny autoencoder for RenderConfig.realtime_taesd
+        frame loops (official .pth/.safetensors paths, or random init for
+        tests when no paths are given)."""
+        from stable_renderer_tpu.models.taesd import TAESD
+
+        t = TAESD()
+        if encoder_path or decoder_path:
+            params = TAESD.load(encoder_path, decoder_path)
+        else:
+            params = t.init(key if key is not None else jax.random.PRNGKey(11))
+        self.taesd = t
+        self.taesd_params = params
+        return self
 
     # --- constructors --------------------------------------------------------
 
@@ -503,9 +523,16 @@ class DiffusionPipeline:
         # static `self` would bake multi-GB weight constants into the lowered
         # program (catastrophic compile times).
         cfg = self.config
+        use_taesd = cfg.realtime_taesd and self.taesd is not None
         vae_dtype = vae_params["quant_conv"]["weight"].dtype
-        x = (color * 2.0 - 1.0).astype(vae_dtype)
-        latent = self.vae.encode(vae_params, x).astype(jnp.float32)
+        if use_taesd:
+            # realtime mode: TAESD encode (~13x cheaper than the full VAE).
+            # taesd params are tiny (~5 MB) so the closure constant is fine.
+            latent = self.taesd.encode(
+                self.taesd_params, color.astype(vae_dtype)).astype(jnp.float32)
+        else:
+            x = (color * 2.0 - 1.0).astype(vae_dtype)
+            latent = self.vae.encode(vae_params, x).astype(jnp.float32)
         lh, lw = latent.shape[1], latent.shape[2]
         if noise_maps is not None:
             noise = noise_maps[..., : latent.shape[-1]]
@@ -578,5 +605,8 @@ class DiffusionPipeline:
             key=jax.random.fold_in(key, 1),
             step_callback=step_cb,
         )
+        if use_taesd:
+            return self.taesd.decode(
+                self.taesd_params, out_latent.astype(vae_dtype)).astype(jnp.float32)
         decoded = self.vae.decode(vae_params, out_latent.astype(vae_dtype)).astype(jnp.float32)
         return jnp.clip(decoded * 0.5 + 0.5, 0.0, 1.0)

@@ -41,6 +41,10 @@ class RenderConfig:
     clip_skip: int = -1
     seed: int = 0
     vertex_noise: bool = True
+    # realtime mode: swap the full VAE for TAESD in the frame loop (decode
+    # ~3 ms vs ~41 ms at 512²; the reference uses taesd for previews only —
+    # on TPU it's a legitimate realtime quality/speed knob)
+    realtime_taesd: bool = False
     scene_conditioning: bool = True  # per-sprite masked conditioning (SceneTextEncode)
     keep_background: bool = False  # inpaint mode: denoise only AI-object pixels
     controlnets: Tuple[ControlNetSpec, ...] = ()
