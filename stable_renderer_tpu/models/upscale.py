@@ -252,6 +252,10 @@ def load_upscale_model(path: str):
         from stable_renderer_tpu.models.scunet import load_scunet
 
         return load_scunet(path)
+    if "layers.0.blocks.0.attn.attns.0.pos.pos_proj.weight" in flat:
+        from stable_renderer_tpu.models.dat import load_dat
+
+        return load_dat(path)
     srvgg = detect_srvgg_config(flat)
     if srvgg is not None:
         return SRVGGNetCompact(srvgg), nest(flat, "")
