@@ -244,6 +244,11 @@ def load_upscale_model(path: str):
     if any(k.startswith(("params_ema.", "params.")) for k in flat):
         flat = {k.split(".", 1)[1]: v for k, v in flat.items()
                 if k.startswith(("params_ema.", "params."))}
+    if "layers.0.residual_group.overlap_attn.norm1.weight" in flat:
+        # HAT shares SwinIR's residual_group layout — check its OCAB first
+        from stable_renderer_tpu.models.hat import load_hat
+
+        return load_hat(path)
     if "layers.0.residual_group.blocks.0.norm1.weight" in flat:
         from stable_renderer_tpu.models.swinir import load_swinir
 
