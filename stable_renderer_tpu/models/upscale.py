@@ -261,8 +261,126 @@ def load_upscale_model(path: str):
         from stable_renderer_tpu.models.dat import load_dat
 
         return load_dat(path)
+    swift = detect_swift_srgan_config(flat)
+    if swift is not None:
+        return SwiftSRGAN(swift), nest(flat, "")
     srvgg = detect_srvgg_config(flat)
     if srvgg is not None:
         return SRVGGNetCompact(srvgg), nest(flat, "")
     params, cfg = load_esrgan(path)
     return RRDBNet(cfg), params
+
+
+# ---------------------------------------------------------------------------
+# Swift-SRGAN (chainner SwiftSRGAN.py:7-161): depthwise-separable SRGAN
+
+
+@dataclass(frozen=True)
+class SwiftSRGANConfig:
+    num_channels: int = 64
+    num_blocks: int = 16
+    scale: int = 4
+    in_ch: int = 3
+
+
+def _sep_conv(p: dict, x: jax.Array, padding: int) -> jax.Array:
+    """SeperableConv2d: depthwise (groups=C) then pointwise 1x1."""
+    c = x.shape[-1]
+    w = p["depthwise"]["weight"].astype(x.dtype)  # (C,1,k,k)
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=[(padding, padding)] * 2,
+        dimension_numbers=("NHWC", "OIHW", "NHWC"), feature_group_count=c)
+    if "bias" in p["depthwise"]:
+        out = out + p["depthwise"]["bias"].astype(x.dtype)
+    return conv2d(p["pointwise"], out)
+
+
+def _prelu(w: jax.Array, x: jax.Array) -> jax.Array:
+    return jnp.maximum(x, 0.0) + w.astype(x.dtype) * jnp.minimum(x, 0.0)
+
+
+def _swift_bn(p: dict, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    out = (x.astype(jnp.float32) - p["running_mean"]) * jax.lax.rsqrt(
+        p["running_var"].astype(jnp.float32) + eps)
+    out = out * p["weight"] + p["bias"]
+    return out.astype(x.dtype)
+
+
+class SwiftSRGAN:
+    """Generator (SwiftSRGAN.py:90-161)."""
+
+    def __init__(self, config: SwiftSRGANConfig = SwiftSRGANConfig()):
+        self.config = config
+
+    @property
+    def scale(self) -> int:
+        return self.config.scale
+
+    def apply(self, params: dict, x: jax.Array) -> jax.Array:
+        from stable_renderer_tpu.models.swinir import pixel_shuffle
+
+        cfg = self.config
+        init = _prelu(params["initial"]["act"]["weight"],
+                      _sep_conv(params["initial"]["cnn"], x, 4))
+        h = init
+        for i in range(cfg.num_blocks):
+            bp = params["residual"][str(i)]
+            r = _prelu(bp["block1"]["act"]["weight"],
+                       _swift_bn(bp["block1"]["bn"],
+                                 _sep_conv(bp["block1"]["cnn"], h, 1)))
+            r = _swift_bn(bp["block2"]["bn"], _sep_conv(bp["block2"]["cnn"], r, 1))
+            h = h + r
+        h = _swift_bn(params["convblock"]["bn"],
+                      _sep_conv(params["convblock"]["cnn"], h, 1)) + init
+        for i in range(cfg.scale // 2):
+            up = params["upsampler"][str(i)]
+            h = pixel_shuffle(_sep_conv(up["conv"], h, 1), 2)
+            h = _prelu(up["act"]["weight"], h)
+        out = _sep_conv(params["final_conv"], h, 4)
+        return (jnp.tanh(out) + 1.0) / 2.0
+
+    def init(self, key: jax.Array, dtype=jnp.float32) -> dict:
+        cfg = self.config
+        keys = iter(jax.random.split(key, 2048))
+
+        def sep(i, o, k, bias=True):
+            p = {"depthwise": {"weight": jax.random.normal(next(keys), (i, 1, k, k), dtype) * 0.05},
+                 "pointwise": {"weight": jax.random.normal(next(keys), (o, i, 1, 1), dtype) * 0.05,
+                               "bias": jnp.zeros((o,), dtype)}}
+            if bias:
+                p["depthwise"]["bias"] = jnp.zeros((i,), dtype)
+            return p
+
+        def bn(c):
+            return {"weight": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype),
+                    "running_mean": jnp.zeros((c,), dtype),
+                    "running_var": jnp.ones((c,), dtype)}
+
+        def act(c):
+            return {"weight": jnp.full((c,), 0.25, dtype)}
+
+        n = cfg.num_channels
+        params = {
+            "initial": {"cnn": sep(cfg.in_ch, n, 9), "act": act(n)},
+            "residual": {
+                str(i): {"block1": {"cnn": sep(n, n, 3, bias=False), "bn": bn(n),
+                                    "act": act(n)},
+                         "block2": {"cnn": sep(n, n, 3, bias=False), "bn": bn(n)}}
+                for i in range(cfg.num_blocks)},
+            "convblock": {"cnn": sep(n, n, 3, bias=False), "bn": bn(n)},
+            "upsampler": {str(i): {"conv": sep(n, 4 * n, 3), "act": act(n)}
+                          for i in range(cfg.scale // 2)},
+            "final_conv": sep(n, cfg.in_ch, 9),
+        }
+        return params
+
+
+def detect_swift_srgan_config(flat) -> "SwiftSRGANConfig | None":
+    if "initial.cnn.depthwise.weight" not in flat:
+        return None
+    in_ch = flat["initial.cnn.depthwise.weight"].shape[0]
+    n = flat["initial.cnn.pointwise.weight"].shape[0]
+    blocks = len({k.split(".")[1] for k in flat if k.startswith("residual.")})
+    scale = 2 ** len({k.split(".")[1] for k in flat if k.startswith("upsampler.")})
+    return SwiftSRGANConfig(num_channels=n, num_blocks=blocks, scale=scale,
+                            in_ch=in_ch)

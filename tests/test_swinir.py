@@ -146,3 +146,24 @@ def test_srvgg_prelu_matches_torch():
         torch.from_numpy(x).permute(0, 3, 1, 2), torch.from_numpy(w)
     ).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+
+def test_swift_srgan_forward_and_detection():
+    from stable_renderer_tpu.models.upscale import (
+        SwiftSRGAN,
+        SwiftSRGANConfig,
+        detect_swift_srgan_config,
+    )
+    from stable_renderer_tpu.models.weights import flatten
+
+    cfg = SwiftSRGANConfig(num_channels=8, num_blocks=2, scale=2)
+    net = SwiftSRGAN(cfg)
+    params = net.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 8, 8, 3))
+    out = net.apply(params, x)
+    assert out.shape == (1, 16, 16, 3)
+    assert float(jnp.min(out)) >= 0.0 and float(jnp.max(out)) <= 1.0
+
+    flat = {k: np.asarray(v) for k, v in flatten(params).items()}
+    det = detect_swift_srgan_config(flat)
+    assert det == cfg
