@@ -249,6 +249,11 @@ def load_upscale_model(path: str):
         from stable_renderer_tpu.models.hat import load_hat
 
         return load_hat(path)
+    if "layers.0.residual_group.blocks.0.attn.logit_scale" in flat:
+        # Swin2SR shares SwinIR's layout — the SwinV2 logit_scale marks it
+        from stable_renderer_tpu.models.swin2sr import load_swin2sr
+
+        return load_swin2sr(path)
     if "layers.0.residual_group.blocks.0.norm1.weight" in flat:
         from stable_renderer_tpu.models.swinir import load_swinir
 
