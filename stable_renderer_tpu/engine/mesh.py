@@ -19,6 +19,8 @@ from pathlib import Path
 
 import numpy as np
 
+from stable_renderer_tpu.utils.decorators import cache_property
+
 
 @dataclass
 class Mesh:
@@ -49,6 +51,13 @@ class Mesh:
     @property
     def vertex_count(self) -> int:
         return self.positions.shape[0]
+
+    @cache_property
+    def bounds(self) -> tuple[np.ndarray, np.ndarray]:
+        """Object-space AABB (min, max) corners, computed once per mesh."""
+        if self.positions.shape[0]:
+            return self.positions.min(0), self.positions.max(0)
+        return np.zeros(3, np.float32), np.zeros(3, np.float32)
 
     @property
     def triangle_count(self) -> int:
