@@ -258,6 +258,14 @@ def load_upscale_model(path: str):
         from stable_renderer_tpu.models.swinir import load_swinir
 
         return load_swinir(path)
+    if "position_emb" in flat and "quantize.embedding.weight" in flat:
+        from stable_renderer_tpu.models.codeformer import load_codeformer
+
+        return load_codeformer(path)
+    if "stylegan_decoder.style_conv1.modulated_conv.weight" in flat:
+        from stable_renderer_tpu.models.gfpgan import load_gfpgan
+
+        return load_gfpgan(path)
     if "m_head.0.weight" in flat and "m_down1.0.trans_block.ln1.weight" in flat:
         from stable_renderer_tpu.models.scunet import load_scunet
 
