@@ -274,6 +274,12 @@ def load_upscale_model(path: str):
         from stable_renderer_tpu.models.dat import load_dat
 
         return load_dat(path)
+    if ("input.weight" in flat
+            and any(k.startswith("residual_layer.0.residual_layer.0.layer.")
+                    for k in flat)):
+        from stable_renderer_tpu.models.omnisr import load_omnisr
+
+        return load_omnisr(path)
     swift = detect_swift_srgan_config(flat)
     if swift is not None:
         return SwiftSRGAN(swift), nest(flat, "")
