@@ -280,6 +280,10 @@ def load_upscale_model(path: str):
         from stable_renderer_tpu.models.omnisr import load_omnisr
 
         return load_omnisr(path)
+    if "b_fea_conv.weight" in flat or "b_fea_conv.0.weight" in flat:
+        from stable_renderer_tpu.models.spsr import load_spsr
+
+        return load_spsr(path)
     swift = detect_swift_srgan_config(flat)
     if swift is not None:
         return SwiftSRGAN(swift), nest(flat, "")
