@@ -116,9 +116,19 @@ class DiffusionPipeline:
             unet_p = merge_lora(unet_p, lora_flat, strength, prefix="lora_unet_")
             clip_p = merge_lora(clip_p, lora_flat, strength, prefix="lora_te_")
         config = config or RenderConfig()
-        ms = ModelSampling(prediction="lcm" if config.sampler == "lcm" else "eps")
+        pred = config.prediction or ("lcm" if config.sampler == "lcm" else "eps")
+        ms = ModelSampling(prediction=pred)
         clip_g = clip_g_params = None
         vcfg, ccfg = SD15_VAE_CONFIG, SD15_CLIP_CONFIG
+        clip_model = None
+        if ucfg.adm_in_channels is None and ucfg.context_dim >= 1024:
+            # SD2.x: OpenCLIP-H text tower at cond_stage_model.model.*
+            # (comfy sd2_clip.py SD2ClipHModel)
+            from stable_renderer_tpu.models.clip import SD2ClipH
+
+            flat = load_state_dict(path)
+            clip_model = SD2ClipH()
+            clip_p = {"model": nest(flat, "cond_stage_model.model.")}
         if ucfg.adm_in_channels is not None:
             from stable_renderer_tpu.models.clip import OpenCLIPTextModel, SDXL_CLIP_G_CONFIG
             from stable_renderer_tpu.models.vae import SDXL_VAE_CONFIG
@@ -132,7 +142,7 @@ class DiffusionPipeline:
         pipe = cls(
             unet=UNetModel(ucfg),
             vae=VAE(vcfg),
-            clip=CLIPTextModel(ccfg),
+            clip=clip_model if clip_model is not None else CLIPTextModel(ccfg),
             tokenizer=Tokenizer(ccfg),
             unet_params=to_device(unet_p, dtype),
             vae_params=to_device(vae_p, jnp.float32),
@@ -184,7 +194,8 @@ class DiffusionPipeline:
         key = jax.random.PRNGKey(seed)
         unet, vae, clip = UNetModel(ucfg), VAE(vcfg), CLIPTextModel(ccfg)
         config = config or RenderConfig()
-        ms = ModelSampling(prediction="lcm" if config.sampler == "lcm" else "eps")
+        ms = ModelSampling(prediction=config.prediction or (
+            "lcm" if config.sampler == "lcm" else "eps"))
         return cls(
             unet=unet,
             vae=vae,

@@ -262,6 +262,53 @@ class OpenCLIPTextModel:
         }
 
 
+SD2_CLIP_H_CONFIG = OpenCLIPConfig(width=1024, num_layers=24, num_heads=16,
+                                   projection_dim=1024)
+TINY_CLIP_H_CONFIG = OpenCLIPConfig(vocab_size=1000, width=64, num_layers=3,
+                                    num_heads=2, projection_dim=64)
+
+
+class SD2ClipH:
+    """SD2.x text tower: OpenCLIP-H in the checkpoint layout
+    ``cond_stage_model.model.*``, adapted to the CLIPTextModel.apply interface
+    (comfy sd2_clip.py SD2ClipHModel: penultimate hidden state with the final
+    layer norm applied — layer='penultimate', layer_norm_hidden_state=True)."""
+
+    def __init__(self, ocfg: OpenCLIPConfig = SD2_CLIP_H_CONFIG):
+        self._inner = OpenCLIPTextModel(ocfg)
+        self._ocfg = ocfg
+        # CLIPTextModel-compatible config facade (tokenizer + bos/eos contract)
+        self.config = CLIPConfig(
+            vocab_size=ocfg.vocab_size, max_length=ocfg.max_length,
+            hidden_size=ocfg.width, num_layers=ocfg.num_layers,
+            num_heads=ocfg.num_heads,
+            intermediate_size=ocfg.width * ocfg.mlp_ratio,
+        )
+
+    def apply(self, params: dict, tokens: jax.Array, clip_skip: int = -1,
+              final_norm: bool = True,
+              custom_embeds: Optional[jax.Array] = None) -> jax.Array:
+        import jax.numpy as jnp
+
+        skip = -2 if clip_skip == -1 else clip_skip  # penultimate default
+        hidden, _ = self._inner.apply(params, jnp.maximum(tokens, 0),
+                                      clip_skip=skip)
+        if final_norm:
+            m = params["model"] if "model" in params else params
+            hidden = layer_norm(m["ln_final"], hidden)
+        return hidden
+
+    def pooled(self, params: dict, tokens: jax.Array,
+               hidden: jax.Array) -> jax.Array:
+        import jax.numpy as jnp
+
+        _, p = self._inner.apply(params, jnp.maximum(tokens, 0), clip_skip=-1)
+        return p
+
+    def init(self, key: jax.Array, dtype=jnp.float32) -> dict:
+        return self._inner.init(key, dtype)
+
+
 class SDXLClip:
     """Dual-encoder SDXL conditioning (comfy sdxl_clip.py SDXLClipModel):
     context = concat(clip_l penultimate (768), clip_g penultimate (1280)) = 2048;

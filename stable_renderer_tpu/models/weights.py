@@ -109,6 +109,9 @@ def detect_unet_config(flat: Dict[str, np.ndarray]) -> UNetConfig:
         in_channels=in_channels,
         model_channels=model_channels,
         context_dim=context_dim,
+        # SD2.x (OpenCLIP-H context) uses fixed 64-wide heads instead of 8
+        # heads (comfy model_detection.py num_head_channels=64)
+        head_dim=64 if context_dim >= 1024 else None,
     )
 
 

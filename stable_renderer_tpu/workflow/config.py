@@ -39,6 +39,9 @@ class RenderConfig:
     scheduler: str = "sgm_uniform"
     denoise: float = 1.0
     clip_skip: int = -1
+    # override the model's prediction type ('eps' | 'v' | 'lcm'); None = infer
+    # (SD2.x 768-v checkpoints need 'v' — comfy ModelSamplingDiscrete v_pred)
+    prediction: Optional[str] = None
     seed: int = 0
     vertex_noise: bool = True
     # realtime mode: swap the full VAE for TAESD in the frame loop (decode
