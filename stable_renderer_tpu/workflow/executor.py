@@ -422,6 +422,120 @@ def controlnet_apply(
     return (out,)
 
 
+@register_node("VAEEncodeForInpaint")
+def vae_encode_for_inpaint(ctx: InferenceContext, node: WorkflowNode,
+                           pixels=None, vae=None, mask=None):
+    """Inpaint-ready encode (nodes.py VAEEncodeForInpaint:349-386): grow the
+    mask, neutralize masked pixels around 0.5 before encoding, attach
+    noise_mask to the latent."""
+    import jax
+    import jax.numpy as jnp
+
+    from stable_renderer_tpu.ops.math import resize_nearest
+
+    w = node.widgets
+    grow = int(w[0]) if w else 6
+    if mask.ndim == 2:
+        mask = mask[None]
+    h, wd = pixels.shape[1], pixels.shape[2]
+    if mask.shape[1:3] != (h, wd):
+        mask = resize_nearest(mask[..., None], h, wd)[..., 0]
+    if grow > 0:
+        # dilate the rounded mask with a grow x grow ones kernel
+        pad = (grow - 1 + 1) // 2
+        grown = jax.lax.reduce_window(
+            jnp.round(mask), 0.0, jax.lax.max,
+            (1, grow, grow), (1, 1, 1), [(0, 0), (pad, grow - 1 - pad),
+                                         (pad, grow - 1 - pad)])
+        grown = jnp.clip(grown, 0.0, 1.0)
+    else:
+        grown = mask
+    m = (1.0 - jnp.round(mask))[..., None]
+    neutral = (pixels - 0.5) * m + 0.5
+    model = vae["vae"]
+    z = model.encode(vae["params"], neutral * 2.0 - 1.0)
+    return ({"samples": z, "noise_mask": jnp.round(grown)},)
+
+
+@register_node("LatentComposite")
+def latent_composite(ctx: InferenceContext, node: WorkflowNode,
+                     samples_to=None, samples_from=None):
+    """Paste one latent into another with optional feathered edges
+    (nodes.py LatentComposite:1264-1304)."""
+    import jax.numpy as jnp
+
+    w = node.widgets
+    x = (int(w[0]) if w else 0) // 8
+    y = (int(w[1]) if len(w) > 1 else 0) // 8
+    feather = (int(w[2]) if len(w) > 2 else 0) // 8
+    to = samples_to["samples"] if isinstance(samples_to, dict) else samples_to
+    frm = samples_from["samples"] if isinstance(samples_from, dict) else samples_from
+    fh = min(frm.shape[1], to.shape[1] - y)
+    fw = min(frm.shape[2], to.shape[2] - x)
+    frm = frm[:, :fh, :fw]
+    if feather == 0:
+        out = to.at[:, y: y + fh, x: x + fw].set(frm)
+    else:
+        m = jnp.ones((fh, fw))
+        for t in range(feather):
+            f = (t + 1) / feather
+            if y != 0:
+                m = m.at[t].mul(f)
+            if y + fh < to.shape[1]:
+                m = m.at[fh - 1 - t].mul(f)
+            if x != 0:
+                m = m.at[:, t].mul(f)
+            if x + fw < to.shape[2]:
+                m = m.at[:, fw - 1 - t].mul(f)
+        m = m[None, :, :, None]
+        region = to[:, y: y + fh, x: x + fw]
+        out = to.at[:, y: y + fh, x: x + fw].set(frm * m + region * (1 - m))
+    res = dict(samples_to) if isinstance(samples_to, dict) else {}
+    res["samples"] = out
+    return (res,)
+
+
+@register_node("ImageBlend")
+def image_blend(ctx: InferenceContext, node: WorkflowNode,
+                image1=None, image2=None):
+    """Blend two images (comfy_extras nodes_post_processing Blend)."""
+    import jax.numpy as jnp
+
+    w = node.widgets
+    factor = float(w[0]) if w else 0.5
+    mode = str(w[1]) if len(w) > 1 else "normal"
+    if image2.shape != image1.shape:
+        from stable_renderer_tpu.ops.math import resize_nearest
+
+        image2 = resize_nearest(image2, image1.shape[1], image1.shape[2])
+    if mode == "multiply":
+        blended = image1 * image2
+    elif mode == "screen":
+        blended = 1.0 - (1.0 - image1) * (1.0 - image2)
+    elif mode == "difference":
+        blended = jnp.abs(image1 - image2)
+    else:  # normal
+        blended = image2
+    return (jnp.clip(image1 * (1 - factor) + blended * factor, 0.0, 1.0),)
+
+
+@register_node("ImageInvert")
+def image_invert(ctx: InferenceContext, node: WorkflowNode, image=None):
+    return (1.0 - image,)
+
+
+@register_node("ImageBatch")
+def image_batch(ctx: InferenceContext, node: WorkflowNode,
+                image1=None, image2=None):
+    import jax.numpy as jnp
+
+    if image2.shape[1:3] != image1.shape[1:3]:
+        from stable_renderer_tpu.ops.math import resize_nearest
+
+        image2 = resize_nearest(image2, image1.shape[1], image1.shape[2])
+    return (jnp.concatenate([image1, image2], 0),)
+
+
 @register_node("GLIGENLoader")
 def gligen_loader(ctx: InferenceContext, node: WorkflowNode):
     """Load a GLIGEN checkpoint (nodes.py GLIGENLoader; gligen.py load_gligen)."""
@@ -625,6 +739,19 @@ def ksampler(
         ms = type(ms)(prediction="lcm")
     latent = latent_image["samples"] if isinstance(latent_image, dict) else latent_image
     noise = latent_image.get("noise") if isinstance(latent_image, dict) else None
+    # inpaint: a latent-attached noise_mask restricts denoising to the hole
+    # (comfy sample.py prepare_mask; VAEEncodeForInpaint attaches it)
+    noise_mask = (latent_image.get("noise_mask")
+                  if isinstance(latent_image, dict) else None)
+    if noise_mask is not None:
+        from stable_renderer_tpu.ops.math import resize_nearest
+
+        nm = jnp.asarray(noise_mask)
+        if nm.ndim == 2:
+            nm = nm[None]
+        if nm.shape[1:3] != latent.shape[1:3]:
+            nm = resize_nearest(nm[..., None], latent.shape[1], latent.shape[2])[..., 0]
+        noise_mask = nm[..., None]  # (B, h, w, 1), 1 = denoise
     b = latent.shape[0]
     ctx_pos = positive["context"]
     ctx_neg = negative["context"] if negative else None
@@ -748,6 +875,7 @@ def ksampler(
         tuple(None if m is None else m.shape for m in cond_masks),
         None if positive.get("gligen") is None else len(positive["gligen"][2]),
         (add_noise, start_at_step, end_at_step, force_full_denoise),
+        noise_mask is not None,
     )
     fn = ctx.jit_cache.get(cache_key) if hasattr(ctx, "jit_cache") else None
     if fn is None:
@@ -758,7 +886,7 @@ def ksampler(
 
         def run(unet_params, cn_params_t, ctx_pos_, ctx_neg_, latent_, noise_,
                 sigmas_, id_maps_, hints_t, key_, cond_ctxs_t, cond_masks_t,
-                scene_ctx_):
+                scene_ctx_, noise_mask_=None):
             control_fn = None
             if cn_models:
                 def control_fn(x_in, t, c_):
@@ -840,6 +968,8 @@ def ksampler(
                     unet, unet_params, ctx_pos_, uncond,
                     log_sigmas, cfg_scale=cfg_scale,
                     prediction=prediction, hooks=hooks, control_fn=control_fn,
+                    mask=noise_mask_,
+                    masked_latent=None if noise_mask_ is None else latent_,
                 )
             return sample(
                 den, noise_, sigmas_, latent_image=latent_, sampler=sampler_name,
@@ -853,7 +983,7 @@ def ksampler(
     out = fn(
         model["params"], tuple(cn_params), ctx_pos, ctx_neg, latent, noise,
         sigmas, id_maps, tuple(cn_hints), jax.random.PRNGKey(seed),
-        tuple(cond_ctxs), tuple(cond_masks), scene_ctx,
+        tuple(cond_ctxs), tuple(cond_masks), scene_ctx, noise_mask,
     )
     return ({"samples": out},)
 

@@ -135,3 +135,108 @@ def test_ksampler_advanced_windowed_two_stage():
     with pytest.raises(ValueError, match="no steps"):
         adv(["enable", 7, "fixed", 4, 1.0, "euler", "normal", 4, 4, "disable"],
             latent)
+
+
+def test_inpaint_encode_and_noise_mask_flow():
+    """VAEEncodeForInpaint neutralizes masked pixels, attaches a grown
+    noise_mask, and KSampler restricts denoising to the hole
+    (nodes.py:349-386 + comfy sample.py prepare_mask)."""
+    import jax
+    import numpy as np
+
+    from stable_renderer_tpu.workflow.executor import (
+        NODE_REGISTRY,
+        InferenceContext,
+    )
+
+    ictx = InferenceContext(model_dirs=(), jit_cache={})
+
+    class _Ck:
+        widgets = ["none.safetensors"]
+        type = "CheckpointLoaderSimple"
+
+    model, clip, vae = NODE_REGISTRY["CheckpointLoaderSimple"](ictx, _Ck())
+
+    class _Enc:
+        widgets = ["hi"]
+        type = "CLIPTextEncode"
+
+    (pos,) = NODE_REGISTRY["CLIPTextEncode"](ictx, _Enc(), clip=clip)
+
+    pixels = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    mask = jnp.zeros((1, 64, 64)).at[:, 16:48, 16:48].set(1.0)
+
+    class _Inp:
+        widgets = [6]
+        type = "VAEEncodeForInpaint"
+
+    (lat,) = NODE_REGISTRY["VAEEncodeForInpaint"](ictx, _Inp(), pixels=pixels,
+                                                  vae=vae, mask=mask)
+    assert "noise_mask" in lat
+    assert lat["noise_mask"].shape[1:3] == (64, 64)
+    # grown mask strictly contains the original
+    assert float(lat["noise_mask"].sum()) >= float(mask.sum())
+
+    class _K:
+        widgets = [0, "fixed", 2, 1.0, "euler", "normal", 1.0]
+        type = "KSampler"
+        id = 991
+
+    (out,) = NODE_REGISTRY["KSampler"](ictx, _K(), model=model, positive=pos,
+                                       negative=pos, latent_image=lat)
+    arr = np.asarray(out["samples"])
+    assert np.isfinite(arr).all()
+    # outside the mask the latent must equal the encoded input (not denoised)
+    z0 = np.asarray(lat["samples"])
+    nm = np.asarray(lat["noise_mask"])
+    # downsample mask to latent res by slicing (tiny VAE factor differs; just
+    # check the far corner which is well outside any grown mask)
+    assert np.allclose(arr[:, :2, :2], z0[:, :2, :2], atol=1e-5)
+    assert not np.allclose(arr, z0, atol=1e-3)  # hole was denoised
+
+
+def test_latent_composite_and_image_nodes():
+    import numpy as np
+
+    from stable_renderer_tpu.workflow.executor import (
+        NODE_REGISTRY,
+        InferenceContext,
+    )
+
+    ictx = InferenceContext(model_dirs=(), jit_cache={})
+    to = {"samples": jnp.zeros((1, 8, 8, 4))}
+    frm = {"samples": jnp.ones((1, 4, 4, 4))}
+
+    class _C:
+        widgets = [16, 8, 0]  # x=16px->2 cells, y=8px->1 cell
+        type = "LatentComposite"
+
+    (out,) = NODE_REGISTRY["LatentComposite"](ictx, _C(), samples_to=to,
+                                              samples_from=frm)
+    s = np.asarray(out["samples"])
+    assert s[0, 1, 2, 0] == 1.0 and s[0, 0, 0, 0] == 0.0
+    assert s[0, 1:5, 2:6].sum() == 4 * 4 * 4
+
+    a = jnp.zeros((1, 8, 8, 3))
+    b = jnp.ones((1, 8, 8, 3))
+
+    class _B:
+        widgets = [0.5, "normal"]
+        type = "ImageBlend"
+
+    (blend,) = NODE_REGISTRY["ImageBlend"](ictx, _B(), image1=a, image2=b)
+    np.testing.assert_allclose(np.asarray(blend), 0.5)
+
+    class _I:
+        widgets = []
+        type = "ImageInvert"
+
+    (inv,) = NODE_REGISTRY["ImageInvert"](ictx, _I(), image=b)
+    np.testing.assert_allclose(np.asarray(inv), 0.0)
+
+    class _Ba:
+        widgets = []
+        type = "ImageBatch"
+
+    (batch,) = NODE_REGISTRY["ImageBatch"](ictx, _Ba(), image1=a, image2=b)
+    assert batch.shape == (2, 8, 8, 3)
