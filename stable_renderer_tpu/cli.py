@@ -206,6 +206,39 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_upscale(args) -> int:
+    """Run any zoo model (ESRGAN/SwinIR/Swin2SR/HAT/DAT/SRVGG/SwiftSRGAN/
+    SCUNet/OmniSR/SPSR/GFPGAN/CodeFormer/LaMa) on an image — the chainner
+    'load model and go' flow."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from stable_renderer_tpu.models.upscale import load_upscale_model
+
+    model, params = load_upscale_model(args.model)
+    arch = type(model).__name__
+    img = np.asarray(Image.open(args.image).convert("RGB"), np.float32) / 255.0
+    x = jnp.asarray(img[None])
+    if arch in ("GFPGAN", "CodeFormer"):
+        x = x * 2.0 - 1.0  # face models take [-1, 1] crops
+        out = model.apply(params, x)
+        out = (out + 1.0) / 2.0 if arch == "GFPGAN" else (out * 0.5 + 0.5)
+    elif arch == "LaMa":
+        if not args.mask:
+            raise SystemExit("LaMa needs --mask (white = hole)")
+        m = np.asarray(Image.open(args.mask).convert("L"), np.float32) / 255.0
+        out = model.apply(params, x, jnp.asarray(m[None, ..., None]))
+    else:
+        out = model.apply(params, x)
+    arr = np.clip(np.asarray(out[0]) * 255.0, 0, 255).astype(np.uint8)
+    Image.fromarray(arr).save(args.out)
+    print(f"{arch}: {img.shape[1]}x{img.shape[0]} -> "
+          f"{arr.shape[1]}x{arr.shape[0]} -> {args.out}")
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="stable_renderer_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -247,6 +280,13 @@ def main(argv=None) -> int:
     p.add_argument("--max-prompts", type=int, default=None,
                    help="exit after N prompts (default: run forever)")
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("upscale", help="run a zoo model on an image")
+    p.add_argument("--model", type=str, required=True)
+    p.add_argument("--image", type=str, required=True)
+    p.add_argument("--out", type=str, default="upscaled.png")
+    p.add_argument("--mask", type=str, default=None, help="LaMa hole mask")
+    p.set_defaults(fn=cmd_upscale)
 
     p = sub.add_parser("bench", help="headline benchmark")
     p.set_defaults(fn=lambda a: __import__("bench").main() or 0)
