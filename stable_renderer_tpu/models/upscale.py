@@ -258,6 +258,10 @@ def load_upscale_model(path: str):
         from stable_renderer_tpu.models.swinir import load_swinir
 
         return load_swinir(path)
+    if "decoder.mid.attn_1.norm2.weight" in flat and "quantize.embedding.weight" in flat:
+        from stable_renderer_tpu.models.restoreformer import load_restoreformer
+
+        return load_restoreformer(path)
     if "position_emb" in flat and "quantize.embedding.weight" in flat:
         from stable_renderer_tpu.models.codeformer import load_codeformer
 
