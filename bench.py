@@ -18,7 +18,8 @@ Modes:
                        renderManager.py:877-948); reports batched frames/s, so
                        the v5e-8 projection is (frames/s per chip) x 8 minus
                        collective overhead — measured, not extrapolated.
-Env knobs: SR_BENCH_QUICK=1 -> tiny model + 64x64 (CI/debug); SR_BENCH_FRAMES.
+Env knobs: SR_BENCH_QUICK=1 -> tiny model + 64x64 (CI/debug); SR_BENCH_FRAMES;
+  SR_BENCH_TAESD=1 -> realtime TAESD autoencoder mode (PERF.md knob).
 """
 
 from __future__ import annotations
@@ -53,11 +54,14 @@ def main() -> None:
         use_pallas_attention(True)
 
     size = 64 if quick else 512
+    taesd_mode = os.environ.get("SR_BENCH_TAESD") == "1"
     cfg = RenderConfig(
         prompt="a ball", steps=4, cfg_scale=2.0, sampler="lcm",
-        scheduler="sgm_uniform", denoise=1.0,
+        scheduler="sgm_uniform", denoise=1.0, realtime_taesd=taesd_mode,
     )
     pipe = DiffusionPipeline.from_random(cfg, tiny=quick)
+    if taesd_mode:
+        pipe.with_taesd()
     corresponder = OverlapCorresponder(
         vertex_segments=size * size, update_corrmap=False
     )
@@ -179,7 +183,8 @@ def main() -> None:
     fps = n_frames / dt
 
     print(json.dumps({
-        "metric": f"engine-loop img2img fps @ {size}x{size}, 4-step LCM cfg2 ({platform})",
+        "metric": f"engine-loop img2img fps @ {size}x{size}, 4-step LCM cfg2"
+                  + (" taesd" if taesd_mode else "") + f" ({platform})",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 2.5, 3),
