@@ -107,13 +107,27 @@ class PromptQueue:
 _INDEX_HTML = b"""<!doctype html>
 <html><head><title>stable_renderer_tpu</title>
 <style>body{background:#111;color:#ddd;font-family:monospace;text-align:center}
-img{image-rendering:pixelated;max-width:90vw;border:1px solid #444}</style>
+img{image-rendering:pixelated;max-width:90vw;border:1px solid #444}
+textarea{width:60%;height:6em;background:#222;color:#ddd;border:1px solid #444}
+button{background:#333;color:#ddd;border:1px solid #555;padding:4px 14px}</style>
 </head><body>
 <h3>stable_renderer_tpu live view</h3>
 <img src="/stream" alt="render stream"/>
 <p id="s"></p>
-<script>setInterval(async()=>{const r=await fetch('/status');
+<details><summary>submit workflow JSON</summary>
+<textarea id="wf" placeholder='{"nodes": [...], "links": [...]}'></textarea><br/>
+<button onclick="submitWf()">POST /prompt</button> <span id="r"></span>
+</details>
+<script>
+setInterval(async()=>{const r=await fetch('/status');
 document.getElementById('s').textContent=JSON.stringify(await r.json());},1000);
+async function submitWf(){
+  try{
+    const wf=JSON.parse(document.getElementById('wf').value);
+    const r=await fetch('/prompt',{method:'POST',body:JSON.stringify({prompt:wf})});
+    document.getElementById('r').textContent=JSON.stringify(await r.json());
+  }catch(e){document.getElementById('r').textContent=String(e);}
+}
 </script></body></html>"""
 
 
