@@ -1205,3 +1205,162 @@ def masked_text_encode(ctx: InferenceContext, node: WorkflowNode, clip=None,
     prompt = text if text is not None else (str(node.widgets[0]) if node.widgets else "")
     cond = _encode_weighted(clip, [prompt])
     return ({"context": cond, "controls": [], "prompt": prompt, "mask": mask},)
+
+
+# --- comfy_extras: post-processing + mask node packs ------------------------
+
+
+def _gaussian_kernel(kernel_size: int, sigma: float):
+    import numpy as np
+
+    x = np.arange(kernel_size) - kernel_size // 2
+    g = np.exp(-(x ** 2) / (2 * sigma * sigma))
+    k = np.outer(g, g)
+    return k / k.sum()
+
+
+def _depthwise(img, kernel):
+    """Apply a (k, k) numpy kernel per channel with reflect padding."""
+    import jax
+    import jax.numpy as jnp
+
+    c = img.shape[-1]
+    k = kernel.shape[0]
+    pad = k // 2
+    xp = jnp.pad(img, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+    w = jnp.broadcast_to(jnp.asarray(kernel, img.dtype)[None, None], (c, 1, k, k))
+    return jax.lax.conv_general_dilated(
+        xp, w, (1, 1), "VALID", dimension_numbers=("NHWC", "OIHW", "NHWC"),
+        feature_group_count=c)
+
+
+@register_node("ImageBlur")
+def image_blur(ctx: InferenceContext, node: WorkflowNode, image=None):
+    """Gaussian blur (comfy_extras nodes_post_processing Blur:101-115)."""
+    w = node.widgets
+    radius = int(w[0]) if w else 1
+    sigma = float(w[1]) if len(w) > 1 else 1.0
+    if radius == 0:
+        return (image,)
+    return (_depthwise(image, _gaussian_kernel(radius * 2 + 1, sigma)),)
+
+
+@register_node("ImageSharpen")
+def image_sharpen(ctx: InferenceContext, node: WorkflowNode, image=None):
+    """Unsharp sharpen (nodes_post_processing Sharpen:223-240)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    w = node.widgets
+    radius = int(w[0]) if w else 1
+    sigma = float(w[1]) if len(w) > 1 else 1.0
+    alpha = float(w[2]) if len(w) > 2 else 1.0
+    if radius == 0:
+        return (image,)
+    k = _gaussian_kernel(radius * 2 + 1, sigma) * -(alpha * 10.0)
+    c = radius
+    k[c, c] = k[c, c] - k.sum() + 1.0
+    return (jnp.clip(_depthwise(image, k), 0.0, 1.0),)
+
+
+@register_node("ImageQuantize")
+def image_quantize(ctx: InferenceContext, node: WorkflowNode, image=None):
+    """Posterize to N levels (nodes_post_processing Quantize, no dither)."""
+    import jax.numpy as jnp
+
+    w = node.widgets
+    colors = int(w[0]) if w else 256
+    q = jnp.round(image * (colors - 1)) / max(colors - 1, 1)
+    return (jnp.clip(q, 0.0, 1.0),)
+
+
+@register_node("MaskToImage")
+def mask_to_image(ctx: InferenceContext, node: WorkflowNode, mask=None):
+    import jax.numpy as jnp
+
+    m = mask if mask.ndim == 3 else mask[None]
+    return (jnp.repeat(m[..., None], 3, axis=-1),)
+
+
+@register_node("ImageToMask")
+def image_to_mask(ctx: InferenceContext, node: WorkflowNode, image=None):
+    channel = str(node.widgets[0]) if node.widgets else "red"
+    idx = {"red": 0, "green": 1, "blue": 2, "alpha": 3}.get(channel, 0)
+    idx = min(idx, image.shape[-1] - 1)
+    return (image[..., idx],)
+
+
+@register_node("InvertMask")
+def invert_mask(ctx: InferenceContext, node: WorkflowNode, mask=None):
+    return (1.0 - mask,)
+
+
+@register_node("ThresholdMask")
+def threshold_mask(ctx: InferenceContext, node: WorkflowNode, mask=None):
+    value = float(node.widgets[0]) if node.widgets else 0.5
+    return ((mask > value).astype(mask.dtype),)
+
+
+@register_node("FeatherMask")
+def feather_mask(ctx: InferenceContext, node: WorkflowNode, mask=None):
+    """Edge feathering (nodes_mask.py FeatherMask:264-307)."""
+    import jax.numpy as jnp
+
+    w = node.widgets
+    left = int(w[0]) if w else 0
+    top = int(w[1]) if len(w) > 1 else 0
+    right = int(w[2]) if len(w) > 2 else 0
+    bottom = int(w[3]) if len(w) > 3 else 0
+    m = mask if mask.ndim == 3 else mask[None]
+    h, wd = m.shape[-2], m.shape[-1]
+    ramp_l = jnp.minimum((jnp.arange(wd) + 1) / max(left, 1), 1.0) if left else jnp.ones(wd)
+    ramp_r = jnp.minimum((jnp.arange(wd)[::-1] + 1) / max(right, 1), 1.0) if right else jnp.ones(wd)
+    ramp_t = jnp.minimum((jnp.arange(h) + 1) / max(top, 1), 1.0) if top else jnp.ones(h)
+    ramp_b = jnp.minimum((jnp.arange(h)[::-1] + 1) / max(bottom, 1), 1.0) if bottom else jnp.ones(h)
+    return (m * ramp_l[None, None] * ramp_r[None, None]
+            * ramp_t[None, :, None] * ramp_b[None, :, None],)
+
+
+@register_node("GrowMask")
+def grow_mask(ctx: InferenceContext, node: WorkflowNode, mask=None):
+    """Iterated 3x3 dilation/erosion (nodes_mask.py GrowMask:309-344)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    w = node.widgets
+    expand = int(w[0]) if w else 0
+    tapered = bool(w[1]) if len(w) > 1 else True
+    m = mask if mask.ndim == 3 else mask[None]
+    c = 0.0 if tapered else 1.0
+    foot = np.array([[c, 1, c], [1, 1, 1], [c, 1, c]], np.float32)
+    neg = jnp.where(jnp.asarray(foot) > 0, 0.0, -jnp.inf)
+
+    def dilate(x):
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1)), constant_values=-jnp.inf)
+        windows = jnp.stack([
+            jnp.roll(xp, (-i + 1, -j + 1), axis=(1, 2))[:, 1:-1, 1:-1]
+            + neg[i, j]
+            for i in range(3) for j in range(3)], 0)
+        return jnp.max(windows, 0)
+
+    out = m
+    for _ in range(abs(expand)):
+        out = dilate(out) if expand > 0 else -dilate(-out)
+    return (jnp.clip(out, 0.0, 1.0),)
+
+
+@register_node("LatentAdd", "LatentSubtract", "LatentMultiply")
+def latent_arith(ctx: InferenceContext, node: WorkflowNode,
+                 samples1=None, samples2=None, samples=None):
+    """Latent arithmetic (comfy_extras nodes_latent.py)."""
+    a = (samples1 or samples)["samples"]
+    if node.type == "LatentMultiply":
+        mult = float(node.widgets[0]) if node.widgets else 1.0
+        out = a * mult
+    else:
+        b_ = samples2["samples"]
+        out = a + b_ if node.type == "LatentAdd" else a - b_
+    res = dict(samples1 or samples)
+    res["samples"] = out
+    return (res,)

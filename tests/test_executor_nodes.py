@@ -240,3 +240,68 @@ def test_latent_composite_and_image_nodes():
 
     (batch,) = NODE_REGISTRY["ImageBatch"](ictx, _Ba(), image1=a, image2=b)
     assert batch.shape == (2, 8, 8, 3)
+
+
+def test_postprocessing_and_mask_node_pack():
+    """comfy_extras node pack: Blur/Sharpen/Quantize + mask ops parity."""
+    import jax
+    import numpy as np
+    import pytest
+
+    from stable_renderer_tpu.workflow.executor import (
+        NODE_REGISTRY,
+        InferenceContext,
+    )
+
+    ictx = InferenceContext(model_dirs=(), jit_cache={})
+    img = jax.random.uniform(jax.random.PRNGKey(0), (1, 16, 16, 3))
+
+    def run(ntype, widgets, **kw):
+        class _N:
+            pass
+
+        _N.type = ntype
+        _N.widgets = widgets
+        return NODE_REGISTRY[ntype](ictx, _N(), **kw)
+
+    (blurred,) = run("ImageBlur", [2, 1.0], image=img)
+    assert blurred.shape == img.shape
+    assert float(jnp.std(blurred)) < float(jnp.std(img))  # blur reduces variance
+    (sharp,) = run("ImageSharpen", [2, 1.0, 0.5], image=img)
+    assert float(jnp.std(sharp)) > float(jnp.std(blurred))
+    (quant,) = run("ImageQuantize", [4], image=img)
+    assert len(np.unique(np.asarray(quant).round(6))) <= 4
+
+    mask = jnp.zeros((1, 8, 8)).at[:, 3:5, 3:5].set(1.0)
+    (m2i,) = run("MaskToImage", [], mask=mask)
+    assert m2i.shape == (1, 8, 8, 3)
+    (i2m,) = run("ImageToMask", ["green"], image=m2i)
+    np.testing.assert_allclose(np.asarray(i2m), np.asarray(mask))
+    (inv,) = run("InvertMask", [], mask=mask)
+    np.testing.assert_allclose(np.asarray(inv), 1.0 - np.asarray(mask))
+    (thr,) = run("ThresholdMask", [0.5], mask=mask * 0.6)
+    np.testing.assert_allclose(np.asarray(thr), np.asarray(mask))
+
+    # GrowMask parity vs scipy grey_dilation (nodes_mask.py:309-344)
+    scipy = pytest.importorskip("scipy")
+    import scipy.ndimage
+
+    (grown,) = run("GrowMask", [2, True], mask=mask)
+    ref = np.asarray(mask[0])
+    kernel = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]])
+    for _ in range(2):
+        ref = scipy.ndimage.grey_dilation(ref, footprint=kernel)
+    np.testing.assert_allclose(np.asarray(grown[0]), ref, atol=1e-6)
+    (shrunk,) = run("GrowMask", [-1, True], mask=grown)
+    ref2 = scipy.ndimage.grey_erosion(np.asarray(grown[0]), footprint=kernel)
+    np.testing.assert_allclose(np.asarray(shrunk[0]), ref2, atol=1e-6)
+
+    (feath,) = run("FeatherMask", [2, 2, 0, 0], mask=jnp.ones((1, 8, 8)))
+    assert float(feath[0, 0, 0]) < 0.51  # corner feathered
+    assert float(feath[0, 7, 7]) == 1.0
+
+    lat = {"samples": jnp.ones((1, 4, 4, 4))}
+    (added,) = run("LatentAdd", [], samples1=lat, samples2=lat)
+    np.testing.assert_allclose(np.asarray(added["samples"]), 2.0)
+    (mul,) = run("LatentMultiply", [0.5], samples1=lat)
+    np.testing.assert_allclose(np.asarray(mul["samples"]), 0.5)
