@@ -1364,3 +1364,51 @@ def latent_arith(ctx: InferenceContext, node: WorkflowNode,
     res = dict(samples1 or samples)
     res["samples"] = out
     return (res,)
+
+
+@register_node("ImagePadForOutpaint")
+def image_pad_for_outpaint(ctx: InferenceContext, node: WorkflowNode, image=None):
+    """Pad an image for outpainting, returning the hole mask with feathered
+    interior edges (nodes.py ImagePadForOutpaint:1855-1900)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    w = node.widgets
+    left = int(w[0]) if w else 0
+    top = int(w[1]) if len(w) > 1 else 0
+    right = int(w[2]) if len(w) > 2 else 0
+    bottom = int(w[3]) if len(w) > 3 else 0
+    feather = int(w[4]) if len(w) > 4 else 0
+    b, h, wd, c = image.shape
+    new = jnp.full((b, h + top + bottom, wd + left + right, c), 0.5,
+                   image.dtype)
+    new = new.at[:, top: top + h, left: left + wd].set(image)
+    # interior: 0 = keep; feathered ramp toward padded edges (ref t matrix)
+    t = np.zeros((h, wd), np.float32)
+    if feather > 0 and feather * 2 < h and feather * 2 < wd:
+        ii = np.arange(h)[:, None]
+        jj = np.arange(wd)[None, :]
+        dt = ii if top != 0 else np.full_like(ii, h)
+        db = (h - ii) if bottom != 0 else np.full_like(ii, h)
+        dl = jj if left != 0 else np.full_like(jj, wd)
+        dr = (wd - jj) if right != 0 else np.full_like(jj, wd)
+        d = np.minimum(np.minimum(dt, db), np.minimum(dl, dr))
+        v = np.where(d < feather, (1.0 - d / feather) ** 2, 0.0)
+        t = v.astype(np.float32)
+    mask = jnp.ones((h + top + bottom, wd + left + right), jnp.float32)
+    mask = mask.at[top: top + h, left: left + wd].set(jnp.asarray(t))
+    return new, mask[None]
+
+
+@register_node("ConditioningZeroOut")
+def conditioning_zero_out(ctx: InferenceContext, node: WorkflowNode,
+                          conditioning=None):
+    """Zero the conditioning tensors (nodes.py ConditioningZeroOut — the SDXL
+    'no negative prompt' trick)."""
+    import jax.numpy as jnp
+
+    cond = dict(conditioning)
+    cond["context"] = jnp.zeros_like(conditioning["context"])
+    if "pooled" in cond and cond["pooled"] is not None:
+        cond["pooled"] = jnp.zeros_like(cond["pooled"])
+    return (cond,)

@@ -448,6 +448,63 @@ def _declare_default_specs() -> None:
                            WidgetSpec("height", "INT", min=8, max=16384),
                            WidgetSpec("x", "INT", min=0, max=16384),
                            WidgetSpec("y", "INT", min=0, max=16384)))
+    register_spec("ImageBlur", input_types={"image": "IMAGE"},
+                  return_types=("IMAGE",),
+                  widgets=(WidgetSpec("blur_radius", "INT", min=0, max=31),
+                           WidgetSpec("sigma", "FLOAT", min=0.1, max=10.0)))
+    register_spec("ImageSharpen", input_types={"image": "IMAGE"},
+                  return_types=("IMAGE",),
+                  widgets=(WidgetSpec("sharpen_radius", "INT", min=0, max=31),
+                           WidgetSpec("sigma", "FLOAT", min=0.1, max=10.0),
+                           WidgetSpec("alpha", "FLOAT", min=0.0, max=5.0)))
+    register_spec("ImageQuantize", input_types={"image": "IMAGE"},
+                  return_types=("IMAGE",),
+                  widgets=(WidgetSpec("colors", "INT", min=1, max=256),))
+    register_spec("MaskToImage", input_types={"mask": "MASK"},
+                  return_types=("IMAGE",))
+    register_spec("ImageToMask", input_types={"image": "IMAGE"},
+                  return_types=("MASK",),
+                  widgets=(WidgetSpec("channel", "COMBO",
+                                      choices=("red", "green", "blue", "alpha")),))
+    register_spec("InvertMask", input_types={"mask": "MASK"},
+                  return_types=("MASK",))
+    register_spec("ThresholdMask", input_types={"mask": "MASK"},
+                  return_types=("MASK",),
+                  widgets=(WidgetSpec("value", "FLOAT", min=0.0, max=1.0),))
+    register_spec("FeatherMask", input_types={"mask": "MASK"},
+                  return_types=("MASK",))
+    register_spec("GrowMask", input_types={"mask": "MASK"},
+                  return_types=("MASK",))
+    register_spec("ImageBlend",
+                  input_types={"image1": "IMAGE", "image2": "IMAGE"},
+                  return_types=("IMAGE",),
+                  widgets=(WidgetSpec("blend_factor", "FLOAT", min=0.0, max=1.0),
+                           WidgetSpec("blend_mode", "COMBO",
+                                      choices=("normal", "multiply", "screen",
+                                               "difference"))))
+    register_spec("ImageInvert", input_types={"image": "IMAGE"},
+                  return_types=("IMAGE",))
+    register_spec("ImageBatch",
+                  input_types={"image1": "IMAGE", "image2": "IMAGE"},
+                  return_types=("IMAGE",))
+    register_spec("ImagePadForOutpaint", input_types={"image": "IMAGE"},
+                  return_types=("IMAGE", "MASK"))
+    register_spec("ConditioningZeroOut",
+                  input_types={"conditioning": "CONDITIONING"},
+                  return_types=("CONDITIONING",))
+    register_spec("VAEEncodeForInpaint",
+                  input_types={"pixels": "IMAGE", "vae": "VAE", "mask": "MASK"},
+                  return_types=("LATENT",),
+                  widgets=(WidgetSpec("grow_mask_by", "INT", min=0, max=64),))
+    register_spec("LatentComposite",
+                  input_types={"samples_to": "LATENT", "samples_from": "LATENT"},
+                  return_types=("LATENT",))
+    register_spec("LatentAdd", "LatentSubtract",
+                  input_types={"samples1": "LATENT", "samples2": "LATENT"},
+                  return_types=("LATENT",))
+    register_spec("LatentMultiply", input_types={"samples1": "LATENT"},
+                  return_types=("LATENT",),
+                  widgets=(WidgetSpec("multiplier", "FLOAT", min=-10.0, max=10.0),))
     register_spec("CLIPVisionLoader", return_types=("CLIP_VISION",),
                   widgets=(WidgetSpec("clip_name", "STRING"),))
     register_spec("CLIPVisionEncode",

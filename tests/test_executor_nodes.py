@@ -305,3 +305,35 @@ def test_postprocessing_and_mask_node_pack():
     np.testing.assert_allclose(np.asarray(added["samples"]), 2.0)
     (mul,) = run("LatentMultiply", [0.5], samples1=lat)
     np.testing.assert_allclose(np.asarray(mul["samples"]), 0.5)
+
+
+def test_outpaint_pad_and_zero_out():
+    import numpy as np
+
+    from stable_renderer_tpu.workflow.executor import (
+        NODE_REGISTRY,
+        InferenceContext,
+    )
+
+    ictx = InferenceContext(model_dirs=(), jit_cache={})
+    img = jnp.full((1, 8, 8, 3), 0.25)
+
+    class _P:
+        widgets = [4, 0, 4, 0, 0]  # left=4, right=4
+        type = "ImagePadForOutpaint"
+
+    new, mask = NODE_REGISTRY["ImagePadForOutpaint"](ictx, _P(), image=img)
+    assert new.shape == (1, 8, 16, 3)
+    assert mask.shape == (1, 8, 16)
+    np.testing.assert_allclose(np.asarray(new[:, :, 4:12]), 0.25)
+    np.testing.assert_allclose(np.asarray(new[:, :, :4]), 0.5)  # pad value
+    assert float(mask[0, 0, 0]) == 1.0    # padded region = hole
+    assert float(mask[0, 4, 8]) == 0.0    # interior kept
+
+    class _Z:
+        widgets = []
+        type = "ConditioningZeroOut"
+
+    cond = {"context": jnp.ones((1, 77, 64)), "controls": []}
+    (z,) = NODE_REGISTRY["ConditioningZeroOut"](ictx, _Z(), conditioning=cond)
+    np.testing.assert_allclose(np.asarray(z["context"]), 0.0)
