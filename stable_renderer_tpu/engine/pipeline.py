@@ -121,6 +121,13 @@ class DiffusionPipeline:
         clip_g = clip_g_params = None
         vcfg, ccfg = SD15_VAE_CONFIG, SD15_CLIP_CONFIG
         clip_model = None
+        from pathlib import Path as _P
+
+        if _P(path).is_dir() and (ucfg.adm_in_channels is not None
+                                  or ucfg.context_dim >= 1024):
+            raise NotImplementedError(
+                "diffusers folders are supported for the SD1.x family; "
+                "convert SDXL/SD2 diffusers repos to a single .safetensors")
         if ucfg.adm_in_channels is None and ucfg.context_dim >= 1024:
             # SD2.x: OpenCLIP-H text tower at cond_stage_model.model.*
             # (comfy sd2_clip.py SD2ClipHModel)

@@ -127,17 +127,29 @@ def split_checkpoint(
     return unet, vae, clip
 
 
-def load_checkpoint(path: str | Path):
-    """Load a full SD checkpoint; returns (unet_params, vae_params, clip_params,
-    unet_config). The reference equivalent is load_checkpoint_guess_config."""
-    flat = load_state_dict(path)
+def load_checkpoint_flat(flat: Dict[str, np.ndarray], label: str = "<flat>"):
+    """Split + detect from an in-memory flat state dict (shared by ldm files
+    and the diffusers-folder conversion path)."""
     cfg = detect_unet_config(flat)
     unet, vae, clip = split_checkpoint(flat)
     logger.info(
-        f"Loaded checkpoint {path}: unet ch={cfg.model_channels} ctx={cfg.context_dim}, "
+        f"Loaded checkpoint {label}: unet ch={cfg.model_channels} ctx={cfg.context_dim}, "
         f"{len(flat)} tensors"
     )
     return unet, vae, clip, cfg
+
+
+def load_checkpoint(path: str | Path):
+    """Load a full SD checkpoint; returns (unet_params, vae_params, clip_params,
+    unet_config). The reference equivalent is load_checkpoint_guess_config.
+
+    A directory path is treated as a diffusers model folder
+    (comfy diffusers_load.py load_diffusers)."""
+    if Path(path).is_dir():
+        from stable_renderer_tpu.models.diffusers_convert import load_diffusers_folder
+
+        return load_checkpoint_flat(load_diffusers_folder(str(path)), str(path))
+    return load_checkpoint_flat(load_state_dict(path), str(path))
 
 
 def to_device(tree: dict, dtype=None) -> dict:
