@@ -117,3 +117,43 @@ def test_post_prompt_and_worker_executes(server):
     hist = json.loads(_get(base + "/history")[1])
     entry = [h for h in hist if h["prompt_id"] == pid2][0]
     assert entry["status"] == "error"
+
+
+def test_engine_frame_callback_streams_to_server(server):
+    """The real engine loop publishes frames through
+    Engine(frame_callback=server.frame_callback); /frame.png serves actual
+    rendered content (the reference editor's live view seam)."""
+    import jax
+
+    from stable_renderer_tpu.engine.camera import Camera
+    from stable_renderer_tpu.engine.engine import Engine
+    from stable_renderer_tpu.engine.gameobj import GameObject
+    from stable_renderer_tpu.engine.mesh import Mesh
+    from stable_renderer_tpu.engine.renderers import MeshRenderer
+
+    Engine._reset()
+
+    class App(Engine):
+        def beforePrepare(self):
+            go = GameObject("ball")
+            go.addComponent(MeshRenderer, mesh=Mesh.Sphere(1.0, 12))
+            cam = GameObject("cam")
+            cam.addComponent(Camera)
+            cam.transform.position = [0.0, 0.5, 3.0]
+            cam.transform.lookAt([0.0, 0.0, 0.0])
+
+    App.Run(winSize=(48, 48), disableComfyUI=True, max_frames=2,
+            frame_callback=server.frame_callback)
+    Engine._reset()
+
+    base = f"http://127.0.0.1:{server.port}"
+    code, body, headers = _get(base + "/frame.png")
+    assert code == 200 and body[:4] == b"\x89PNG"
+    # decode and confirm the sphere is visible (non-black content)
+    import io
+
+    from PIL import Image
+
+    arr = np.asarray(Image.open(io.BytesIO(body)))
+    assert arr.shape[:2] == (48, 48)
+    assert arr.max() > 100
