@@ -82,8 +82,12 @@ def main() -> None:
         from stable_renderer_tpu.ops.transforms import look_at, perspective, translate
         from stable_renderer_tpu.parallel import create_mesh
 
+        import math as _math
+
         n_dev = jax.device_count()
-        batch = max(8, n_dev)  # the reference's baking_interval=8, >=1 frame/chip
+        # the reference's baking_interval=8, >=1 frame/chip, rounded up to a
+        # multiple of the device count so the dp axis shards evenly
+        batch = n_dev * max(1, _math.ceil(8 / n_dev))
         dmesh = create_mesh({"dp": n_dev, "tp": 1})
 
         mesh = Mesh.Sphere(1.0, 48)

@@ -49,6 +49,7 @@ from stable_renderer_tpu.ops.raster import rasterize_auto, vertex_stage
         "pp",
         "cn_sources",
         "to_uint8",
+        "apply_post",
     ),
 )
 def frame_step(
@@ -70,6 +71,11 @@ def frame_step(
     ctx, nctx, sigmas, key,   # traced conditioning (None when not run_diffusion)
     unet_params, vae_params, cn_params,
     y_cond=None, y_uncond=None,  # traced SDXL ADM vectors (None for SD1.x)
+    apply_post: bool = True,  # static: False when host defer tasks run — they
+    # must see pre-post-process color (reference defer stage ordering), so the
+    # host applies post_process after them (RenderManager.on_frame_run)
+    lights=None,              # traced (L, 16) Light.pack_lights rows or None:
+    # defer-stage Lambert lighting (ops/postprocess.py apply_lights)
 ):
     gbuf = GBuffer.empty(height, width)
     zbuf = jnp.ones((height, width))
@@ -141,8 +147,13 @@ def frame_step(
         rgb = images[-1]  # display the latest frame (renderManager.py:1017-1021)
         display = jnp.concatenate([rgb, jnp.ones_like(rgb[..., :1])], axis=-1)
 
+    if lights is not None:
+        from stable_renderer_tpu.ops.postprocess import apply_lights
+
+        display = apply_lights(display, gbuf.normal, gbuf.pos, lights)
     display = defer_render(display, gbuf.id, is_baking=is_baking and not run_diffusion)
-    display = post_process(display, pp)
+    if apply_post:
+        display = post_process(display, pp)
     if to_uint8:
         display = jnp.round(jnp.clip(display, 0.0, 1.0) * 255.0).astype(jnp.uint8)
     return display, gbuf, pack, images

@@ -316,10 +316,15 @@ class RenderManager(Manager):
             draw_calls = [t.fn() for t in sorted(self.gbuffer_tasks._tasks)]
             self.gbuffer_tasks.clear()
             cam = self._main_camera()
+            lights = None
             if cam is not None and draw_calls:
+                from stable_renderer_tpu.engine.renderers import Light
+
                 view = jnp.asarray(cam.viewMatrix)
                 proj = jnp.asarray(cam.projectionMatrix(w / h))
                 draws, sigs = draw_call_inputs(draw_calls, view)
+                packed = Light.pack_lights(cam.viewMatrix)
+                lights = None if packed is None else jnp.asarray(packed)
             else:
                 draws, sigs, proj = (), (), jnp.eye(4)
 
@@ -335,9 +340,11 @@ class RenderManager(Manager):
             cn_params: tuple = ()
             unet_params = vae_params = None
             if run_diffusion:
-                from stable_renderer_tpu.ops.correspondence import DefaultCorresponder
-
-                corresponder = dm.corresponder or DefaultCorresponder()
+                # dm.corresponder is instantiated once in DiffusionManager.__init__
+                # so the identity-hashed static jit arg is stable across frames
+                # (a fresh DefaultCorresponder() here forced a ~15 s retrace of
+                # the fused frame program EVERY frame).
+                corresponder = dm.corresponder
                 n = len(self._pending) + 1
                 env = self._env_tuple()
                 sprite_ids, ctx, nctx, y_cond, y_uncond = pipe.prepare_conditioning(
@@ -382,12 +389,19 @@ class RenderManager(Manager):
                 cn_params,
                 y_cond,
                 y_uncond,
+                apply_post=not have_tasks,
+                lights=lights,
             )
         self.last_gbuffer = gbuf
 
         if have_tasks:
+            # reference ordering (renderManager.py:1027-1043): user defer tasks
+            # see pre-post-process color; the post-process chain runs after them
+            from stable_renderer_tpu.ops.postprocess import post_process
+
             with self.timer.stage("host_tasks"):
                 display = self._apply_tasks(self.defer_tasks, display, gbuf)
+                display = post_process(display, pp)
                 display = self._apply_tasks(self.post_tasks, display)
                 display = display_to_uint8(display)
 
@@ -467,6 +481,10 @@ class DiffusionManager(Manager):
                  output_ai_canny: bool = False):
         super().__init__(engine)
         self.pipeline = pipeline
+        if corresponder is None:
+            from stable_renderer_tpu.ops.correspondence import default_corresponder
+
+            corresponder = default_corresponder()
         self.corresponder = corresponder
         self.baking_interval = baking_interval
         self.output_maps = output_maps

@@ -40,7 +40,7 @@ from stable_renderer_tpu.models.unet import TINY_UNET_CONFIG, SD15_UNET_CONFIG, 
 from stable_renderer_tpu.models.vae import TINY_VAE_CONFIG, SD15_VAE_CONFIG, VAEConfig
 from stable_renderer_tpu.ops.correspondence import (
     Corresponder,
-    DefaultCorresponder,
+    default_corresponder,
     vertex_noise,
 )
 from stable_renderer_tpu.utils.log import EngineLogger
@@ -282,7 +282,11 @@ class DiffusionPipeline:
         return self._encode_prompts_full(prompts, negatives)
 
     def _encode_prompts_full(self, prompts: List[str], negatives: List[str]):
-        cache_key = (tuple(prompts), tuple(negatives), self.config.clip_skip)
+        # identity tokens for the encoder params: if clip_params/clip_g_params are
+        # swapped (e.g. a LoRA merged in later), previously cached embeddings for
+        # the same prompt text must not be returned
+        cache_key = (tuple(prompts), tuple(negatives), self.config.clip_skip,
+                     id(self.clip_params), id(self.clip_g_params))
         cache = getattr(self, "_cond_cache", None)
         if cache is None:
             cache = self._cond_cache = {}
@@ -480,7 +484,9 @@ class DiffusionPipeline:
             image_size=engine_data.color_maps.shape[1:3],
         )
         sigmas = self.scheduler_sigmas()
-        corresponder = corresponder or DefaultCorresponder()
+        # shared singleton: corresponders are identity-hashed static jit args, so
+        # a fresh instance per call would recompile _jit_render on every call
+        corresponder = corresponder or default_corresponder()
         hint_sources = {
             "normal": engine_data.normal_maps,
             "depth": engine_data.depth_maps,
@@ -577,43 +583,40 @@ class DiffusionPipeline:
             _, valid = latent_vertex_ids(id_maps, lh, lw)
             inpaint_mask = valid.astype(jnp.float32)[..., None]
             inpaint_latent = latent
-        if sprite_ids:
-            from stable_renderer_tpu.models.sampling.scene_cond import (
-                make_scene_denoiser,
-                sprite_masks,
+        concat_latent = None
+        if self.unet.config.in_channels > latent.shape[-1]:
+            # 9-channel inpaint checkpoint (comfy model_base.py:93-126): feed
+            # [mask, masked-image latent] as the extra UNet input channels
+            from stable_renderer_tpu.models.sampling.assemble import (
+                inpaint_concat_channels,
             )
 
-            masks = sprite_masks(id_maps, sprite_ids, lh, lw)
-            den = make_scene_denoiser(
-                self.unet,
-                unet_params,
-                ctx,
-                masks,
-                uncond,
-                log_sigmas,
-                cfg_scale=cfg.cfg_scale,
-                prediction=self.model_sampling.prediction,
-                hooks=hooks,
-                control_fn=self._make_control_fn(hints, cn_params),
-                y_cond=y_cond,
-                y_uncond=y_uncond,
-            )
-        else:
-            den = make_denoiser(
-                self.unet,
-                unet_params,
-                ctx,
-                uncond,
-                log_sigmas,
-                cfg_scale=cfg.cfg_scale,
-                prediction=self.model_sampling.prediction,
-                hooks=hooks,
-                control_fn=self._make_control_fn(hints, cn_params),
-                mask=inpaint_mask,
-                masked_latent=inpaint_latent,
-                y_cond=y_cond,
-                y_uncond=y_uncond,
-            )
+            concat_latent = inpaint_concat_channels(latent, inpaint_mask)
+        from stable_renderer_tpu.models.sampling.assemble import build_denoiser
+
+        scene_masks = None
+        if sprite_ids:
+            from stable_renderer_tpu.models.sampling.scene_cond import sprite_masks
+
+            scene_masks = sprite_masks(id_maps, sprite_ids, lh, lw)
+        den = build_denoiser(
+            self.unet,
+            unet_params,
+            cond_context=None if sprite_ids else ctx,
+            scene_contexts=ctx if sprite_ids else None,
+            scene_masks=scene_masks,
+            uncond_context=uncond,
+            log_sigmas=log_sigmas,
+            cfg_scale=cfg.cfg_scale,
+            prediction=self.model_sampling.prediction,
+            hooks=hooks,
+            control_fn=self._make_control_fn(hints, cn_params),
+            inpaint_mask=None if sprite_ids else inpaint_mask,
+            inpaint_latent=None if sprite_ids else inpaint_latent,
+            concat_latent=concat_latent,
+            y_cond=y_cond,
+            y_uncond=y_uncond,
+        )
         out_latent = sample(
             den,
             noise,

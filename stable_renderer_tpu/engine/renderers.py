@@ -204,16 +204,27 @@ class CorrMapRenderer(Component):
 
 
 class Light(Component):
-    """Light component hierarchy (light.py:13-80). Shadow maps are TODO in the
-    reference too (renderManager.py:452-461); data feeds the defer stage."""
+    """Light component hierarchy (light.py:13-80: position/color/intensity +
+    const/linear/quadratic attenuation shader structs). ``pack_lights`` maps
+    the live components into the (L, 16) array the defer stage's Lambert term
+    consumes (ops/postprocess.py apply_lights) — the TPU equivalent of the
+    reference's Light UBO block. Shadow maps are TODO in the reference too
+    (renderManager.py:452-461)."""
 
-    def __init__(self, game_object, color=(1.0, 1.0, 1.0), intensity: float = 1.0):
+    def __init__(self, game_object, color=(1.0, 1.0, 1.0), intensity: float = 1.0,
+                 att_const: float = 1.0, att_linear: float = 0.0,
+                 att_quadratic: float = 0.0, ambient: float = 0.1):
         super().__init__(game_object)
         self.color = np.asarray(color, np.float32)
         self.intensity = intensity
+        self.att_const = att_const
+        self.att_linear = att_linear
+        self.att_quadratic = att_quadratic
+        self.ambient = ambient
         Light._lights.append(self)
 
     _lights: List["Light"] = []
+    LIGHT_TYPE = 0  # directional; see ops/postprocess LIGHT_*
 
     def onDestroy(self):
         if self in Light._lights:
@@ -227,22 +238,54 @@ class Light(Component):
     def _clear(cls) -> None:
         cls._lights.clear()
 
+    def _row(self, view: np.ndarray) -> np.ndarray:
+        """One packed (16,) row in VIEW space (the G-buffer's space)."""
+        row = np.zeros(16, np.float32)
+        row[0] = float(self.LIGHT_TYPE)
+        row[1:4] = self.color[:3]
+        row[4] = self.intensity
+        wpos = np.asarray(self.transform.position, np.float32)
+        row[5:8] = (view @ np.append(wpos, 1.0))[:3]
+        wdir = np.asarray(self.transform.forward, np.float32)
+        row[8:11] = (view @ np.append(wdir, 0.0))[:3]
+        row[11:14] = (self.att_const, self.att_linear, self.att_quadratic)
+        row[14] = np.cos(np.radians(getattr(self, "angle", 180.0)))
+        row[15] = self.ambient
+        return row
+
+    @classmethod
+    def pack_lights(cls, view) -> Optional[np.ndarray]:
+        """(L, 16) array for apply_lights, or None when the scene is unlit."""
+        lights = cls.all_lights()
+        if not lights:
+            return None
+        view = np.asarray(view, np.float32)
+        return np.stack([l._row(view) for l in lights])
+
 
 class DirectionalLight(Light):
+    LIGHT_TYPE = 0
+
     @property
     def direction(self) -> np.ndarray:
         return self.transform.forward
 
 
 class PointLight(Light):
+    LIGHT_TYPE = 1
+
     def __init__(self, game_object, color=(1.0, 1.0, 1.0), intensity: float = 1.0,
-                 radius: float = 10.0):
-        super().__init__(game_object, color, intensity)
+                 radius: float = 10.0, **kw):
+        # radius maps onto quadratic attenuation (intensity falls to ~1% at r)
+        kw.setdefault("att_quadratic", 100.0 / max(radius * radius, 1e-6))
+        super().__init__(game_object, color, intensity, **kw)
         self.radius = radius
 
 
 class SpotLight(PointLight):
+    LIGHT_TYPE = 2
+
     def __init__(self, game_object, color=(1.0, 1.0, 1.0), intensity: float = 1.0,
-                 radius: float = 10.0, angle_deg: float = 30.0):
-        super().__init__(game_object, color, intensity, radius)
+                 radius: float = 10.0, angle_deg: float = 30.0, **kw):
+        super().__init__(game_object, color, intensity, radius, **kw)
         self.angle = angle_deg

@@ -4,6 +4,10 @@ from stable_renderer_tpu.models.sampling.schedules import (
     SCHEDULER_NAMES,
 )
 from stable_renderer_tpu.models.sampling.samplers import sample, SAMPLER_NAMES
+from stable_renderer_tpu.models.sampling.assemble import (
+    build_denoiser,
+    inpaint_concat_channels,
+)
 
 __all__ = [
     "ModelSampling",
@@ -11,4 +15,6 @@ __all__ = [
     "SCHEDULER_NAMES",
     "sample",
     "SAMPLER_NAMES",
+    "build_denoiser",
+    "inpaint_concat_channels",
 ]

@@ -73,6 +73,19 @@ def make_denoiser(
     masked_latent: Optional[jax.Array] = None,
     y_cond: Optional[jax.Array] = None,     # (B, adm) SDXL ADM conditioning
     y_uncond: Optional[jax.Array] = None,
+    concat_latent: Optional[jax.Array] = None,  # (B, h, w, E) inpaint-model
+    # c_concat channels (mask + masked-image latent) appended to the UNet input —
+    # 9-channel inpaint checkpoints (comfy model_base.py:93-126 extra_conds)
+    nocond_context: Optional[jax.Array] = None,  # PerpNeg empty conditioning: a
+    # third batch group; CFG becomes the perpendicular-negative combine
+    # (comfy_extras/nodes_perpneg.py cfg_function)
+    perp_neg_scale: float = 1.0,
+    sag: Optional[tuple] = None,  # (scale, blur_sigma, mid_layer_idx):
+    # Self-Attention Guidance (comfy_extras/nodes_sag.py): capture the uncond
+    # middle self-attention map, blur the attended regions of the uncond
+    # prediction, and steer away from the degraded prediction (extra UNet eval)
+    denoise_mask_fn: Optional[Callable] = None,  # (sigma, mask) -> mask:
+    # per-step mask shaping (comfy_extras/nodes_differential_diffusion.py)
 ) -> Callable:
     """Build the (x, sigma) -> denoised closure for samplers.sample().
 
@@ -89,9 +102,11 @@ def make_denoiser(
         mid (GLIGEN) also applies to positive rows only — the reference
         attaches gligen per-cond, and the uncond normally carries none
         (samplers.py gligen cond field)."""
+        passthru = dict(pre_all=hooks.pre_all, pre_cross=hooks.pre_cross,
+                        attn_all=hooks.attn_all, out_block=hooks.out_block)
         if (hooks.pre is None and hooks.post is None and hooks.attn is None
                 and hooks.mid is None):
-            return AttnHooks()
+            return AttnHooks(**passthru)
 
         def pre(q, k, v, layer):
             if hooks.pre is None:
@@ -144,42 +159,167 @@ def make_denoiser(
                 pos = hooks.mid(x[:batch], layer)
                 return jnp.concatenate([pos, x[batch:]], 0)
 
-        return AttnHooks(pre=pre, post=post, attn=attn, mid=mid)
+        return AttnHooks(pre=pre, post=post, attn=attn, mid=mid, **passthru)
 
     # run UNet activations in the params' dtype (bf16 on TPU, fp32 stats inside)
     compute_dtype = params["time_embed"]["0"]["weight"].dtype
+    use_perp_neg = nocond_context is not None and use_cfg
+    use_sag = sag is not None and use_cfg
 
     def denoise(x: jax.Array, sigma: jax.Array) -> jax.Array:
         b = x.shape[0]
         t = timestep_from_sigma(log_sigmas, sigma)
         c_in = 1.0 / jnp.sqrt(sigma**2 + 1.0)  # eps-model input scaling
         x_in = (x * c_in).astype(compute_dtype)
+        groups = 1 + (1 if use_cfg else 0) + (1 if use_perp_neg else 0)
         if use_cfg:
-            x_b = jnp.concatenate([x_in, x_in], axis=0)
-            ctx = jnp.concatenate([cond_context, uncond_context], axis=0)
+            ctxs = [cond_context, uncond_context]
+            if use_perp_neg:
+                ctxs.append(jnp.broadcast_to(
+                    nocond_context[:1] if nocond_context.shape[0] != b
+                    else nocond_context, (b, *nocond_context.shape[1:])))
+            x_b = jnp.concatenate([x_in] * groups, axis=0)
+            ctx = jnp.concatenate(ctxs, axis=0)
         else:
             x_b, ctx = x_in, cond_context
         ctx = ctx.astype(compute_dtype)
         tb = jnp.broadcast_to(t, (x_b.shape[0],))
-        y = None
+        y = yu = None
         if y_cond is not None:
             # SDXL ADM rides the same cond/uncond batching (model_base.py SDXL)
             yu = y_uncond if y_uncond is not None else y_cond
-            y = jnp.concatenate([y_cond, yu], axis=0) if use_cfg else y_cond
+            y = (jnp.concatenate([y_cond] + [yu] * (groups - 1), axis=0)
+                 if use_cfg else y_cond)
+        # controls see the plain latent channels; the inpaint c_concat extras go
+        # only into the UNet input (comfy computes control on input_x pre-concat,
+        # samplers.py:277 vs model_base.py apply_model torch.cat)
         control = control_fn(x_b, tb, ctx) if control_fn is not None else None
+
+        def with_concat(xb, reps):
+            if concat_latent is None:
+                return xb
+            extra = concat_latent.astype(compute_dtype)
+            return jnp.concatenate(
+                [xb, jnp.concatenate([extra] * reps, axis=0)], axis=-1)
+
+        run_hooks = wrap_hooks(b)
+        sag_sim: list = []
+        if use_sag:
+            # capture the uncond rows' self-attention probabilities at the
+            # middle transformer layer (nodes_sag.py attn_and_record)
+            from stable_renderer_tpu.models.layers import attention as _attn_dflt
+
+            sag_layer = sag[2]
+            orig_attn_all = run_hooks.attn_all
+
+            def sag_attn_all(q, k, v, heads, layer):
+                out_a = (orig_attn_all(q, k, v, heads, layer)
+                         if orig_attn_all is not None
+                         else _attn_dflt(q, k, v, heads))
+                if layer == sag_layer:
+                    d = q.shape[-1] // heads
+                    qu = q[b:2 * b].reshape(b, -1, heads, d).transpose(0, 2, 1, 3)
+                    ku = k[b:2 * b].reshape(b, -1, heads, d).transpose(0, 2, 1, 3)
+                    logits = jnp.einsum(
+                        "bhqd,bhkd->bhqk", qu.astype(jnp.float32),
+                        ku.astype(jnp.float32)) / jnp.sqrt(float(d))
+                    sag_sim.append(jax.nn.softmax(logits, axis=-1))
+                return out_a
+
+            if run_hooks.attn is None:  # attn (corresponder) takes precedence
+                run_hooks = run_hooks._replace(attn_all=sag_attn_all)
         out = unet.apply(
-            params, x_b, tb, ctx, control=control, hooks=wrap_hooks(b), y=y
+            params, with_concat(x_b, groups), tb, ctx, control=control,
+            hooks=run_hooks, y=y,
         ).astype(jnp.float32)
         x32 = x.astype(jnp.float32)
         if use_cfg:
-            cond_out, uncond_out = out[:b], out[b:]
+            cond_out, uncond_out = out[:b], out[b:2 * b]
             den_c = calculate_denoised(prediction, x32, cond_out, sigma, t)
             den_u = calculate_denoised(prediction, x32, uncond_out, sigma, t)
-            denoised = den_u + (den_c - den_u) * cfg_scale
+            if use_perp_neg:
+                # perpendicular negative guidance in noise-pred space
+                # (nodes_perpneg.py cfg_function)
+                den_n = calculate_denoised(prediction, x32, out[2 * b:], sigma, t)
+                np_pos = x32 - den_c
+                np_neg = x32 - den_u
+                np_noc = x32 - den_n
+                pos = np_pos - np_noc
+                neg = np_neg - np_noc
+                perp = neg - (jnp.sum(neg * pos) /
+                              jnp.maximum(jnp.sum(pos * pos), 1e-12)) * pos
+                noise_pred = np_noc + cfg_scale * (pos - perp * perp_neg_scale)
+                denoised = x32 - noise_pred
+            else:
+                denoised = den_u + (den_c - den_u) * cfg_scale
         else:
             denoised = calculate_denoised(prediction, x32, out, sigma, t)
-        if mask is not None and masked_latent is not None:
-            denoised = denoised * mask + masked_latent * (1.0 - mask)
+
+        if use_sag and sag_sim:
+            # degrade (blur) the uncond prediction where the model attends,
+            # re-noise, re-evaluate, and steer away (nodes_sag.py
+            # post_cfg_function: cfg + (degraded - sag_pred) * scale)
+            sag_scale, blur_sigma, _ = sag
+            lh, lw = x.shape[1], x.shape[2]
+            if min(lh, lw) > 4:  # reference skips when too small to pad
+                degraded = _sag_blur_map(den_u, sag_sim[0], blur_sigma)
+                deg_noised = degraded + x32 - den_u
+                x_sag = (deg_noised * c_in).astype(compute_dtype)
+                ctx_u = uncond_context.astype(compute_dtype)
+                tb1 = jnp.broadcast_to(t, (b,))
+                ctrl_sag = (control_fn(x_sag, tb1, ctx_u)
+                            if control_fn is not None else None)
+                out_sag = unet.apply(
+                    params, with_concat(x_sag, 1), tb1, ctx_u,
+                    control=ctrl_sag, y=yu,
+                ).astype(jnp.float32)
+                den_sag = calculate_denoised(prediction, x32, out_sag, sigma, t)
+                denoised = denoised + (degraded - den_sag) * sag_scale
+
+        eff_mask = mask
+        if denoise_mask_fn is not None and mask is not None:
+            eff_mask = denoise_mask_fn(sigma, mask)
+        if eff_mask is not None and masked_latent is not None:
+            denoised = denoised * eff_mask + masked_latent * (1.0 - eff_mask)
         return denoised
 
     return denoise
+
+
+def _sag_gaussian_blur(img: jax.Array, kernel_size: int, sigma) -> jax.Array:
+    """Depthwise 2D gaussian blur on NHWC with reflect padding
+    (nodes_sag.py gaussian_blur_2d)."""
+    half = (kernel_size - 1) * 0.5
+    xs = jnp.linspace(-half, half, kernel_size)
+    pdf = jnp.exp(-0.5 * (xs / sigma) ** 2)
+    k1 = (pdf / pdf.sum()).astype(img.dtype)
+    c = img.shape[-1]
+    r = kernel_size // 2
+    pad = jnp.pad(img, ((0, 0), (r, r), (r, r), (0, 0)), mode="reflect")
+    wr = jnp.broadcast_to(k1[:, None, None, None], (kernel_size, 1, 1, c))
+    out = jax.lax.conv_general_dilated(
+        pad, wr, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c)
+    wc = jnp.broadcast_to(k1[None, :, None, None], (1, kernel_size, 1, c))
+    return jax.lax.conv_general_dilated(
+        out, wc, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c)
+
+
+def _sag_blur_map(x0: jax.Array, sim: jax.Array, blur_sigma,
+                  threshold: float = 1.0) -> jax.Array:
+    """Blur x0 where the captured attention mass exceeds the threshold
+    (nodes_sag.py create_blur_map), NHWC."""
+    import math
+
+    from stable_renderer_tpu.ops.math import resize_nearest
+
+    b, lh, lw, _ = x0.shape
+    hw1 = sim.shape[2]
+    attn_mask = (jnp.sum(jnp.mean(sim, axis=1), axis=1) > threshold)  # (b, hw2)
+    ratio = 2 ** ((math.ceil(math.sqrt(lh * lw / hw1)) - 1).bit_length())
+    mh, mw = math.ceil(lh / ratio), math.ceil(lw / ratio)
+    m = attn_mask.reshape(b, mh, mw)[..., None].astype(x0.dtype)
+    m = resize_nearest(m, lh, lw)
+    blurred = _sag_gaussian_blur(x0, 9, blur_sigma)
+    return blurred * m + x0 * (1.0 - m)

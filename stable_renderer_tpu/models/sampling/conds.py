@@ -98,6 +98,10 @@ def make_cond_denoiser(
     prediction: str = "eps",
     hooks: AttnHooks = AttnHooks(),
     control_fn: Optional[Callable] = None,
+    y_cond: Optional[jax.Array] = None,     # (B, adm) SDXL ADM conditioning
+    y_uncond: Optional[jax.Array] = None,
+    concat_latent: Optional[jax.Array] = None,  # (B, h, w, E) inpaint-model
+    # c_concat channels (comfy model_base.py:93-126); area crops slice it
 ) -> Callable:
     """(x, sigma) -> denoised with the full comfy cond-list semantics."""
     assert len(contexts) == len(specs) == len(masks) and contexts
@@ -117,8 +121,10 @@ def make_cond_denoiser(
     def wrap_hooks(user: AttnHooks, batch: int, n_groups: int) -> AttnHooks:
         """Per-cond-group hook application on the full-frame batch
         [cond_0 x B ... cond_{nf-1} x B, uncond x B] (scene_cond.py layout)."""
+        passthru = dict(pre_all=user.pre_all, pre_cross=user.pre_cross,
+                        attn_all=user.attn_all, out_block=user.out_block)
         if user.pre is None and user.post is None:
-            return AttnHooks()
+            return AttnHooks(**passthru)
 
         def pre(q, k, v, layer):
             if user.pre is None:
@@ -153,7 +159,7 @@ def make_cond_denoiser(
                 return out
             return jnp.concatenate([out, vals[n_groups * batch:]], 0)
 
-        return AttnHooks(pre=pre, post=post)
+        return AttnHooks(pre=pre, post=post, **passthru)
 
     def denoise(x: jax.Array, sigma: jax.Array) -> jax.Array:
         b, h, w, c_lat = x.shape
@@ -186,9 +192,19 @@ def make_cond_denoiser(
         ctx_b = jnp.concatenate(ctxs, axis=0).astype(compute_dtype)
         tb = jnp.broadcast_to(t, (x_b.shape[0],))
         control = control_fn(x_b, tb, ctx_b) if control_fn is not None else None
+        xc_b = x_b
+        if concat_latent is not None:
+            extra = concat_latent.astype(compute_dtype)
+            xc_b = jnp.concatenate(
+                [x_b, jnp.concatenate([extra] * len(parts), axis=0)], axis=-1)
+        y_b = None
+        if y_cond is not None:
+            ys = [y_cond] * nf + ([y_uncond if y_uncond is not None else y_cond]
+                                  if use_cfg else [])
+            y_b = jnp.concatenate(ys, axis=0)
         out = unet.apply(
-            params, x_b, tb, ctx_b, control=control,
-            hooks=wrap_hooks(hooks, b, nf),
+            params, xc_b, tb, ctx_b, control=control,
+            hooks=wrap_hooks(hooks, b, nf), y=y_b,
         ).astype(jnp.float32)
         for gi, i in enumerate(full_idx):
             mult = mult_for(i, h, w)
@@ -203,7 +219,13 @@ def make_cond_denoiser(
             tb1 = jnp.broadcast_to(t, (b,))
             ctx_i = contexts[i].astype(compute_dtype)
             control_i = control_fn(x_crop, tb1, ctx_i) if control_fn is not None else None
-            o = unet.apply(params, x_crop, tb1, ctx_i, control=control_i).astype(jnp.float32)
+            xc_crop = x_crop
+            if concat_latent is not None:
+                xc_crop = jnp.concatenate(
+                    [x_crop, concat_latent[:, ay:ay + ah, ax_:ax_ + aw].astype(compute_dtype)],
+                    axis=-1)
+            o = unet.apply(params, xc_crop, tb1, ctx_i, control=control_i,
+                           y=y_cond).astype(jnp.float32)
             mult = mult_for(i, ah, aw)
             out_cond = out_cond.at[:, ay:ay + ah, ax_:ax_ + aw].add(o * mult)
             out_count = out_count.at[:, ay:ay + ah, ax_:ax_ + aw].add(mult)

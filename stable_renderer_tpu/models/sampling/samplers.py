@@ -53,6 +53,8 @@ SAMPLER_NAMES = [
     "ddim",
     "ddpm",
     "lcm",
+    "dpm_fast",
+    "dpm_adaptive",
     "uni_pc",
     "uni_pc_bh2",
 ]
@@ -145,6 +147,10 @@ def sample(
     if sampler.startswith("uni_pc"):
         variant = "bh2" if sampler == "uni_pc_bh2" else "bh1"
         return _sample_unipc(denoise_model, x, sigmas, step_callback, variant)
+    if sampler == "dpm_fast":
+        return _sample_dpm_fast(denoise_model, x, sigmas, step_callback)
+    if sampler == "dpm_adaptive":
+        return _sample_dpm_adaptive(denoise_model, x, sigmas, step_callback)
 
     n_steps = sigmas.shape[0] - 1
 
@@ -396,6 +402,138 @@ def sample(
 
     final, _ = jax.lax.scan(step, init, jnp.arange(n_steps))
     return final["x"]
+
+
+# ---------------------------------------------------------------------------
+# DPM-Solver fast / adaptive (reference comfy/k_diffusion/sampling.py:327-534
+# DPMSolver.dpm_solver_fast / dpm_solver_adaptive; comfy/samplers.py:692-694).
+# Works in t = -log(sigma) space; eps(x, t) = (x - denoise(x, sigma)) / sigma.
+# dpm_fast segments the run into static order-3/2/1 steps (unrolled — the
+# order pattern depends only on the static step count); dpm_adaptive is a
+# bounded lax.while_loop with the reference's PID step-size controller
+# (order 3, rtol 0.05, atol 0.0078), deterministic (eta = 0).
+# ---------------------------------------------------------------------------
+
+
+def _dpm_eps(denoise_model, x, t):
+    sigma = jnp.exp(-t)
+    return (x - denoise_model(x, sigma)) / sigma
+
+
+def _dpm_1_step(denoise_model, x, t, t_next, eps):
+    h = t_next - t
+    return x - jnp.exp(-t_next) * jnp.expm1(h) * eps
+
+
+def _dpm_2_step(denoise_model, x, t, t_next, eps, r1=0.5, eps_r1=None):
+    h = t_next - t
+    s1 = t + r1 * h
+    if eps_r1 is None:
+        u1 = x - jnp.exp(-s1) * jnp.expm1(r1 * h) * eps
+        eps_r1 = _dpm_eps(denoise_model, u1, s1)
+    x_2 = (x - jnp.exp(-t_next) * jnp.expm1(h) * eps
+           - jnp.exp(-t_next) / (2 * r1) * jnp.expm1(h) * (eps_r1 - eps))
+    return x_2, eps_r1
+
+
+def _dpm_3_step(denoise_model, x, t, t_next, eps, r1=1.0 / 3, r2=2.0 / 3,
+                eps_r1=None):
+    h = t_next - t
+    s1, s2 = t + r1 * h, t + r2 * h
+    if eps_r1 is None:
+        u1 = x - jnp.exp(-s1) * jnp.expm1(r1 * h) * eps
+        eps_r1 = _dpm_eps(denoise_model, u1, s1)
+    u2 = (x - jnp.exp(-s2) * jnp.expm1(r2 * h) * eps
+          - jnp.exp(-s2) * (r2 / r1) * (jnp.expm1(r2 * h) / (r2 * h) - 1.0)
+          * (eps_r1 - eps))
+    eps_r2 = _dpm_eps(denoise_model, u2, s2)
+    x_3 = (x - jnp.exp(-t_next) * jnp.expm1(h) * eps
+           - jnp.exp(-t_next) / r2 * (jnp.expm1(h) / h - 1.0) * (eps_r2 - eps))
+    return x_3
+
+
+def _sample_dpm_fast(denoise_model, x, sigmas, step_callback):
+    """sample_dpm_fast: nfe model evals split into order-3 segments."""
+    import math
+
+    nfe = int(sigmas.shape[0]) - 1
+    sigma_max = sigmas[0]
+    sigma_min = sigmas[-2]  # last nonzero sigma (schedule ends at 0)
+    t_start = -_log(sigma_max)
+    t_end = -_log(sigma_min)
+    m = math.floor(nfe / 3) + 1
+    ts = jnp.linspace(0.0, 1.0, m + 1) * (t_end - t_start) + t_start
+    if nfe % 3 == 0:
+        orders = [3] * (m - 2) + [2, 1]
+    else:
+        orders = [3] * (m - 1) + [nfe % 3]
+    for i, order in enumerate(orders):
+        t, t_next = ts[i], ts[i + 1]
+        eps = _dpm_eps(denoise_model, x, t)
+        denoised = x - jnp.exp(-t) * eps
+        if order == 1:
+            x_new = _dpm_1_step(denoise_model, x, t, t_next, eps)
+        elif order == 2:
+            x_new, _ = _dpm_2_step(denoise_model, x, t, t_next, eps)
+        else:
+            x_new = _dpm_3_step(denoise_model, x, t, t_next, eps)
+        if step_callback is not None:
+            x_new = step_callback(x_new, denoised, jnp.exp(-t), i)
+        x = x_new
+    return x
+
+
+def _sample_dpm_adaptive(denoise_model, x, sigmas, step_callback,
+                         rtol: float = 0.05, atol: float = 0.0078,
+                         h_init: float = 0.05, accept_safety: float = 0.81,
+                         max_iters: int = 64):
+    """dpm_solver_adaptive (order 3): embedded 2/3 pair + PID control, as a
+    bounded lax.while_loop (the reference's unbounded Python while)."""
+    sigma_max = sigmas[0]
+    sigma_min = sigmas[-2]
+    t_start = -_log(sigma_max)
+    t_end = -_log(sigma_min)
+    numel = float(np_prod(x.shape))
+
+    def cond(state):
+        return jnp.logical_and(state["s"] < t_end - 1e-5,
+                               state["iters"] < max_iters)
+
+    def body(state):
+        x_cur, x_prev, s, h = state["x"], state["x_prev"], state["s"], state["h"]
+        t = jnp.minimum(t_end, s + h)
+        eps = _dpm_eps(denoise_model, x_cur, s)
+        denoised = x_cur - jnp.exp(-s) * eps
+        # embedded pair sharing eps evaluations: low = order 2 (r1=1/3),
+        # high = order 3 (reuses eps_r1 at s + h/3)
+        x_low, eps_r1 = _dpm_2_step(denoise_model, x_cur, s, t, eps, r1=1.0 / 3)
+        x_high = _dpm_3_step(denoise_model, x_cur, s, t, eps, eps_r1=eps_r1)
+        delta = jnp.maximum(atol, rtol * jnp.maximum(jnp.abs(x_low), jnp.abs(x_prev)))
+        error = jnp.sqrt(jnp.mean(((x_low - x_high) / delta) ** 2))
+        # PID controller with pcoeff=0, icoeff=1, dcoeff=0, order=3
+        inv_err = 1.0 / (error + 1e-8)
+        factor = 1.0 + jnp.arctan(inv_err ** (1.0 / 3.0) - 1.0)
+        accept = factor >= accept_safety
+        x_acc = x_high
+        if step_callback is not None:
+            x_acc = step_callback(x_acc, denoised, jnp.exp(-s), state["iters"])
+        new_x = jnp.where(accept, x_acc, x_cur)
+        new_prev = jnp.where(accept, x_low, x_prev)
+        new_s = jnp.where(accept, t, s)
+        return dict(x=new_x, x_prev=new_prev, s=new_s, h=h * factor,
+                    iters=state["iters"] + 1)
+
+    init = dict(x=x, x_prev=x, s=t_start, h=jnp.asarray(h_init),
+                iters=jnp.asarray(0))
+    final = jax.lax.while_loop(cond, body, init)
+    return final["x"]
+
+
+def np_prod(shape) -> float:
+    out = 1.0
+    for s in shape:
+        out *= s
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -65,6 +65,8 @@ def make_scene_denoiser(
     control_fn: Optional[Callable] = None,
     y_cond: Optional[jax.Array] = None,     # (B, adm) SDXL ADM conditioning
     y_uncond: Optional[jax.Array] = None,
+    concat_latent: Optional[jax.Array] = None,  # (B, h, w, E) inpaint-model
+    # c_concat channels (comfy model_base.py:93-126), same per cond group
 ) -> Callable:
     """(x, sigma) -> denoised with mask-blended multi-conditioning.
 
@@ -82,9 +84,11 @@ def make_scene_denoiser(
         """Apply the correspondence hooks per conditioning group (frames axis),
         never across groups or onto the uncond rows — the batch layout is
         [cond_0 x B, ..., cond_S x B, uncond x B]."""
+        passthru = dict(pre_all=user.pre_all, pre_cross=user.pre_cross,
+                        attn_all=user.attn_all, out_block=user.out_block)
         if (user.pre is None and user.post is None and user.attn is None
                 and user.mid is None):
-            return AttnHooks()
+            return AttnHooks(**passthru)
 
         def pre(q, k, v, layer):
             if user.pre is None:
@@ -147,7 +151,7 @@ def make_scene_denoiser(
                     outs.append(x[s1 * b :])
                 return jnp.concatenate(outs, 0)
 
-        return AttnHooks(pre=pre, post=post, attn=attn, mid=mid)
+        return AttnHooks(pre=pre, post=post, attn=attn, mid=mid, **passthru)
 
     def denoise(x: jax.Array, sigma: jax.Array) -> jax.Array:
         t = timestep_from_sigma(log_sigmas, sigma)
@@ -166,8 +170,13 @@ def make_scene_denoiser(
                 yu = y_uncond if y_uncond is not None else y_cond
                 y = jnp.concatenate([y, yu], axis=0)
         control = control_fn(x_tiled, tb, ctx_flat) if control_fn is not None else None
+        xc = x_tiled
+        if concat_latent is not None:
+            extra = concat_latent.astype(compute_dtype)
+            extra_b = jnp.concatenate([extra] * (s1 + (1 if use_cfg else 0)), axis=0)
+            xc = jnp.concatenate([x_tiled, extra_b], axis=-1)
         out = unet.apply(
-            params, x_tiled, tb, ctx_flat, control=control, hooks=wrap_hooks(hooks), y=y
+            params, xc, tb, ctx_flat, control=control, hooks=wrap_hooks(hooks), y=y
         ).astype(jnp.float32)
         cond_out = out[: s1 * b].reshape(s1, b, *out.shape[1:])
         # mask-weighted blend of the S+1 model outputs

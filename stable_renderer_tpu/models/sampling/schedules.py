@@ -108,6 +108,41 @@ def _sigmas_exponential(n: int, sigma_min: float, sigma_max: float) -> np.ndarra
     return np.concatenate([sigmas, [0.0]]).astype(np.float32)
 
 
+def sigmas_karras(n: int, sigma_min: float, sigma_max: float,
+                  rho: float = 7.0) -> np.ndarray:
+    """Public Karras ramp for the KarrasScheduler node (explicit min/max)."""
+    return _sigmas_karras(n, sigma_min, sigma_max, rho)
+
+
+def sigmas_exponential(n: int, sigma_min: float, sigma_max: float) -> np.ndarray:
+    return _sigmas_exponential(n, sigma_min, sigma_max)
+
+
+def sigmas_polyexponential(n: int, sigma_min: float, sigma_max: float,
+                           rho: float = 1.0) -> np.ndarray:
+    """k_diffusion get_sigmas_polyexponential: polynomial-in-log-sigma ramp."""
+    ramp = np.linspace(1, 0, n, dtype=np.float64) ** rho
+    sigmas = np.exp(ramp * (np.log(sigma_max) - np.log(sigma_min)) + np.log(sigma_min))
+    return np.concatenate([sigmas, [0.0]]).astype(np.float32)
+
+
+def sigmas_vp(n: int, beta_d: float = 19.9, beta_min: float = 0.1,
+              eps_s: float = 1e-3) -> np.ndarray:
+    """k_diffusion get_sigmas_vp: continuous VP-SDE noise schedule."""
+    t = np.linspace(1, eps_s, n, dtype=np.float64)
+    sigmas = np.sqrt(np.exp(beta_d * t**2 / 2 + beta_min * t) - 1)
+    return np.concatenate([sigmas, [0.0]]).astype(np.float32)
+
+
+def sigmas_sd_turbo(ms: ModelSampling, steps: int, denoise: float = 1.0) -> np.ndarray:
+    """SDTurboScheduler: 1-10 steps on fixed high timesteps
+    (nodes_custom_sampler.py SDTurboScheduler.get_sigmas)."""
+    start_step = 10 - int(10 * denoise)
+    timesteps = np.flip(np.arange(1, 11) * 100 - 1)[start_step:start_step + steps]
+    sigs = ms.sigma(timesteps.astype(np.float32))
+    return np.concatenate([sigs, [0.0]]).astype(np.float32)
+
+
 def _sigmas_normal(ms: ModelSampling, n: int) -> np.ndarray:
     start = ms.timestep(np.asarray(ms.sigma_max))
     end = ms.timestep(np.asarray(ms.sigma_min))

@@ -136,12 +136,33 @@ class AttnHooks(NamedTuple):
           reference's "middle_patch" transformer-patch point where GLIGEN
           fusers attach (comfy/ldm/modules/attention.py BasicTransformerBlock
           middle_patch; gligen.py Gligen._set_position).
+
+    Model-patch hook points (comfy ModelPatcher set_model_* API). Unlike the
+    Corresponder hooks above, the CFG wrapper (cfg.py wrap_hooks) passes these
+    through UNCHANGED — they apply to the full cond+uncond batch, matching the
+    reference's model patches which are not cond-sliced:
+
+    pre_all:   (q_ctx, k_ctx, v_ctx, layer_idx) -> (q_ctx, k_ctx, v_ctx)
+               attn1 context patch on the full batch (set_model_attn1_patch,
+               e.g. hypernetworks).
+    pre_cross: (n, ctx_k, ctx_v, layer_idx) -> (n, ctx_k, ctx_v)
+               attn2 (cross-attention) context patch (set_model_attn2_patch).
+    attn_all:  (q, k, v, heads, layer_idx) -> values
+               replaces self-attention on the full batch (set_model_attn1_replace
+               semantics, e.g. HyperTile's tiled attention).
+    out_block: (h, hsp, block_idx) -> (h, hsp)
+               output-block patch before the skip concat
+               (set_model_output_block_patch, e.g. FreeU).
     """
 
     pre: Optional[Callable] = None
     post: Optional[Callable] = None
     attn: Optional[Callable] = None
     mid: Optional[Callable] = None
+    pre_all: Optional[Callable] = None
+    pre_cross: Optional[Callable] = None
+    attn_all: Optional[Callable] = None
+    out_block: Optional[Callable] = None
 
 
 # ---------------------------------------------------------------------------
@@ -175,11 +196,15 @@ def basic_transformer_block(
     q_ctx, k_ctx, v_ctx = n, n, n
     if hooks.pre is not None:
         q_ctx, k_ctx, v_ctx = hooks.pre(q_ctx, k_ctx, v_ctx, layer_idx)
+    if hooks.pre_all is not None:  # model patches (full batch, e.g. hypernets)
+        q_ctx, k_ctx, v_ctx = hooks.pre_all(q_ctx, k_ctx, v_ctx, layer_idx)
     q = linear(p["attn1"]["to_q"], q_ctx)
     k = linear(p["attn1"]["to_k"], k_ctx)
     v = linear(p["attn1"]["to_v"], v_ctx)
     if hooks.attn is not None:
         attn_out = hooks.attn(q, k, v, heads, layer_idx)
+    elif hooks.attn_all is not None:  # full-batch replacement (e.g. HyperTile)
+        attn_out = hooks.attn_all(q, k, v, heads, layer_idx)
     else:
         attn_out = attention(q, k, v, heads)
     if hooks.post is not None:
@@ -191,9 +216,12 @@ def basic_transformer_block(
 
     # cross-attention (attn2) over the text context
     n = layer_norm(p["norm2"], x)
+    ctx_k = ctx_v = context
+    if hooks.pre_cross is not None:  # attn2 context patch (hypernetworks)
+        n, ctx_k, ctx_v = hooks.pre_cross(n, ctx_k, ctx_v, layer_idx)
     q = linear(p["attn2"]["to_q"], n)
-    k = linear(p["attn2"]["to_k"], context)
-    v = linear(p["attn2"]["to_v"], context)
+    k = linear(p["attn2"]["to_k"], ctx_k)
+    v = linear(p["attn2"]["to_v"], ctx_v)
     x = x + linear(p["attn2"]["to_out"]["0"], attention(q, k, v, heads))
 
     # feed-forward (GEGLU)
@@ -355,6 +383,8 @@ class UNetModel:
             skip = hs.pop()
             if ctrl_out:
                 skip = skip + ctrl_out.pop().astype(h.dtype)
+            if hooks.out_block is not None:  # FreeU-style output-block patch
+                h, skip = hooks.out_block(h, skip, i)
             h = jnp.concatenate([h, skip], axis=-1)
             h = res_block(p["0"], h, emb)
             if kind == "res_attn":

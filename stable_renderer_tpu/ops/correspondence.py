@@ -205,6 +205,20 @@ class DefaultCorresponder(Corresponder):
             )
 
 
+_DEFAULT_CORRESPONDER: Optional[DefaultCorresponder] = None
+
+
+def default_corresponder() -> DefaultCorresponder:
+    """The shared default corresponder instance. Corresponders are identity-hashed
+    static jit arguments (eq=False), so handing out a fresh instance per frame
+    would retrace the fused frame program every frame — the default must be a
+    process-wide singleton (it is stateless: config flags only)."""
+    global _DEFAULT_CORRESPONDER
+    if _DEFAULT_CORRESPONDER is None:
+        _DEFAULT_CORRESPONDER = DefaultCorresponder()
+    return _DEFAULT_CORRESPONDER
+
+
 @dataclass(eq=False)
 class OverlapCorresponder(DefaultCorresponder):
     """Cross-frame-consistency corresponder (corresponder.py:157-377).

@@ -71,6 +71,61 @@ def defer_render(
     return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
 
 
+LIGHT_DIRECTIONAL = 0
+LIGHT_POINT = 1
+LIGHT_SPOT = 2
+
+
+def apply_lights(
+    color: jax.Array,        # (H, W, 4) display color
+    normal_enc: jax.Array,   # (H, W, 3) encoded view-space normal in [0,1]
+    pos: jax.Array,          # (H, W, 3) view-space position
+    lights: jax.Array,       # (L, 16) packed rows (Light.pack_lights):
+    # [type, r, g, b, intensity, px, py, pz, dx, dy, dz,
+    #  att_const, att_lin, att_quad, cos_angle, ambient]
+) -> jax.Array:
+    """Defer-stage diffuse lighting from the engine's Light components.
+
+    The reference maps Light components into shader UBO structs
+    (engine/runtime/components/light/light.py:13-80: position/color/intensity +
+    const/linear/quadratic attenuation) but its defer shader never consumed
+    them (shadow maps TODO, renderManager.py:452-461); here the defer stage
+    applies the Lambert term those structs describe. Pixels with no geometry
+    (zero encoded normal) are left untouched.
+    """
+    has_geom = jnp.sum(normal_enc, axis=-1) > 0.0  # cleared G-buffer = 0
+    n = normal_enc * 2.0 - 1.0
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-6)
+    diffuse = jnp.zeros_like(color[..., :3])
+    ambient = jnp.zeros(())
+    for i in range(lights.shape[0]):
+        row = lights[i]
+        ltype = row[0]
+        lcol = row[1:4] * row[4]
+        lpos, ldir = row[5:8], row[8:11]
+        att_c, att_l, att_q = row[11], row[12], row[13]
+        cos_angle = row[14]
+        ambient = jnp.maximum(ambient, row[15])
+        to_light = lpos[None, None, :] - pos
+        dist = jnp.maximum(jnp.linalg.norm(to_light, axis=-1, keepdims=True), 1e-6)
+        l_point = to_light / dist
+        l_dir = -ldir / jnp.maximum(jnp.linalg.norm(ldir), 1e-6)
+        l_vec = jnp.where(ltype == LIGHT_DIRECTIONAL, l_dir[None, None, :], l_point)
+        lambert = jnp.maximum(jnp.sum(n * l_vec, axis=-1, keepdims=True), 0.0)
+        atten = jnp.where(
+            ltype == LIGHT_DIRECTIONAL,
+            1.0,
+            1.0 / jnp.maximum(att_c + att_l * dist + att_q * dist * dist, 1e-6),
+        )
+        # spot cone falloff: zero outside the half-angle
+        in_cone = jnp.sum(-l_point * l_dir[None, None, :], axis=-1, keepdims=True) >= cos_angle
+        spot = jnp.where(ltype == LIGHT_SPOT, in_cone.astype(color.dtype), 1.0)
+        diffuse = diffuse + lcol[None, None, :] * lambert * atten * spot
+    lit = color[..., :3] * (ambient + diffuse)
+    rgb = jnp.where(has_geom[..., None], lit, color[..., :3])
+    return jnp.concatenate([rgb, color[..., 3:]], axis=-1)
+
+
 @partial(jax.jit, static_argnames=("params",))
 def post_process(color: jax.Array, params: PostProcessParams = PostProcessParams()) -> jax.Array:
     """default_post_process.frag.glsl, applied in shader order."""

@@ -41,7 +41,8 @@ MAX_HISTORY = 10000  # execution.py PromptQueue history bound
 @dataclass(order=True)
 class QueueTask:
     priority: float
-    prompt_id: int = field(compare=False)
+    prompt_id: int  # compared: restores FIFO for equal priorities (the
+    # reference PromptQueue keeps submission order via a monotone counter)
     workflow: dict = field(compare=False)
     extra: dict = field(compare=False, default_factory=dict)
 

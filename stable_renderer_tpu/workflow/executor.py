@@ -457,6 +457,36 @@ def vae_encode_for_inpaint(ctx: InferenceContext, node: WorkflowNode,
     return ({"samples": z, "noise_mask": jnp.round(grown)},)
 
 
+@register_node("InpaintModelConditioning")
+def inpaint_model_conditioning(ctx: InferenceContext, node: WorkflowNode,
+                               positive=None, negative=None, vae=None,
+                               pixels=None, mask=None):
+    """Conditioning for 9-channel inpaint checkpoints (nodes.py
+    InpaintModelConditioning): encode the masked pixels, attach the masked
+    latent + mask to BOTH conds as c_concat sources, and return a noise-masked
+    latent. The KSampler builds the concat channels when the loaded UNet's
+    in_channels exceeds the latent's (comfy model_base.py:93-126)."""
+    import jax.numpy as jnp
+
+    from stable_renderer_tpu.ops.math import resize_nearest
+
+    if mask.ndim == 2:
+        mask = mask[None]
+    h, wd = pixels.shape[1], pixels.shape[2]
+    if mask.shape[1:3] != (h, wd):
+        mask = resize_nearest(mask[..., None], h, wd)[..., 0]
+    m = (1.0 - jnp.round(mask))[..., None]
+    masked_pixels = (pixels - 0.5) * m + 0.5
+    model = vae["vae"]
+    z = model.encode(vae["params"], pixels * 2.0 - 1.0)
+    zm = model.encode(vae["params"], masked_pixels * 2.0 - 1.0)
+    out_latent = {"samples": z, "noise_mask": jnp.round(mask),
+                  "concat_latent_image": zm}
+    pos = {**(positive or {}), "concat_latent_image": zm}
+    neg = {**(negative or {}), "concat_latent_image": zm}
+    return (pos, neg, out_latent)
+
+
 @register_node("LatentComposite")
 def latent_composite(ctx: InferenceContext, node: WorkflowNode,
                      samples_to=None, samples_from=None):
@@ -677,7 +707,6 @@ def ksampler(
     import jax.numpy as jnp
 
     from stable_renderer_tpu.models.sampling import calculate_sigmas, sample
-    from stable_renderer_tpu.models.sampling.cfg import make_denoiser
     from stable_renderer_tpu.models.unet import AttnHooks
 
     w = node.widgets
@@ -739,6 +768,12 @@ def ksampler(
         ms = type(ms)(prediction="lcm")
     latent = latent_image["samples"] if isinstance(latent_image, dict) else latent_image
     noise = latent_image.get("noise") if isinstance(latent_image, dict) else None
+    # InpaintModelConditioning attaches the masked-image latent for 9-channel
+    # inpaint checkpoints (comfy concat_latent_image)
+    concat_zm = (latent_image.get("concat_latent_image")
+                 if isinstance(latent_image, dict) else None)
+    if concat_zm is None and isinstance(positive, dict):
+        concat_zm = positive.get("concat_latent_image")
     # inpaint: a latent-attached noise_mask restricts denoising to the hole
     # (comfy sample.py prepare_mask; VAEEncodeForInpaint attaches it)
     noise_mask = (latent_image.get("noise_mask")
@@ -876,6 +911,8 @@ def ksampler(
         None if positive.get("gligen") is None else len(positive["gligen"][2]),
         (add_noise, start_at_step, end_at_step, force_full_denoise),
         noise_mask is not None,
+        concat_zm is not None,
+        tuple(p["sig"] for p in model.get("patches", ())),
     )
     fn = ctx.jit_cache.get(cache_key) if hasattr(ctx, "jit_cache") else None
     if fn is None:
@@ -883,10 +920,15 @@ def ksampler(
         unet = model["unet"]
         prediction = ms.prediction
         corr = corresponder  # identity-stable: corresponder node output is cached
+        # model patches (FreeU/HyperTile/hypernets/SAG/PerpNeg/DiffDiffusion)
+        # from the tier-2 packs — translated once per compiled program
+        from stable_renderer_tpu.workflow.nodes_extra import model_patch_options
+
+        patch_hooks, patch_opts = model_patch_options(model, unet, sigmas, ms)
 
         def run(unet_params, cn_params_t, ctx_pos_, ctx_neg_, latent_, noise_,
                 sigmas_, id_maps_, hints_t, key_, cond_ctxs_t, cond_masks_t,
-                scene_ctx_, noise_mask_=None):
+                scene_ctx_, noise_mask_=None, concat_zm_=None):
             control_fn = None
             if cn_models:
                 def control_fn(x_in, t, c_):
@@ -924,6 +966,9 @@ def ksampler(
                 corr.attn_hooks(None, key=jax.random.fold_in(key_, 2))
                 if use_corr else AttnHooks()
             )
+            hooks = hooks._replace(
+                pre_all=patch_hooks.pre_all, pre_cross=patch_hooks.pre_cross,
+                attn_all=patch_hooks.attn_all, out_block=patch_hooks.out_block)
             gligen_spec = positive.get("gligen")
             if gligen_spec is not None:
                 # grounded boxes -> per-transformer-index fuser mid hook
@@ -937,40 +982,54 @@ def ksampler(
                                   mid=gl_model.make_mid_hook(objs))
             step_cb = corr.make_step_callback(id_maps_, log_sigmas) if use_corr else None
             uncond = None if cfg_scale == 1.0 else ctx_neg_
+            # the ONE shared denoiser assembly (models/sampling/assemble.py) —
+            # identical dispatch to pipeline._jit_render (VERDICT r2 #8)
+            from stable_renderer_tpu.models.sampling.assemble import (
+                build_denoiser,
+                inpaint_concat_channels,
+            )
+
+            scene_sc = scene_smasks = None
             if use_scene:
-                # per-sprite masked conditioning, same path as the pipeline
-                from stable_renderer_tpu.models.sampling.scene_cond import (
-                    make_scene_denoiser,
-                    sprite_masks,
-                )
+                from stable_renderer_tpu.models.sampling.scene_cond import sprite_masks
 
                 b_ = latent_.shape[0]
-                sc = jnp.broadcast_to(
+                scene_sc = jnp.broadcast_to(
                     scene_ctx_[:, None], (scene_ctx_.shape[0], b_, *scene_ctx_.shape[1:])
                 )
-                smasks = sprite_masks(id_maps_, sprite_ids, latent_.shape[1], latent_.shape[2])
-                den = make_scene_denoiser(
-                    unet, unet_params, sc, smasks, uncond, log_sigmas,
-                    cfg_scale=cfg_scale, prediction=prediction, hooks=hooks,
-                    control_fn=control_fn,
-                )
-            elif use_conds:
-                from stable_renderer_tpu.models.sampling.conds import make_cond_denoiser
-
-                den = make_cond_denoiser(
-                    unet, unet_params, list(cond_ctxs_t), list(specs),
-                    list(cond_masks_t), uncond, log_sigmas,
-                    cfg_scale=cfg_scale, prediction=prediction, hooks=hooks,
-                    control_fn=control_fn,
-                )
-            else:
-                den = make_denoiser(
-                    unet, unet_params, ctx_pos_, uncond,
-                    log_sigmas, cfg_scale=cfg_scale,
-                    prediction=prediction, hooks=hooks, control_fn=control_fn,
-                    mask=noise_mask_,
-                    masked_latent=None if noise_mask_ is None else latent_,
-                )
+                scene_smasks = sprite_masks(
+                    id_maps_, sprite_ids, latent_.shape[1], latent_.shape[2])
+            concat_latent_ = None
+            if unet.config.in_channels > latent_.shape[-1]:
+                # 9-channel inpaint checkpoint: concat [mask, masked latent].
+                # InpaintModelConditioning supplies the encoded masked image;
+                # otherwise fall back to zeroing the hole in latent space.
+                if concat_zm_ is not None:
+                    mask_ch = (noise_mask_ if noise_mask_ is not None
+                               else jnp.ones(latent_.shape[:3] + (1,), latent_.dtype))
+                    concat_latent_ = jnp.concatenate(
+                        [mask_ch.astype(latent_.dtype), concat_zm_], axis=-1)
+                else:
+                    concat_latent_ = inpaint_concat_channels(latent_, noise_mask_)
+            den = build_denoiser(
+                unet, unet_params,
+                cond_context=ctx_pos_,
+                scene_contexts=scene_sc,
+                scene_masks=scene_smasks,
+                cond_contexts=None if use_scene or not use_conds else list(cond_ctxs_t),
+                cond_specs=list(specs),
+                cond_masks=None if use_scene or not use_conds else list(cond_masks_t),
+                uncond_context=uncond,
+                log_sigmas=log_sigmas,
+                cfg_scale=cfg_scale,
+                prediction=prediction,
+                hooks=hooks,
+                control_fn=control_fn,
+                inpaint_mask=noise_mask_,
+                inpaint_latent=None if noise_mask_ is None else latent_,
+                concat_latent=concat_latent_,
+                **patch_opts,
+            )
             return sample(
                 den, noise_, sigmas_, latent_image=latent_, sampler=sampler_name,
                 key=key_, step_callback=step_cb,
@@ -983,7 +1042,7 @@ def ksampler(
     out = fn(
         model["params"], tuple(cn_params), ctx_pos, ctx_neg, latent, noise,
         sigmas, id_maps, tuple(cn_hints), jax.random.PRNGKey(seed),
-        tuple(cond_ctxs), tuple(cond_masks), scene_ctx, noise_mask,
+        tuple(cond_ctxs), tuple(cond_masks), scene_ctx, noise_mask, concat_zm,
     )
     return ({"samples": out},)
 
@@ -1412,3 +1471,8 @@ def conditioning_zero_out(ctx: InferenceContext, node: WorkflowNode,
     if "pooled" in cond and cond["pooled"] is not None:
         cond["pooled"] = jnp.zeros_like(cond["pooled"])
     return (cond,)
+
+
+# tier-2 comfy_extras node packs register themselves on import (placed at module
+# end to avoid a circular import: nodes_extra imports register_node from here)
+from stable_renderer_tpu.workflow import nodes_extra as _nodes_extra  # noqa: E402,F401

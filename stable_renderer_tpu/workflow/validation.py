@@ -496,6 +496,11 @@ def _declare_default_specs() -> None:
                   input_types={"pixels": "IMAGE", "vae": "VAE", "mask": "MASK"},
                   return_types=("LATENT",),
                   widgets=(WidgetSpec("grow_mask_by", "INT", min=0, max=64),))
+    register_spec("InpaintModelConditioning",
+                  input_types={"positive": "CONDITIONING",
+                               "negative": "CONDITIONING", "vae": "VAE",
+                               "pixels": "IMAGE", "mask": "MASK"},
+                  return_types=("CONDITIONING", "CONDITIONING", "LATENT"))
     register_spec("LatentComposite",
                   input_types={"samples_to": "LATENT", "samples_from": "LATENT"},
                   return_types=("LATENT",))
@@ -516,6 +521,119 @@ def _declare_default_specs() -> None:
                   return_types=("CONDITIONING",),
                   widgets=(WidgetSpec("strength", "FLOAT", min=-10.0, max=10.0),
                            WidgetSpec("noise_augmentation", "FLOAT", min=0.0, max=1.0)))
+    # --- tier-2 comfy_extras packs (workflow/nodes_extra.py) ---
+    register_spec("KSamplerSelect", return_types=("SAMPLER",),
+                  widgets=(WidgetSpec("sampler_name", "STRING"),))
+    register_spec("SamplerDPMPP_2M_SDE", "SamplerDPMPP_SDE",
+                  return_types=("SAMPLER",))
+    register_spec("BasicScheduler", input_types={"model": "MODEL"},
+                  return_types=("SIGMAS",),
+                  widgets=(WidgetSpec("scheduler", "STRING"),
+                           WidgetSpec("steps", "INT", min=1, max=10000),
+                           WidgetSpec("denoise", "FLOAT", min=0.0, max=1.0)))
+    register_spec("KarrasScheduler", "ExponentialScheduler",
+                  "PolyexponentialScheduler", "VPScheduler",
+                  return_types=("SIGMAS",),
+                  widgets=(WidgetSpec("steps", "INT", min=1, max=10000),))
+    register_spec("SDTurboScheduler", input_types={"model": "MODEL"},
+                  return_types=("SIGMAS",),
+                  widgets=(WidgetSpec("steps", "INT", min=1, max=10),
+                           WidgetSpec("denoise", "FLOAT", min=0.0, max=1.0)))
+    register_spec("SplitSigmas", input_types={"sigmas": "SIGMAS"},
+                  return_types=("SIGMAS", "SIGMAS"),
+                  widgets=(WidgetSpec("step", "INT", min=0, max=10000),))
+    register_spec("FlipSigmas", input_types={"sigmas": "SIGMAS"},
+                  return_types=("SIGMAS",))
+    register_spec("SamplerCustom",
+                  input_types={"model": "MODEL", "positive": "CONDITIONING",
+                               "negative": "CONDITIONING", "sampler": "SAMPLER",
+                               "sigmas": "SIGMAS", "latent_image": "LATENT"},
+                  return_types=("LATENT", "LATENT"))
+    register_spec("ModelMergeSimple",
+                  input_types={"model1": "MODEL", "model2": "MODEL"},
+                  return_types=("MODEL",),
+                  widgets=(WidgetSpec("ratio", "FLOAT", min=0.0, max=1.0),))
+    register_spec("ModelMergeAdd",
+                  input_types={"model1": "MODEL", "model2": "MODEL"},
+                  return_types=("MODEL",))
+    register_spec("ModelMergeSubtract",
+                  input_types={"model1": "MODEL", "model2": "MODEL"},
+                  return_types=("MODEL",),
+                  widgets=(WidgetSpec("multiplier", "FLOAT", min=-10.0, max=10.0),))
+    register_spec("ModelMergeBlocks",
+                  input_types={"model1": "MODEL", "model2": "MODEL"},
+                  return_types=("MODEL",),
+                  widgets=(WidgetSpec("input", "FLOAT", min=0.0, max=1.0),
+                           WidgetSpec("middle", "FLOAT", min=0.0, max=1.0),
+                           WidgetSpec("out", "FLOAT", min=0.0, max=1.0)))
+    register_spec("CLIPMergeSimple",
+                  input_types={"clip1": "CLIP", "clip2": "CLIP"},
+                  return_types=("CLIP",),
+                  widgets=(WidgetSpec("ratio", "FLOAT", min=0.0, max=1.0),))
+    register_spec("CheckpointSave",
+                  input_types={"model": "MODEL", "clip": "CLIP", "vae": "VAE"},
+                  return_types=(),
+                  widgets=(WidgetSpec("filename_prefix", "STRING"),))
+    register_spec("CLIPSave", input_types={"clip": "CLIP"}, return_types=(),
+                  widgets=(WidgetSpec("filename_prefix", "STRING"),))
+    register_spec("VAESave", input_types={"vae": "VAE"}, return_types=(),
+                  widgets=(WidgetSpec("filename_prefix", "STRING"),))
+    register_spec("FreeU", "FreeU_V2", input_types={"model": "MODEL"},
+                  return_types=("MODEL",),
+                  widgets=(WidgetSpec("b1", "FLOAT", min=0.0, max=10.0),
+                           WidgetSpec("b2", "FLOAT", min=0.0, max=10.0),
+                           WidgetSpec("s1", "FLOAT", min=0.0, max=10.0),
+                           WidgetSpec("s2", "FLOAT", min=0.0, max=10.0)))
+    register_spec("HyperTile", input_types={"model": "MODEL"},
+                  return_types=("MODEL",),
+                  widgets=(WidgetSpec("tile_size", "INT", min=1, max=2048),
+                           WidgetSpec("swap_size", "INT", min=1, max=128),
+                           WidgetSpec("max_depth", "INT", min=0, max=10)))
+    register_spec("HypernetworkLoader", input_types={"model": "MODEL"},
+                  return_types=("MODEL",),
+                  widgets=(WidgetSpec("hypernetwork_name", "STRING"),
+                           WidgetSpec("strength", "FLOAT", min=-10.0, max=10.0)))
+    register_spec("SelfAttentionGuidance", input_types={"model": "MODEL"},
+                  return_types=("MODEL",),
+                  widgets=(WidgetSpec("scale", "FLOAT", min=-2.0, max=5.0),
+                           WidgetSpec("blur_sigma", "FLOAT", min=0.0, max=10.0)))
+    register_spec("PerpNeg",
+                  input_types={"model": "MODEL",
+                               "empty_conditioning": "CONDITIONING"},
+                  return_types=("MODEL",),
+                  widgets=(WidgetSpec("neg_scale", "FLOAT", min=0.0, max=100.0),))
+    register_spec("DifferentialDiffusion", input_types={"model": "MODEL"},
+                  return_types=("MODEL",))
+    register_spec("Morphology", input_types={"image": "IMAGE"},
+                  return_types=("IMAGE",),
+                  widgets=(WidgetSpec("operation", "COMBO",
+                                      choices=("erode", "dilate", "open",
+                                               "close", "gradient",
+                                               "bottom_hat", "top_hat")),
+                           WidgetSpec("kernel_size", "INT", min=3, max=999)))
+    register_spec("PorterDuffImageComposite",
+                  input_types={"source": "IMAGE", "source_alpha": "MASK",
+                               "destination": "IMAGE",
+                               "destination_alpha": "MASK"},
+                  return_types=("IMAGE", "MASK"))
+    register_spec("SplitImageWithAlpha", input_types={"image": "IMAGE"},
+                  return_types=("IMAGE", "MASK"))
+    register_spec("JoinImageWithAlpha",
+                  input_types={"image": "IMAGE", "alpha": "MASK"},
+                  return_types=("IMAGE",))
+    register_spec("RebatchLatents", input_types={"latents": "LATENT"},
+                  return_types=("LATENT",),
+                  widgets=(WidgetSpec("batch_size", "INT", min=1, max=4096),))
+    register_spec("RebatchImages", input_types={"images": "IMAGE"},
+                  return_types=("IMAGE",),
+                  widgets=(WidgetSpec("batch_size", "INT", min=1, max=4096),))
+    register_spec("SD_4XUpscale_Conditioning",
+                  input_types={"images": "IMAGE", "positive": "CONDITIONING",
+                               "negative": "CONDITIONING"},
+                  return_types=("CONDITIONING", "CONDITIONING", "LATENT"),
+                  widgets=(WidgetSpec("scale_ratio", "FLOAT", min=0.0, max=10.0),
+                           WidgetSpec("noise_augmentation", "FLOAT",
+                                      min=0.0, max=1.0)))
 
 
 _declare_default_specs()

@@ -329,7 +329,10 @@ def test_all_samplers_converge_to_target(sampler):
     sigmas = jnp.asarray(calculate_sigmas(ModelSampling(), "karras", 12))
     noise = jax.random.normal(jax.random.PRNGKey(0), target.shape)
     out = sample(const_oracle, noise, sigmas, sampler=sampler, key=jax.random.PRNGKey(1))
-    np.testing.assert_allclose(np.asarray(out), 0.7, atol=0.06)
+    # dpm_fast/adaptive integrate t(sigma_max) -> t(sigma_min), not to 0
+    # (k_diffusion sample_dpm_fast signature), leaving an O(sigma_min) residual
+    atol = 0.12 if sampler in ("dpm_fast", "dpm_adaptive") else 0.06
+    np.testing.assert_allclose(np.asarray(out), 0.7, atol=atol)
 
 
 def test_sampler_count_parity():
