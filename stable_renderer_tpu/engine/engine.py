@@ -64,6 +64,8 @@ class Engine:
         max_frames: Optional[int] = None,
         verbose: bool = False,
         debug: bool = False,
+        editor_port: int = 8188,
+        editor_host: str = "127.0.0.1",
         **kwargs,
     ):
         from stable_renderer_tpu.engine.gameobj import GameObject
@@ -98,6 +100,25 @@ class Engine:
         )
         self.SceneManager = SceneManager(self)
         self.ResourcesManager = ResourcesManager(self)
+
+        # EDITOR mode (reference engine.py:117-119 + comfyUI main.run editor
+        # branch): boot the live-view/prompt HTTP server and stream every
+        # presented frame to it — the TPU-native stand-in for the PySide6
+        # editor + web graph UI. GAME mode stays headless.
+        self.editor_server = None
+        if mode == EngineMode.EDITOR:
+            from stable_renderer_tpu.server import FrameServer
+
+            self.editor_server = FrameServer(host=editor_host,
+                                             port=editor_port).start()
+            user_cb = self.WindowManager.frame_callback
+
+            def _editor_cb(frame, idx, _srv=self.editor_server, _user=user_cb):
+                _srv.publish(frame, idx)
+                if _user is not None:
+                    _user(frame, idx)
+
+            self.WindowManager.frame_callback = _editor_cb
 
     # --- user hooks (engine.py:227-283) ---
     def beforePrepare(self): ...
@@ -175,6 +196,9 @@ class Engine:
             for m in sorted(self._managers, key=lambda m: m.ReleaseFuncOrder):
                 m.release()
             self.afterRelease()
+            # NOTE: the editor server intentionally survives the frame loop
+            # (the reference's editor window stays open after a run); stop it
+            # explicitly via engine.editor_server.stop()
             self._running = False
             EngineLogger.info(
                 "Engine released.\n" + self.RenderManager.timer.report()
@@ -194,6 +218,16 @@ class Engine:
     def Bake(cls, **kwargs) -> "Engine":
         """Create + run in BAKE mode (engine.py:359-368)."""
         kwargs["mode"] = EngineMode.BAKE
+        inst = cls(**kwargs)
+        inst.run()
+        return inst
+
+    @classmethod
+    def RunEditor(cls, **kwargs) -> "Engine":
+        """Create + run in EDITOR mode: the engine loop plus the live-view /
+        prompt HTTP server (the reference's editor-mode boot, engine.py:117-119
+        with comfyUI main.run server branch)."""
+        kwargs["mode"] = EngineMode.EDITOR
         inst = cls(**kwargs)
         inst.run()
         return inst

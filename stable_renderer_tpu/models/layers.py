@@ -44,7 +44,11 @@ def conv2d(p: dict, x: jax.Array, stride: int = 1, padding: int = 0) -> jax.Arra
 def group_norm(p: dict, x: jax.Array, num_groups: int = 32, eps: float = 1e-6) -> jax.Array:
     """torch nn.GroupNorm over NHWC (normalizes per group of channels).
 
-    Statistics in float32 for bf16 stability.
+    Statistics in float32 for bf16 stability. TPU layout note: the naive
+    reshape-to-(N, S, G, C/G) formulation puts C/G (e.g. 10) in the lane
+    dimension — a relayout of the whole tensor. Here the spatial reduction
+    keeps C in lanes ((N, S, C) sums), and only the tiny (N, C) row is folded
+    per group, so the heavy passes stay in the native layout.
     """
     orig_dtype = x.dtype
     x32 = x.astype(jnp.float32)
@@ -52,16 +56,23 @@ def group_norm(p: dict, x: jax.Array, num_groups: int = 32, eps: float = 1e-6) -
     g = num_groups
     while c % g:  # tiny test configs have c < 32; checkpoints always divide evenly
         g //= 2
-    # flatten all non-channel dims together with spatial: stats per (batch, group)
     n = x32.shape[0]
     spatial = 1
     for d in x32.shape[1:-1]:
         spatial *= d
-    xg = x32.reshape(n, spatial, g, c // g)
-    mean = xg.mean(axis=(1, 3), keepdims=True)
-    var = xg.var(axis=(1, 3), keepdims=True)
-    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    out = xg.reshape(x32.shape)
+    xf = x32.reshape(n, spatial, c)
+    s1 = jnp.sum(xf, axis=1)            # (N, C), lanes preserved
+    s2 = jnp.sum(xf * xf, axis=1)
+    cnt = float(spatial * (c // g))
+    gs1 = jnp.sum(s1.reshape(n, g, c // g), axis=-1)  # (N, G): tiny
+    gs2 = jnp.sum(s2.reshape(n, g, c // g), axis=-1)
+    mean_g = gs1 / cnt
+    var_g = jnp.maximum(gs2 / cnt - mean_g * mean_g, 0.0)
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.repeat(mean_g, c // g, axis=-1)       # (N, C)
+    rstd_c = jnp.repeat(rstd_g, c // g, axis=-1)
+    bshape = (n,) + (1,) * (x32.ndim - 2) + (c,)
+    out = (x32 - mean_c.reshape(bshape)) * rstd_c.reshape(bshape)
     out = out * p["weight"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
     return out.astype(orig_dtype)
 

@@ -67,6 +67,7 @@ def build_denoiser(
     perp_neg_scale: float = 1.0,
     sag: Optional[tuple] = None,                  # SelfAttentionGuidance
     denoise_mask_fn: Optional[Callable] = None,   # DifferentialDiffusion
+    t_fn: Optional[Callable] = None,              # EDM timestep (SVD)
 ) -> Callable:
     """Dispatch to the scene / cond-list / plain CFG denoiser.
 
@@ -99,7 +100,7 @@ def build_denoiser(
             masked_latent=inpaint_latent, concat_latent=concat_latent,
             y_cond=y_cond, y_uncond=y_uncond,
             nocond_context=nocond_context, perp_neg_scale=perp_neg_scale,
-            sag=sag, denoise_mask_fn=denoise_mask_fn,
+            sag=sag, denoise_mask_fn=denoise_mask_fn, t_fn=t_fn,
         )
     if inpaint_mask is not None and inpaint_latent is not None:
         # KSamplerX0Inpaint wrap (comfy samplers.py:363-430): keep the source

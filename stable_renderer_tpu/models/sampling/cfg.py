@@ -86,6 +86,9 @@ def make_denoiser(
     # prediction, and steer away from the degraded prediction (extra UNet eval)
     denoise_mask_fn: Optional[Callable] = None,  # (sigma, mask) -> mask:
     # per-step mask shaping (comfy_extras/nodes_differential_diffusion.py)
+    t_fn: Optional[Callable] = None,  # sigma -> UNet timestep; None = discrete
+    # log-sigma index interpolation. EDM models (SVD) pass 0.25*log(sigma)
+    # (comfy model_sampling.py ModelSamplingContinuousEDM.timestep)
 ) -> Callable:
     """Build the (x, sigma) -> denoised closure for samplers.sample().
 
@@ -168,7 +171,7 @@ def make_denoiser(
 
     def denoise(x: jax.Array, sigma: jax.Array) -> jax.Array:
         b = x.shape[0]
-        t = timestep_from_sigma(log_sigmas, sigma)
+        t = t_fn(sigma) if t_fn is not None else timestep_from_sigma(log_sigmas, sigma)
         c_in = 1.0 / jnp.sqrt(sigma**2 + 1.0)  # eps-model input scaling
         x_in = (x * c_in).astype(compute_dtype)
         groups = 1 + (1 if use_cfg else 0) + (1 if use_perp_neg else 0)
@@ -198,9 +201,19 @@ def make_denoiser(
         def with_concat(xb, reps):
             if concat_latent is None:
                 return xb
-            extra = concat_latent.astype(compute_dtype)
-            return jnp.concatenate(
-                [xb, jnp.concatenate([extra] * reps, axis=0)], axis=-1)
+            if isinstance(concat_latent, tuple):
+                # per-cond c_concat: (cond, uncond) — SVD's negative uses a
+                # zeroed image latent (nodes_video_model.py SVD_img2vid_
+                # Conditioning negative)
+                cc, cu = concat_latent
+                cu = cc if cu is None else cu
+                parts = [cc] + [cu] * (reps - 1)
+                extra_b = jnp.concatenate(
+                    [p.astype(compute_dtype) for p in parts], axis=0)
+            else:
+                extra = concat_latent.astype(compute_dtype)
+                extra_b = jnp.concatenate([extra] * reps, axis=0)
+            return jnp.concatenate([xb, extra_b], axis=-1)
 
         run_hooks = wrap_hooks(b)
         sag_sim: list = []

@@ -95,6 +95,39 @@ class ModelSampling:
         )
 
 
+@dataclass
+class ModelSamplingEDM(ModelSampling):
+    """Continuous EDM sampling (comfy model_sampling.py
+    ModelSamplingContinuousEDM, used by SVD_img2vid with sigma range
+    [0.002, 700], supported_models.py:257 sampling_settings): sigmas are
+    log-spaced, and the UNet's timestep input is 0.25 * log(sigma)."""
+
+    edm_sigma_min: float = 0.002
+    edm_sigma_max: float = 700.0
+    sigma_data: float = 1.0
+    timestep_mode: str = "edm"
+
+    def __post_init__(self) -> None:
+        self.sigmas = np.exp(
+            np.linspace(np.log(self.edm_sigma_min), np.log(self.edm_sigma_max),
+                        self.num_timesteps)
+        ).astype(np.float32)
+        self.log_sigmas = np.log(self.sigmas)
+
+    # NOTE: ``timestep()`` keeps the base index semantics (the schedulers
+    # interpolate on it); the UNet's EDM timestep input 0.25*log(sigma) is
+    # selected by ``timestep_mode`` in the denoiser assembly (cfg.py).
+
+    def percent_to_sigma(self, percent: float) -> float:
+        if percent <= 0.0:
+            return 999999999.9
+        if percent >= 1.0:
+            return 0.0
+        percent = 1.0 - percent
+        log_min, log_max = np.log(self.edm_sigma_min), np.log(self.edm_sigma_max)
+        return float(np.exp(log_min + (log_max - log_min) * percent))
+
+
 def _sigmas_karras(n: int, sigma_min: float, sigma_max: float, rho: float = 7.0) -> np.ndarray:
     ramp = np.linspace(0, 1, n, dtype=np.float64)
     min_inv_rho = sigma_min ** (1 / rho)

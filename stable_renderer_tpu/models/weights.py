@@ -86,6 +86,19 @@ def detect_unet_config(flat: Dict[str, np.ndarray]) -> UNetConfig:
     model_channels = w.shape[0]
     in_channels = w.shape[1]
     label_w = flat.get(prefix + "label_emb.0.0.weight")
+    if any(".time_stack." in k for k in flat if k.startswith(prefix)):
+        # SVD img2vid temporal UNet (comfy supported_models.py:257
+        # use_temporal_attention/use_temporal_resblock)
+        import dataclasses
+
+        from stable_renderer_tpu.models.video_unet import SVD_UNET_CONFIG
+
+        return dataclasses.replace(
+            SVD_UNET_CONFIG,
+            in_channels=in_channels,
+            model_channels=model_channels,
+            adm_in_channels=None if label_w is None else label_w.shape[1],
+        )
     if label_w is not None:
         # SDXL family: ADM conditioning present; context dim from any attn2.to_k
         from stable_renderer_tpu.models.unet import SDXL_UNET_CONFIG

@@ -90,8 +90,12 @@ def flash_attention(
     q: jax.Array,  # (BH, Lq, D)
     k: jax.Array,  # (BH, Lk, D)
     v: jax.Array,  # (BH, Lk, D)
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int = 512,
+    block_k: int = 1024,
+    # defaults from the round-3 on-chip sweep (scripts/sweep_attention.py):
+    # at the SD1.5 hot shape (L=4096, D=40, bh=16) bq=512/bk=1024 runs 1.21 ms
+    # vs 2.22 ms at the old 256/512 — fewer sequential grid programs amortize
+    # the per-program overhead and halve the online-softmax correction steps
 ) -> jax.Array:
     """Non-causal flash attention over merged batch-head leading axis."""
     bh, lq, d = q.shape
@@ -134,10 +138,25 @@ def attention_pallas(
     v: jax.Array,
     heads: int,
 ) -> jax.Array:
-    """Drop-in replacement for layers.attention using the flash kernel."""
+    """Drop-in replacement for layers.attention using the flash kernel.
+
+    Routing (round-3 sweep, scripts/sweep_attention.py): the flash kernel wins
+    only when the HBM logits round-trip matters (L >= 2048: 1.21 vs 3.04 ms at
+    L=4096); below that XLA's fused einsum is faster (0.185 vs 0.280 ms at
+    L=1024), so short sequences fall through to it."""
     b, lq, hd = q.shape
     d = hd // heads
     lk = k.shape[1]
+    if max(lq, lk) < 2048:
+        scale = 1.0 / math.sqrt(d)
+        qh = q.reshape(b, lq, heads, d).transpose(0, 2, 1, 3)
+        kh = k.reshape(b, lk, heads, d).transpose(0, 2, 1, 3)
+        vh = v.reshape(b, lk, heads, d).transpose(0, 2, 1, 3)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                            preferred_element_type=jnp.float32) * scale
+        w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", w, vh)
+        return out.transpose(0, 2, 1, 3).reshape(b, lq, hd)
     qh = q.reshape(b, lq, heads, d).transpose(0, 2, 1, 3).reshape(b * heads, lq, d)
     kh = k.reshape(b, lk, heads, d).transpose(0, 2, 1, 3).reshape(b * heads, lk, d)
     vh = v.reshape(b, lk, heads, d).transpose(0, 2, 1, 3).reshape(b * heads, lk, d)

@@ -20,13 +20,16 @@ backpressure; stream clients drop frames they're too slow for).
 
 from __future__ import annotations
 
+import base64
 import heapq
 import io
 import json
+import os
 import threading
 import time
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -119,9 +122,21 @@ button{background:#333;color:#ddd;border:1px solid #555;padding:4px 14px}</style
 <textarea id="wf" placeholder='{"nodes": [...], "links": [...]}'></textarea><br/>
 <button onclick="submitWf()">POST /prompt</button> <span id="r"></span>
 </details>
+<div><progress id="p" value="0" max="1" style="width:60%"></progress>
+<span id="pt"></span></div>
+<img id="preview" style="max-width:256px;display:none"/>
 <script>
 setInterval(async()=>{const r=await fetch('/status');
 document.getElementById('s').textContent=JSON.stringify(await r.json());},1000);
+const es=new EventSource('/events');
+es.onmessage=(m)=>{const e=JSON.parse(m.data);
+  if(e.type==='progress'){const d=e.data;
+    document.getElementById('p').value=d.step; document.getElementById('p').max=d.total;
+    document.getElementById('pt').textContent=d.step+'/'+d.total;
+    if(d.preview){const im=document.getElementById('preview');
+      im.src='data:image/jpeg;base64,'+d.preview; im.style.display='inline';}}
+  if(e.type==='executed'){document.getElementById('pt').textContent=
+    'done: '+JSON.stringify(e.data);}};
 async function submitWf(){
   try{
     const wf=JSON.parse(document.getElementById('wf').value);
@@ -162,6 +177,40 @@ class FrameServer:
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
         self.stats: Dict[str, Any] = {}
+        # SSE event bus (the reference pushes progress/status over a
+        # websocket, comfyUI/server.py:114-180; SSE is the dependency-free
+        # HTTP equivalent — every /events client gets its own queue)
+        self._subscribers: list = []
+        self._sub_lock = threading.Lock()
+
+    # --- event bus (push) ---
+
+    def post_event(self, event_type: str, data: Dict[str, Any]) -> None:
+        """Push an event to every connected /events client (non-blocking;
+        slow clients drop events beyond a 256-entry backlog)."""
+        import queue as _q
+
+        evt = {"type": event_type, "data": data}
+        with self._sub_lock:
+            subs = list(self._subscribers)
+        for q in subs:
+            try:
+                q.put_nowait(evt)
+            except _q.Full:
+                pass
+
+    def _subscribe(self):
+        import queue as _q
+
+        q = _q.Queue(maxsize=256)
+        with self._sub_lock:
+            self._subscribers.append(q)
+        return q
+
+    def _unsubscribe(self, q) -> None:
+        with self._sub_lock:
+            if q in self._subscribers:
+                self._subscribers.remove(q)
 
     # --- engine side ---
 
@@ -176,6 +225,40 @@ class FrameServer:
     def frame_callback(self, frame: np.ndarray, frame_index: int) -> None:
         """Drop-in for Engine(frame_callback=...)."""
         self.publish(frame, frame_index)
+
+    @staticmethod
+    def object_info() -> Dict[str, Any]:
+        """Node introspection from the validation NODE_SPECS + executor
+        registry — comfy /object_info shape: input types, widget contracts
+        (type/min/max/choices) and return types per node."""
+        from stable_renderer_tpu.workflow.executor import NODE_REGISTRY
+        from stable_renderer_tpu.workflow.validation import NODE_SPECS
+
+        info: Dict[str, Any] = {}
+        for name in sorted(NODE_REGISTRY):
+            spec = NODE_SPECS.get(name)
+            entry: Dict[str, Any] = {
+                "name": name,
+                "input": {"required": {}},
+                "output": list(spec.return_types) if spec else ["ANY"],
+            }
+            if spec:
+                for k, t in spec.input_types.items():
+                    entry["input"]["required"][k] = [t]
+                for w in spec.widgets:
+                    opts: Dict[str, Any] = {}
+                    if w.min is not None:
+                        opts["min"] = w.min
+                    if w.max is not None:
+                        opts["max"] = w.max
+                    if w.choices:
+                        entry["input"]["required"][w.name] = [list(w.choices)]
+                        continue
+                    entry["input"]["required"][w.name] = [w.type, opts]
+                if spec.lazy_inputs:
+                    entry["lazy_inputs"] = list(spec.lazy_inputs)
+            info[name] = entry
+        return info
 
     # --- server lifecycle ---
 
@@ -237,6 +320,74 @@ class FrameServer:
                             self.wfile.write(b"\r\n")
                     except (BrokenPipeError, ConnectionResetError):
                         return
+                elif self.path.startswith("/events"):
+                    # server-sent events: progress / status / frame pushes
+                    q = server._subscribe()
+                    try:
+                        self.send_response(200)
+                        self.send_header("Content-Type", "text/event-stream")
+                        self.send_header("Cache-Control", "no-cache")
+                        self.end_headers()
+                        import queue as _q
+
+                        while True:
+                            try:
+                                evt = q.get(timeout=15.0)
+                                payload = json.dumps(evt)
+                            except _q.Empty:
+                                payload = '{"type": "ping"}'
+                            self.wfile.write(
+                                f"data: {payload}\n\n".encode())
+                            self.wfile.flush()
+                    except (BrokenPipeError, ConnectionResetError, OSError):
+                        return
+                    finally:
+                        server._unsubscribe(q)
+                elif self.path.startswith("/object_info"):
+                    # node introspection generated from NODE_SPECS
+                    # (reference /object_info, comfyUI/server.py:560-600)
+                    from urllib.parse import unquote
+
+                    info = server.object_info()
+                    rest = self.path[len("/object_info"):].strip("/")
+                    if rest:
+                        name = unquote(rest.split("?")[0])
+                        if name not in info:
+                            self._json({"error": f"unknown node {name}"}, 404)
+                            return
+                        info = {name: info[name]}
+                    self._json(info)
+                elif self.path.startswith("/view"):
+                    # serve an output file (reference /view, server.py:391-455)
+                    from urllib.parse import parse_qs, urlparse
+
+                    from stable_renderer_tpu.utils.paths import OUTPUT_DIR
+
+                    qs = parse_qs(urlparse(self.path).query)
+                    filename = (qs.get("filename") or [""])[0]
+                    subfolder = (qs.get("subfolder") or [""])[0]
+                    base = (Path(OUTPUT_DIR) / subfolder).resolve()
+                    target = (base / filename).resolve()
+                    out_root = Path(OUTPUT_DIR).resolve()
+                    if (not filename or out_root not in target.parents
+                            and target != out_root):
+                        self._json({"error": "invalid path"}, 403)
+                        return
+                    if not target.is_file():
+                        self._json({"error": "not found"}, 404)
+                        return
+                    ctype = {
+                        ".png": "image/png", ".jpg": "image/jpeg",
+                        ".jpeg": "image/jpeg", ".gif": "image/gif",
+                        ".webp": "image/webp", ".npy": "application/octet-stream",
+                        ".json": "application/json",
+                    }.get(target.suffix.lower(), "application/octet-stream")
+                    data = target.read_bytes()
+                    self.send_response(200)
+                    self.send_header("Content-Type", ctype)
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
                 elif self.path.startswith("/history"):
                     self._json(server.queue.get_history())
                 elif self.path.startswith("/queue"):
@@ -260,7 +411,40 @@ class FrameServer:
                     wf = payload.get("prompt", payload)
                     pid = server.queue.put(wf,
                                            priority=payload.get("priority", 0.0))
+                    server.post_event("queued", {"prompt_id": pid})
                     self._json({"prompt_id": pid})
+                elif self.path.startswith("/upload/image") or self.path.startswith("/upload"):
+                    # accept a raw image body (or simple multipart) into
+                    # OUTPUT_DIR/input (reference /upload/image, server.py:340)
+                    from stable_renderer_tpu.utils.paths import OUTPUT_DIR
+
+                    n = int(self.headers.get("Content-Length", 0))
+                    if n <= 0 or n > 256 * 1024 * 1024:
+                        self._json({"error": "bad content length"}, 400)
+                        return
+                    body = self.rfile.read(n)
+                    ctype = self.headers.get("Content-Type", "")
+                    filename = "upload.png"
+                    if "multipart/form-data" in ctype and "boundary=" in ctype:
+                        boundary = ctype.split("boundary=")[-1].encode()
+                        for part in body.split(b"--" + boundary):
+                            if b"filename=" in part:
+                                head, _, content = part.partition(b"\r\n\r\n")
+                                fn = head.split(b'filename="')[-1].split(b'"')[0]
+                                filename = fn.decode() or filename
+                                body = content.rsplit(b"\r\n", 1)[0]
+                                break
+                    else:
+                        from urllib.parse import parse_qs, urlparse
+
+                        qs = parse_qs(urlparse(self.path).query)
+                        filename = (qs.get("filename") or [filename])[0]
+                    filename = os.path.basename(filename)
+                    d = Path(OUTPUT_DIR) / "input"
+                    d.mkdir(parents=True, exist_ok=True)
+                    (d / filename).write_bytes(body)
+                    self._json({"name": filename, "subfolder": "input",
+                                "type": "input"})
                 else:
                     self._json({"error": f"unknown path {self.path}"}, 404)
 
@@ -296,6 +480,24 @@ def serve_workflows(server: FrameServer, model_dirs: Tuple[str, ...] = (),
         try:
             wf = Workflow.from_dict(task.workflow)
             ex = PromptExecutor(wf, model_dirs=model_dirs)
+
+            def _progress(step: int, total: int, preview,
+                          _pid=task.prompt_id) -> None:
+                # per-denoise-step SSE event with a small latent preview
+                # (reference websocket progress + previews, main.py:187-195)
+                data: Dict[str, Any] = {"prompt_id": _pid, "step": step + 1,
+                                        "total": total}
+                if preview is not None:
+                    img = np.clip(np.asarray(preview) * 255.0, 0, 255
+                                  ).astype(np.uint8)
+                    if img.ndim == 4:
+                        img = img[0]
+                    data["preview"] = base64.b64encode(
+                        _encode_jpeg(img, quality=70)).decode()
+                server.post_event("progress", data)
+
+            ex.progress_holder[0] = _progress
+            server.post_event("execution_start", {"prompt_id": task.prompt_id})
             ed = engine_data_fn() if engine_data_fn is not None else None
             ctx = ex.execute(engine_data=ed)
             out = ctx.final_output
@@ -310,7 +512,12 @@ def serve_workflows(server: FrameServer, model_dirs: Tuple[str, ...] = (),
                 server.publish(arr[..., :3], task.prompt_id)
             server.queue.task_done(task.prompt_id, "success",
                                    ctx.status_messages)
+            server.post_event("executed", {"prompt_id": task.prompt_id,
+                                           "status": "success"})
         except Exception as ex:  # noqa: BLE001 — server must survive bad prompts
             logger.error(f"prompt {task.prompt_id} failed: {ex}")
             server.queue.task_done(task.prompt_id, "error", [str(ex)])
+            server.post_event("executed", {"prompt_id": task.prompt_id,
+                                           "status": "error",
+                                           "error": str(ex)})
         done += 1

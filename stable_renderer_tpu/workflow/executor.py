@@ -58,6 +58,11 @@ class InferenceContext:
     corresponder: Any = None
     status_messages: List[str] = field(default_factory=list)
     jit_cache: Dict[Any, Any] = field(default_factory=dict)
+    # mutable 1-slot holder for a host progress sink
+    # (step, total, preview_rgb|None) -> None; set by the server worker so
+    # per-step denoise progress streams out of the jitted scan via io_callback
+    # (reference: websocket progress + latent previews, comfyUI/main.py:187-195)
+    progress_holder: Any = None
 
 
 class PromptExecutor:
@@ -72,6 +77,7 @@ class PromptExecutor:
         self.model_dirs = model_dirs
         self._cache: Dict[int, tuple] = {}
         self._jit_cache: Dict[Any, Any] = {}
+        self.progress_holder: list = [None]  # [sink]; see InferenceContext
         self._frame_tainted: set = set()
         self._compute_taint()
         self.validation_errors: List[dict] = []
@@ -121,6 +127,7 @@ class PromptExecutor:
             frame_count=frame_count,
             model_dirs=self.model_dirs,
             jit_cache=self._jit_cache,
+            progress_holder=self.progress_holder,
         )
         if extra:
             for k, v in extra.items():
@@ -774,6 +781,11 @@ def ksampler(
                  if isinstance(latent_image, dict) else None)
     if concat_zm is None and isinstance(positive, dict):
         concat_zm = positive.get("concat_latent_image")
+    neg_concat = (negative.get("concat_latent_image")
+                  if isinstance(negative, dict) else None)
+    # ADM conditioning vector attached to conds (SDXL pooled / SVD fps+motion)
+    y_pos = positive.get("y") if isinstance(positive, dict) else None
+    y_neg = negative.get("y") if isinstance(negative, dict) else None
     # inpaint: a latent-attached noise_mask restricts denoising to the hole
     # (comfy sample.py prepare_mask; VAEEncodeForInpaint attaches it)
     noise_mask = (latent_image.get("noise_mask")
@@ -877,6 +889,9 @@ def ksampler(
     id_maps = ctx.engine_data.id_maps if ctx.engine_data is not None else None
     use_corr = corresponder is not None and id_maps is not None
     use_scene = scene_ctx is not None and id_maps is not None and len(sprite_ids) > 0
+    progress_holder = getattr(ctx, "progress_holder", None)
+    use_progress = (progress_holder is not None
+                    and progress_holder and progress_holder[0] is not None)
 
     sigmas = jnp.asarray(calculate_sigmas(ms, scheduler, steps, denoise))
     if node.type == "KSamplerAdvanced":
@@ -912,12 +927,23 @@ def ksampler(
         (add_noise, start_at_step, end_at_step, force_full_denoise),
         noise_mask is not None,
         concat_zm is not None,
+        neg_concat is not None,
+        y_pos is not None,
+        y_neg is not None,
         tuple(p["sig"] for p in model.get("patches", ())),
+        use_progress,
     )
     fn = ctx.jit_cache.get(cache_key) if hasattr(ctx, "jit_cache") else None
     if fn is None:
         log_sigmas = jnp.asarray(ms.log_sigmas)
         unet = model["unet"]
+        from stable_renderer_tpu.models.video_unet import VideoUNetModel
+
+        if isinstance(unet, VideoUNetModel):
+            # pin the frame-group size to the latent batch so CFG's 2T batch
+            # splits into [cond, uncond] sequences (model_base.py SVD_img2vid
+            # num_video_frames plumb); T is static per compiled program
+            unet = VideoUNetModel(unet.config, num_frames=latent.shape[0])
         prediction = ms.prediction
         corr = corresponder  # identity-stable: corresponder node output is cached
         # model patches (FreeU/HyperTile/hypernets/SAG/PerpNeg/DiffDiffusion)
@@ -925,10 +951,15 @@ def ksampler(
         from stable_renderer_tpu.workflow.nodes_extra import model_patch_options
 
         patch_hooks, patch_opts = model_patch_options(model, unet, sigmas, ms)
+        linear_cfg_min = patch_opts.pop("linear_cfg_min", None)
+        if getattr(ms, "timestep_mode", "") == "edm":
+            # EDM models (SVD) take 0.25*log(sigma) as the UNet timestep
+            patch_opts["t_fn"] = lambda s: 0.25 * jnp.log(jnp.maximum(s, 1e-10))
 
         def run(unet_params, cn_params_t, ctx_pos_, ctx_neg_, latent_, noise_,
                 sigmas_, id_maps_, hints_t, key_, cond_ctxs_t, cond_masks_t,
-                scene_ctx_, noise_mask_=None, concat_zm_=None):
+                scene_ctx_, noise_mask_=None, concat_zm_=None, neg_concat_=None,
+                y_pos_=None, y_neg_=None):
             control_fn = None
             if cn_models:
                 def control_fn(x_in, t, c_):
@@ -981,6 +1012,22 @@ def ksampler(
                                   attn=hooks.attn,
                                   mid=gl_model.make_mid_hook(objs))
             step_cb = corr.make_step_callback(id_maps_, log_sigmas) if use_corr else None
+            if use_progress:
+                # per-step host progress + latent preview out of the jitted
+                # scan (preview.py io_callback; reference websocket progress)
+                from stable_renderer_tpu.models.sampling.preview import (
+                    progress_step_callback,
+                )
+
+                holder = progress_holder
+
+                def _sink(s, t, img):
+                    fn_ = holder[0]
+                    if fn_ is not None:
+                        fn_(s, t, img)
+
+                step_cb = progress_step_callback(
+                    _sink, int(sigmas_.shape[0]) - 1, inner=step_cb)
             uncond = None if cfg_scale == 1.0 else ctx_neg_
             # the ONE shared denoiser assembly (models/sampling/assemble.py) —
             # identical dispatch to pipeline._jit_render (VERDICT r2 #8)
@@ -1000,17 +1047,37 @@ def ksampler(
                 scene_smasks = sprite_masks(
                     id_maps_, sprite_ids, latent_.shape[1], latent_.shape[2])
             concat_latent_ = None
-            if unet.config.in_channels > latent_.shape[-1]:
-                # 9-channel inpaint checkpoint: concat [mask, masked latent].
-                # InpaintModelConditioning supplies the encoded masked image;
-                # otherwise fall back to zeroing the hole in latent space.
-                if concat_zm_ is not None:
+            gap = unet.config.in_channels - latent_.shape[-1]
+            if gap > 0:
+                def _fit_batch(z):
+                    if z.shape[0] != latent_.shape[0]:
+                        z = jnp.broadcast_to(z[:1], (latent_.shape[0], *z.shape[1:]))
+                    return z
+
+                if concat_zm_ is not None and concat_zm_.shape[-1] == gap:
+                    # image-concat models (SVD in_channels=8: 4 latent + 4
+                    # init-image latent, model_base.py SVD_img2vid.extra_conds);
+                    # the negative cond concats its own (zeroed) image
+                    cc = _fit_batch(concat_zm_)
+                    cu = (None if neg_concat_ is None
+                          else _fit_batch(neg_concat_))
+                    concat_latent_ = (cc, cu) if cu is not None else cc
+                elif concat_zm_ is not None:
+                    # 9-channel inpaint checkpoint: [mask, masked latent]
                     mask_ch = (noise_mask_ if noise_mask_ is not None
                                else jnp.ones(latent_.shape[:3] + (1,), latent_.dtype))
                     concat_latent_ = jnp.concatenate(
-                        [mask_ch.astype(latent_.dtype), concat_zm_], axis=-1)
+                        [mask_ch.astype(latent_.dtype), _fit_batch(concat_zm_)],
+                        axis=-1)
                 else:
                     concat_latent_ = inpaint_concat_channels(latent_, noise_mask_)
+            cfg_eff = cfg_scale
+            if linear_cfg_min is not None:
+                # VideoLinearCFGGuidance: per-frame cfg ramp min_cfg -> cfg
+                # (nodes_video_model.py linear_cfg)
+                cfg_eff = jnp.linspace(
+                    linear_cfg_min, cfg_scale, latent_.shape[0]
+                ).reshape(-1, 1, 1, 1)
             den = build_denoiser(
                 unet, unet_params,
                 cond_context=ctx_pos_,
@@ -1021,13 +1088,17 @@ def ksampler(
                 cond_masks=None if use_scene or not use_conds else list(cond_masks_t),
                 uncond_context=uncond,
                 log_sigmas=log_sigmas,
-                cfg_scale=cfg_scale,
+                cfg_scale=cfg_eff,
                 prediction=prediction,
                 hooks=hooks,
                 control_fn=control_fn,
                 inpaint_mask=noise_mask_,
                 inpaint_latent=None if noise_mask_ is None else latent_,
                 concat_latent=concat_latent_,
+                y_cond=None if y_pos_ is None else jnp.broadcast_to(
+                    y_pos_[:1], (latent_.shape[0], y_pos_.shape[-1])),
+                y_uncond=None if y_neg_ is None else jnp.broadcast_to(
+                    y_neg_[:1], (latent_.shape[0], y_neg_.shape[-1])),
                 **patch_opts,
             )
             return sample(
@@ -1043,6 +1114,7 @@ def ksampler(
         model["params"], tuple(cn_params), ctx_pos, ctx_neg, latent, noise,
         sigmas, id_maps, tuple(cn_hints), jax.random.PRNGKey(seed),
         tuple(cond_ctxs), tuple(cond_masks), scene_ctx, noise_mask, concat_zm,
+        neg_concat, y_pos, y_neg,
     )
     return ({"samples": out},)
 

@@ -704,6 +704,10 @@ def model_patch_options(model: dict, unet, sigmas, ms):
         elif kind == "perp_neg":
             opts["nocond_context"] = jnp.asarray(p["empty_context"])
             opts["perp_neg_scale"] = p["neg_scale"]
+        elif kind == "linear_cfg":
+            # VideoLinearCFGGuidance: per-frame cfg ramp (consumed by the
+            # KSampler assembly, executor.py)
+            opts["linear_cfg_min"] = p["min_cfg"]
         elif kind == "diff_diffusion":
             log_sigmas = jnp.asarray(ms.log_sigmas)
             sig_arr = jnp.asarray(np.asarray(sigmas, np.float32))
@@ -957,3 +961,151 @@ def sd_4x_upscale_conditioning(ctx: InferenceContext, node: WorkflowNode,
            "noise_augmentation": noise_aug}
     latent = {"samples": jnp.zeros((img.shape[0], height // 4, width // 4, 4))}
     return (pos, neg, latent)
+
+
+# ---------------------------------------------------------------------------
+# video models (nodes_video_model.py — SVD img2vid)
+
+
+@register_node("ImageOnlyCheckpointLoader")
+def image_only_checkpoint_loader(ctx: InferenceContext, node: WorkflowNode):
+    """SVD checkpoint loader -> (MODEL, CLIP_VISION, VAE)
+    (nodes_video_model.py ImageOnlyCheckpointLoader; comfy sd.py
+    load_checkpoint_guess_config with output_clipvision). Falls back to tiny
+    random models offline (same policy as CheckpointLoaderSimple)."""
+    import jax
+
+    from stable_renderer_tpu.models.sampling.schedules import ModelSamplingEDM
+    from stable_renderer_tpu.models.video_unet import (
+        SVD_UNET_CONFIG,
+        TINY_VIDEO_UNET_CONFIG,
+        VideoUNetModel,
+    )
+
+    name = str(node.widgets[0]) if node.widgets else ""
+    path = _find_model_file(ctx, name)
+    if path:
+        import jax.numpy as jnp
+
+        from stable_renderer_tpu.models import VAE, SD15_VAE_CONFIG
+        from stable_renderer_tpu.models.clip_vision import CLIPVisionModel, VITH_CONFIG
+        from stable_renderer_tpu.models.weights import (
+            load_state_dict, nest, to_device)
+
+        flat = load_state_dict(path)
+        unet_p = nest(flat, "model.diffusion_model.")
+        vae_p = nest(flat, "first_stage_model.")
+        cv_p = nest(flat, "conditioner.embedders.0.open_clip.model.visual.")
+        unet = VideoUNetModel(SVD_UNET_CONFIG)
+        model = {"unet": unet, "params": to_device(unet_p, jnp.bfloat16),
+                 "sampling": ModelSamplingEDM(prediction="v")}
+        vae = {"vae": VAE(SD15_VAE_CONFIG), "params": to_device(vae_p, jnp.bfloat16)}
+        cv = CLIPVisionModel(VITH_CONFIG)
+        clip_vision = {"model": cv, "params": to_device({"vision_model": cv_p},
+                                                        jnp.float32)}
+        return model, clip_vision, vae
+    logger.warning(f"video checkpoint '{name}' not found; tiny random models")
+    import jax.numpy as jnp  # noqa: F401
+
+    from stable_renderer_tpu.models import VAE, TINY_VAE_CONFIG
+    from stable_renderer_tpu.models.clip_vision import (
+        CLIPVisionModel,
+        TINY_VISION_CONFIG,
+    )
+
+    key = jax.random.PRNGKey(0)
+    cfg = TINY_VIDEO_UNET_CONFIG
+    unet = VideoUNetModel(cfg)
+    vae = VAE(TINY_VAE_CONFIG)
+    cv = CLIPVisionModel(TINY_VISION_CONFIG)
+    model = {"unet": unet, "params": unet.init(key),
+             "sampling": ModelSamplingEDM(prediction="v")}
+    return (
+        model,
+        {"model": cv, "params": cv.init(jax.random.fold_in(key, 2))},
+        {"vae": vae, "params": vae.init(jax.random.fold_in(key, 1))},
+    )
+
+
+@register_node("SVD_img2vid_Conditioning")
+def svd_img2vid_conditioning(ctx: InferenceContext, node: WorkflowNode,
+                             clip_vision=None, init_image=None, vae=None):
+    """SVD conditioning (nodes_video_model.py SVD_img2vid_Conditioning):
+    CLIP-vision image embed as the cross-attn context, encoded init image as
+    c_concat (zeroed for the negative), fps/motion/augmentation ADM vector,
+    and a T-frame empty latent."""
+    import jax
+    import jax.numpy as jnp
+
+    from stable_renderer_tpu.models.video_unet import svd_adm_vector
+
+    w = node.widgets
+    width = int(w[0]) if w else 1024
+    height = int(w[1]) if len(w) > 1 else 576
+    video_frames = int(w[2]) if len(w) > 2 else 14
+    motion_bucket_id = int(w[3]) if len(w) > 3 else 127
+    fps = int(w[4]) if len(w) > 4 else 6
+    aug = float(w[5]) if len(w) > 5 else 0.0
+
+    out = clip_vision["model"].encode_image(clip_vision["params"], init_image)
+    pooled = out.image_embeds[:1][:, None, :]  # (1, 1, D) cross-attn context
+    img = jnp.asarray(init_image)[..., :3]
+    if img.shape[1:3] != (height, width):
+        img = jax.image.resize(
+            img, (img.shape[0], height, width, 3), method="bilinear")
+    if aug > 0:
+        img = img + jax.random.normal(jax.random.PRNGKey(7), img.shape) * aug
+    dtype = vae["params"]["quant_conv"]["weight"].dtype
+    t = vae["vae"].encode(vae["params"], (img * 2.0 - 1.0).astype(dtype)
+                          ).astype(jnp.float32)
+    y = svd_adm_vector(fps - 1, motion_bucket_id, aug)
+    pos = {"context": pooled, "concat_latent_image": t, "y": y,
+           "fps": fps, "motion_bucket_id": motion_bucket_id,
+           "augmentation_level": aug}
+    neg = {"context": jnp.zeros_like(pooled),
+           "concat_latent_image": jnp.zeros_like(t), "y": y}
+    latent = {"samples": jnp.zeros(
+        (video_frames, t.shape[1], t.shape[2], 4), jnp.float32)}
+    return (pos, neg, latent)
+
+
+@register_node("VideoLinearCFGGuidance")
+def video_linear_cfg_guidance(ctx: InferenceContext, node: WorkflowNode,
+                              model=None):
+    min_cfg = float(node.widgets[0]) if node.widgets else 1.0
+    return (_add_patch(model, {"kind": "linear_cfg",
+                               "sig": ("linear_cfg", min_cfg),
+                               "min_cfg": min_cfg}),)
+
+
+@register_node("ImageOnlyCheckpointSave")
+def image_only_checkpoint_save(ctx: InferenceContext, node: WorkflowNode,
+                               model=None, clip_vision=None, vae=None):
+    """SVD-style checkpoint save: diffusion model + VAE + clip-vision under
+    the SVD prefixes (nodes_video_model.py ImageOnlyCheckpointSave)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from stable_renderer_tpu.models.weights import flatten
+
+    prefix = str(node.widgets[0]) if node.widgets else "checkpoints/sr_tpu_svd"
+    name = os.path.basename(prefix) or "sr_tpu_svd"
+    d = _save_dir(ctx, os.path.dirname(prefix) or "checkpoints")
+    flat = {}
+    for k, v in flatten(model["params"]).items():
+        flat[f"model.diffusion_model.{k}"] = np.asarray(
+            jnp.asarray(v).astype(jnp.float32))
+    if vae is not None:
+        for k, v in flatten(vae["params"]).items():
+            flat[f"first_stage_model.{k}"] = np.asarray(
+                jnp.asarray(v).astype(jnp.float32))
+    if clip_vision is not None:
+        inner = clip_vision["params"]
+        inner = inner.get("vision_model", inner)
+        for k, v in flatten(inner).items():
+            flat["conditioner.embedders.0.open_clip.model.visual." + k] = (
+                np.asarray(jnp.asarray(v).astype(jnp.float32)))
+    path = os.path.join(d, f"{name}.safetensors")
+    _save_safetensors(flat, path)
+    return (path,)

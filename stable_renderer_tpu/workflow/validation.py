@@ -627,6 +627,28 @@ def _declare_default_specs() -> None:
     register_spec("RebatchImages", input_types={"images": "IMAGE"},
                   return_types=("IMAGE",),
                   widgets=(WidgetSpec("batch_size", "INT", min=1, max=4096),))
+    register_spec("ImageOnlyCheckpointLoader",
+                  return_types=("MODEL", "CLIP_VISION", "VAE"),
+                  widgets=(WidgetSpec("ckpt_name", "STRING"),))
+    register_spec("SVD_img2vid_Conditioning",
+                  input_types={"clip_vision": "CLIP_VISION",
+                               "init_image": "IMAGE", "vae": "VAE"},
+                  return_types=("CONDITIONING", "CONDITIONING", "LATENT"),
+                  widgets=(WidgetSpec("width", "INT", min=16, max=16384),
+                           WidgetSpec("height", "INT", min=16, max=16384),
+                           WidgetSpec("video_frames", "INT", min=1, max=4096),
+                           WidgetSpec("motion_bucket_id", "INT", min=1, max=1023),
+                           WidgetSpec("fps", "INT", min=1, max=1024),
+                           WidgetSpec("augmentation_level", "FLOAT",
+                                      min=0.0, max=10.0)))
+    register_spec("VideoLinearCFGGuidance", input_types={"model": "MODEL"},
+                  return_types=("MODEL",),
+                  widgets=(WidgetSpec("min_cfg", "FLOAT", min=0.0, max=100.0),))
+    register_spec("ImageOnlyCheckpointSave",
+                  input_types={"model": "MODEL", "clip_vision": "CLIP_VISION",
+                               "vae": "VAE"},
+                  return_types=(),
+                  widgets=(WidgetSpec("filename_prefix", "STRING"),))
     register_spec("SD_4XUpscale_Conditioning",
                   input_types={"images": "IMAGE", "positive": "CONDITIONING",
                                "negative": "CONDITIONING"},

@@ -157,3 +157,97 @@ def test_engine_frame_callback_streams_to_server(server):
     arr = np.asarray(Image.open(io.BytesIO(body)))
     assert arr.shape[:2] == (48, 48)
     assert arr.max() > 100
+
+
+def test_object_info_endpoint(server):
+    """/object_info: node introspection generated from NODE_SPECS
+    (reference comfyUI/server.py:560-600)."""
+    base = f"http://127.0.0.1:{server.port}"
+    code, body, _ = _get(base + "/object_info")
+    info = json.loads(body)
+    assert code == 200 and len(info) > 80
+    ks = info["KSampler"]
+    assert "MODEL" in ks["input"]["required"]["model"]
+    assert ks["output"] == ["LATENT"]
+    # single-node form
+    code, body, _ = _get(base + "/object_info/VAEDecode")
+    assert set(json.loads(body)) == {"VAEDecode"}
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(base + "/object_info/NopeNode")
+    assert ei.value.code == 404
+
+
+def test_view_and_upload_endpoints(server, tmp_path, monkeypatch):
+    """/upload/image stores into OUTPUT_DIR/input; /view serves it back and
+    rejects path traversal (reference /view + /upload, server.py:340-455)."""
+    import stable_renderer_tpu.utils.paths as paths
+
+    monkeypatch.setattr(paths, "OUTPUT_DIR", tmp_path)
+    base = f"http://127.0.0.1:{server.port}"
+    png = b"\x89PNG\r\n\x1a\n" + b"x" * 32
+    req = urllib.request.Request(
+        base + "/upload/image?filename=test_up.png", data=png,
+        headers={"Content-Type": "image/png"}, method="POST")
+    with urllib.request.urlopen(req, timeout=5) as r:
+        meta = json.loads(r.read())
+    assert meta["name"] == "test_up.png"
+    assert (tmp_path / "input" / "test_up.png").read_bytes() == png
+
+    code, body, hdrs = _get(base + "/view?filename=test_up.png&subfolder=input")
+    assert code == 200 and body == png and hdrs["Content-Type"] == "image/png"
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(base + "/view?filename=../../etc/passwd")
+    assert ei.value.code in (403, 404)
+
+
+def test_sse_progress_events_during_execution(server):
+    """A KSampler workflow streams per-step progress (with latent previews)
+    over /events while executing (reference websocket progress,
+    comfyUI/main.py:187-195)."""
+    import queue as _q
+
+    events = server._subscribe()  # subscribe directly (no socket race)
+    base = f"http://127.0.0.1:{server.port}"
+    wf = {
+        "nodes": [
+            {"id": 1, "type": "CheckpointLoaderSimple", "widgets_values": ["x"]},
+            {"id": 2, "type": "CLIPTextEncode", "widgets_values": ["hi"],
+             "inputs": [{"name": "clip", "link": 1}]},
+            {"id": 3, "type": "EmptyLatentImage", "widgets_values": [64, 64, 1]},
+            {"id": 4, "type": "KSampler",
+             "widgets_values": [0, "fixed", 2, 1.0, "euler", "normal", 1.0],
+             "inputs": [{"name": "model", "link": 2},
+                        {"name": "positive", "link": 3},
+                        {"name": "latent_image", "link": 4}]},
+            {"id": 5, "type": "InferenceOutput",
+             "inputs": [{"name": "value", "link": 5}]},
+        ],
+        "links": [
+            [1, 1, 1, 2, 0, "CLIP"],
+            [2, 1, 0, 4, 0, "MODEL"],
+            [3, 2, 0, 4, 1, "CONDITIONING"],
+            [4, 3, 0, 4, 3, "LATENT"],
+            [5, 4, 0, 5, 0, "LATENT"],
+        ],
+    }
+    req = urllib.request.Request(
+        base + "/prompt", data=json.dumps({"prompt": wf}).encode(),
+        method="POST")
+    with urllib.request.urlopen(req, timeout=5) as r:
+        pid = json.loads(r.read())["prompt_id"]
+    serve_workflows(server, max_prompts=1, poll_timeout=0.1)
+
+    got = []
+    try:
+        while True:
+            got.append(events.get_nowait())
+    except _q.Empty:
+        pass
+    types = [e["type"] for e in got]
+    assert "execution_start" in types and "executed" in types
+    progress = [e for e in got if e["type"] == "progress"]
+    assert len(progress) == 2  # one per denoise step
+    assert progress[-1]["data"]["step"] == 2
+    assert progress[-1]["data"]["total"] == 2
+    assert "preview" in progress[-1]["data"]  # base64 latent preview
+    assert [e for e in got if e["type"] == "executed"][0]["data"]["prompt_id"] == pid
