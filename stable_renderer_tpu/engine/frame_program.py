@@ -143,6 +143,7 @@ def frame_step(
             key,
             y_cond,
             y_uncond,
+            normal_maps=batch["normal"],
         )
         rgb = images[-1]  # display the latest frame (renderManager.py:1017-1021)
         display = jnp.concatenate([rgb, jnp.ones_like(rgb[..., :1])], axis=-1)

@@ -408,10 +408,24 @@ class RenderManager(Manager):
         if run_diffusion:
             with self.timer.stage("finish"):
                 self.last_diffusion_frames = images
-                engine_data = self._build_engine_data(pending, pack, frame_count)
-                corresponder.finished(engine_data, images)
-                if dm.output_maps and dm.map_output_dir:
-                    dm._dump_maps_async(engine_data, images)
+                # build EngineData only for consumers: corrmap bake updates or
+                # map dumping. The realtime loop skips ~9 device dispatches of
+                # per-frame batch concatenation this way.
+                from stable_renderer_tpu.ops.correspondence import (
+                    Corresponder as _C,
+                    DefaultCorresponder as _DC,
+                )
+
+                stock_finished = type(corresponder).finished in (
+                    _DC.finished, _C.finished)
+                wants_bake = (bool(self._corrmaps) and getattr(
+                    corresponder, "update_corrmap", False)) or not stock_finished
+                wants_dump = dm.output_maps and dm.map_output_dir
+                if wants_bake or wants_dump:
+                    engine_data = self._build_engine_data(pending, pack, frame_count)
+                    corresponder.finished(engine_data, images)
+                    if wants_dump:
+                        dm._dump_maps_async(engine_data, images)
                 self._pending.clear()
                 self._pending_indices.clear()
         elif pipe is not None:

@@ -533,6 +533,7 @@ class DiffusionPipeline:
             key,
             y_cond,
             y_uncond,
+            normal_maps=engine_data.normal_maps,
         )
         corresponder.finished(engine_data, images)
         return images
@@ -541,7 +542,7 @@ class DiffusionPipeline:
     def _jit_render(
         self, corresponder, sprite_ids, unet_params, vae_params, cn_params, color,
         noise_maps, id_maps, hints, ctx, nctx, sigmas, key,
-        y_cond=None, y_uncond=None,
+        y_cond=None, y_uncond=None, normal_maps=None,
     ):
         # NOTE: params are explicit jit ARGUMENTS — closing over them via the
         # static `self` would bake multi-GB weight constants into the lowered
@@ -573,7 +574,7 @@ class DiffusionPipeline:
         uncond = None if cfg.cfg_scale == 1.0 else nctx
         log_sigmas = jnp.asarray(self.model_sampling.log_sigmas)
         hooks = corresponder.attn_hooks(None, key=jax.random.fold_in(key, 2))
-        step_cb = corresponder.make_step_callback(id_maps, log_sigmas)
+        step_cb = corresponder.make_step_callback(id_maps, log_sigmas, normal_maps)
         inpaint_mask = inpaint_latent = None
         if cfg.keep_background and id_maps is not None:
             # denoise only AI-object pixels; background keeps the rasterized

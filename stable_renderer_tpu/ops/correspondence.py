@@ -84,23 +84,68 @@ def latent_vertex_ids(
     return small[..., 3], valid
 
 
-@partial(jax.jit, static_argnames=("num_segments",))
+@partial(jax.jit, static_argnames=("num_segments", "weighting"))
 def vertex_average_injection(
     latent: jax.Array,    # (B, h, w, C)
     id_maps: jax.Array,   # (B, H, W, 4)
     ratio: jax.Array | float = 0.1,
     num_segments: int = 262144,
+    weighting: str = "average",
+    normal_maps: Optional[jax.Array] = None,  # (B, H, W, >=3) encoded normals
 ) -> jax.Array:
-    """Blend each latent pixel toward the mean of all pixels (across frames)
-    sharing its 3D vertex, then AdaIN back to the original statistics
-    (OverlapCorresponder.step_finished :298-376).
+    """Blend each latent pixel toward the (weighted) mean of all pixels
+    (across frames) sharing its 3D vertex, then AdaIN back to the original
+    statistics (OverlapCorresponder.step_finished :298-376).
+
+    ``weighting`` selects the per-pixel mixing scheme of the reference's
+    legacy overlap algorithms (legacy_codes/stable_rendering_algo/overlap/
+    algorithms.py:6-121):
+      * "average"        — uniform group mean (AverageDistance).
+      * "frame_distance" — EXACT pairwise 1/(|f_i - f_j| + 1) mixing
+                           (FrameDistance), via per-(vertex, frame) sums.
+      * "pixel_distance" — trust weight 1/(|x - x̄_g| + |y - ȳ_g| + 1): pixels
+                           far from the vertex's mean screen position count
+                           less (PixelDistance, reformulated from pairwise to
+                           per-occurrence trust for static shapes).
+      * "view_normal"    — trust weight 1/(|1 - facing| + 1) from the normal
+                           map's view-facing component (PerpendicularViewNormal);
+                           falls back to "average" when normal_maps is None.
     """
+    from stable_renderer_tpu.ops.math import (
+        group_frame_distance_average,
+        group_weighted_average_by_id,
+    )
+
     b, h, w, c = latent.shape
     vids, valid = latent_vertex_ids(id_maps, h, w)
     flat = latent.reshape(-1, c)
-    per_row, _ = group_average_by_id(
-        flat, vids.reshape(-1), num_segments, valid=valid.reshape(-1)
-    )
+    flat_ids = vids.reshape(-1)
+    flat_valid = valid.reshape(-1)
+    if weighting == "frame_distance":
+        frames = jnp.repeat(jnp.arange(b, dtype=jnp.int32), h * w)
+        per_row = group_frame_distance_average(
+            flat, flat_ids, frames, num_segments, b, valid=flat_valid)
+    elif weighting == "pixel_distance":
+        xs = jnp.tile(jnp.tile(jnp.arange(w, dtype=jnp.float32), h), b)
+        ys = jnp.tile(jnp.repeat(jnp.arange(h, dtype=jnp.float32), w), b)
+        pos = jnp.stack([xs, ys], axis=-1)
+        mean_pos, _ = group_average_by_id(pos, flat_ids, num_segments,
+                                          valid=flat_valid)
+        dist = jnp.abs(pos - mean_pos).sum(-1)
+        per_row = group_weighted_average_by_id(
+            flat, flat_ids, 1.0 / (dist + 1.0), num_segments, valid=flat_valid)
+    elif weighting == "view_normal" and normal_maps is not None:
+        rows = (jnp.arange(h) * normal_maps.shape[1] // h).astype(jnp.int32)
+        cols = (jnp.arange(w) * normal_maps.shape[2] // w).astype(jnp.int32)
+        small = normal_maps[:, rows][:, :, cols]
+        # encoded [0,1] -> view-space normal; facing = |n_z| (1 = toward camera)
+        facing = jnp.abs(small[..., 2] * 2.0 - 1.0).reshape(-1)
+        per_row = group_weighted_average_by_id(
+            flat, flat_ids, 1.0 / (jnp.abs(1.0 - facing) + 1.0),
+            num_segments, valid=flat_valid)
+    else:
+        per_row, _ = group_average_by_id(
+            flat, flat_ids, num_segments, valid=flat_valid)
     blended = (1.0 - ratio) * flat + ratio * per_row
     blended = jnp.where(valid.reshape(-1, 1), blended, flat)
     modified = blended.reshape(b, h, w, c)
@@ -164,9 +209,10 @@ class Corresponder:
 
             log_sigmas = _jnp.asarray(ms.log_sigmas)
         id_maps = None if engine_data is None else engine_data.id_maps
-        return self.make_step_callback(id_maps, log_sigmas)
+        normals = None if engine_data is None else engine_data.normal_maps
+        return self.make_step_callback(id_maps, log_sigmas, normals)
 
-    def make_step_callback(self, id_maps, log_sigmas):  # noqa: ANN001
+    def make_step_callback(self, id_maps, log_sigmas, normal_maps=None):  # noqa: ANN001
         """Trace-time factory: build the per-step latent callback from traced
         arrays (called inside the jitted denoise program)."""
         return None
@@ -242,6 +288,10 @@ class OverlapCorresponder(DefaultCorresponder):
     step_finished_inject_ratio: float = 0.1
     step_finished_stop_inject_timestep: float = 500.0
     vertex_segments: int = 262144
+    # per-pixel mixing scheme of the legacy overlap algorithms
+    # (algorithms.py:6-121): average | frame_distance | pixel_distance |
+    # view_normal (view_normal needs normal maps at the callback)
+    weighting: str = "average"
     all_frames: bool = False
     mesh: Optional[object] = None  # jax Mesh: ring-attention routing when set
     mesh_axis: str = "dp"
@@ -293,15 +343,18 @@ class OverlapCorresponder(DefaultCorresponder):
 
         return AttnHooks(pre=pre)
 
-    def make_step_callback(self, id_maps, log_sigmas):  # noqa: ANN001
+    def make_step_callback(self, id_maps, log_sigmas, normal_maps=None):  # noqa: ANN001
         if id_maps is None:
             return None
         ratio = self.step_finished_inject_ratio
         stop_t = self.step_finished_stop_inject_timestep
         segs = self.vertex_segments
+        weighting = self.weighting
 
         def cb(x, denoised, sigma, i):
-            injected = vertex_average_injection(x, id_maps, ratio, num_segments=segs)
+            injected = vertex_average_injection(
+                x, id_maps, ratio, num_segments=segs,
+                weighting=weighting, normal_maps=normal_maps)
             if log_sigmas is None:
                 return injected
             from stable_renderer_tpu.models.sampling.cfg import timestep_from_sigma

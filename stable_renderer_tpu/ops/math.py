@@ -93,6 +93,76 @@ def group_average_by_id(
     return per_row.astype(values.dtype), seg_mean.astype(values.dtype)
 
 
+def group_weighted_average_by_id(
+    values: jax.Array,
+    ids: jax.Array,
+    weights: jax.Array,
+    num_segments: int,
+    valid: jax.Array | None = None,
+) -> jax.Array:
+    """Per-row TRUST-weighted group mean: every member of an id group gets
+    sum_j(w_j x_j) / sum_j(w_j) over the group.
+
+    TPU-native reformulation of the legacy overlap weighting schemes that use
+    a per-occurrence trust weight (reference legacy_codes/stable_rendering_algo/
+    overlap/algorithms.py:98-121 PerpendicularViewNormal — weight by how
+    directly the pixel faces the camera — and the PixelDistance scheme
+    approximated as distance-from-group-mean-position)."""
+    seg, in_range = _valid_segments(ids, num_segments)
+    if valid is not None:
+        in_range = in_range & valid
+        seg = jnp.where(in_range, seg, num_segments)
+    v32 = values.astype(jnp.float32)
+    w32 = jnp.where(in_range, weights.astype(jnp.float32), 0.0)
+    sums = jax.ops.segment_sum(v32 * w32[:, None], seg,
+                               num_segments=num_segments + 1)
+    wsum = jax.ops.segment_sum(w32, seg, num_segments=num_segments + 1)
+    seg_mean = (sums / jnp.maximum(wsum, 1e-8)[:, None])[:-1]
+    per_row = seg_mean[jnp.clip(ids, 0, num_segments - 1)]
+    return jnp.where(in_range[:, None], per_row, v32).astype(values.dtype)
+
+
+def group_frame_distance_average(
+    values: jax.Array,   # (N, C) rows = pixels across a frame batch
+    ids: jax.Array,      # (N,) vertex ids
+    frames: jax.Array,   # (N,) int32 frame index of each row
+    num_segments: int,
+    n_frames: int,
+    valid: jax.Array | None = None,
+) -> jax.Array:
+    """EXACT pairwise frame-distance mixing: row i of group g becomes
+    sum_j values_j / (|f_i - f_j| + 1), normalized — the legacy FrameDistance
+    algorithm (legacy_codes/.../algorithms.py:53-74).
+
+    TPU shape: instead of per-group pairwise matrices (dynamic group sizes),
+    accumulate per-(segment, frame) sums/counts with one segment_sum over
+    seg * n_frames + frame, then combine with the static (n_frames, n_frames)
+    reciprocal-distance kernel — static shapes, two matmul-free passes."""
+    seg, in_range = _valid_segments(ids, num_segments)
+    if valid is not None:
+        in_range = in_range & valid
+    f = jnp.clip(frames, 0, n_frames - 1)
+    seg2 = jnp.where(in_range, seg * n_frames + f, num_segments * n_frames)
+    v32 = values.astype(jnp.float32)
+    sums = jax.ops.segment_sum(
+        jnp.where(in_range[:, None], v32, 0.0), seg2,
+        num_segments=num_segments * n_frames + 1,
+    )[:-1].reshape(num_segments, n_frames, -1)
+    counts = jax.ops.segment_sum(
+        in_range.astype(jnp.float32), seg2,
+        num_segments=num_segments * n_frames + 1,
+    )[:-1].reshape(num_segments, n_frames)
+    fgrid = jnp.arange(n_frames, dtype=jnp.float32)
+    kern = 1.0 / (jnp.abs(fgrid[:, None] - fgrid[None, :]) + 1.0)  # (F, F)
+    # per (segment, target frame): weighted sums over source frames
+    mixed = jnp.einsum("tf,sfc->stc", kern, sums)       # (S, F, C)
+    norm = jnp.einsum("tf,sf->st", kern, counts)        # (S, F)
+    out_sf = mixed / jnp.maximum(norm, 1e-8)[..., None]
+    safe_ids = jnp.clip(ids, 0, num_segments - 1)
+    per_row = out_sf[safe_ids, f]
+    return jnp.where(in_range[:, None], per_row, v32).astype(values.dtype)
+
+
 def group_randn_by_id(
     key: jax.Array,
     ids: jax.Array,

@@ -887,6 +887,8 @@ def ksampler(
     if corresponder is not None and ctx.engine_data is not None:
         ctx.corresponder = corresponder
     id_maps = ctx.engine_data.id_maps if ctx.engine_data is not None else None
+    normal_maps = (ctx.engine_data.normal_maps
+                   if ctx.engine_data is not None else None)
     use_corr = corresponder is not None and id_maps is not None
     use_scene = scene_ctx is not None and id_maps is not None and len(sprite_ids) > 0
     progress_holder = getattr(ctx, "progress_holder", None)
@@ -930,6 +932,7 @@ def ksampler(
         neg_concat is not None,
         y_pos is not None,
         y_neg is not None,
+        normal_maps is not None,
         tuple(p["sig"] for p in model.get("patches", ())),
         use_progress,
     )
@@ -959,7 +962,7 @@ def ksampler(
         def run(unet_params, cn_params_t, ctx_pos_, ctx_neg_, latent_, noise_,
                 sigmas_, id_maps_, hints_t, key_, cond_ctxs_t, cond_masks_t,
                 scene_ctx_, noise_mask_=None, concat_zm_=None, neg_concat_=None,
-                y_pos_=None, y_neg_=None):
+                y_pos_=None, y_neg_=None, normals_=None):
             control_fn = None
             if cn_models:
                 def control_fn(x_in, t, c_):
@@ -1011,7 +1014,8 @@ def ksampler(
                 hooks = AttnHooks(pre=hooks.pre, post=hooks.post,
                                   attn=hooks.attn,
                                   mid=gl_model.make_mid_hook(objs))
-            step_cb = corr.make_step_callback(id_maps_, log_sigmas) if use_corr else None
+            step_cb = (corr.make_step_callback(id_maps_, log_sigmas, normals_)
+                       if use_corr else None)
             if use_progress:
                 # per-step host progress + latent preview out of the jitted
                 # scan (preview.py io_callback; reference websocket progress)
@@ -1114,7 +1118,7 @@ def ksampler(
         model["params"], tuple(cn_params), ctx_pos, ctx_neg, latent, noise,
         sigmas, id_maps, tuple(cn_hints), jax.random.PRNGKey(seed),
         tuple(cond_ctxs), tuple(cond_masks), scene_ctx, noise_mask, concat_zm,
-        neg_concat, y_pos, y_neg,
+        neg_concat, y_pos, y_neg, normal_maps,
     )
     return ({"samples": out},)
 

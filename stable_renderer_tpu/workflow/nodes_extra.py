@@ -692,6 +692,8 @@ def model_patch_options(model: dict, unet, sigmas, ms):
                 _make_freeu_out_block(p, unet.config.model_channels))
         elif kind == "hypertile":
             attn_all = _make_hypertile_attn(p)
+        elif kind == "tomesd":
+            attn_all = _make_tome_attn(p)
         elif kind == "hypernetwork":
             pa, pc = _make_hypernet_hooks(p)
             pre_alls.append(pa)
@@ -1109,3 +1111,105 @@ def image_only_checkpoint_save(ctx: InferenceContext, node: WorkflowNode,
     path = os.path.join(d, f"{name}.safetensors")
     _save_safetensors(flat, path)
     return (path,)
+
+
+# ---------------------------------------------------------------------------
+# token merging (nodes_tomesd.py — ToMe for SD)
+
+
+@register_node("TomePatchModel")
+def tome_patch_model(ctx: InferenceContext, node: WorkflowNode, model=None):
+    ratio = float(node.widgets[0]) if node.widgets else 0.3
+    return (_add_patch(model, {"kind": "tomesd", "sig": ("tomesd", ratio),
+                               "ratio": ratio}),)
+
+
+def _make_tome_attn(p: dict):
+    """Static-shape ToMe self-attention (nodes_tomesd.py
+    bipartite_soft_matching_random2d): partition tokens into src/dst (one dst
+    per 2x2 region, picked at trace time — the reference re-randomizes per
+    call, a documented static-shape deviation), merge the r most-similar src
+    tokens into their dst by mean, attend over the reduced set, then unmerge.
+    r = ratio * N is static, so every gather/scatter has a fixed shape."""
+    import random as pyrandom
+
+    import jax
+    import jax.numpy as jnp
+
+    from stable_renderer_tpu.models.layers import attention
+
+    ratio = p["ratio"]
+    sx = sy = 2
+    rng = pyrandom.Random(hash(p["sig"]) & 0xFFFFFFFF)
+
+    def attn_all(q, k, v, heads, layer):
+        bsz, n_tok, c = q.shape
+        h = int(math.isqrt(n_tok))
+        if h * h != n_tok or h % sy or (h // sy) < 2:
+            return attention(q, k, v, heads)
+        w = h
+        hsy, wsx = h // sy, w // sx
+        num_dst = hsy * wsx
+        r = min(int(n_tok * ratio), n_tok - num_dst)
+        if r <= 0:
+            return attention(q, k, v, heads)
+
+        # static dst pick: one token per (sy, sx) region
+        import numpy as _np
+
+        pick = _np.asarray([[rng.randrange(sy * sx) for _ in range(wsx)]
+                            for _ in range(hsy)])
+        flags = _np.zeros((hsy, wsx, sy * sx), _np.int64)
+        _np.put_along_axis(flags, pick[..., None], -1, axis=2)
+        flags = flags.reshape(hsy, wsx, sy, sx).transpose(0, 2, 1, 3)
+        flags = flags.reshape(h, w).reshape(-1)
+        order = _np.argsort(flags, kind="stable")  # dst (-1) first, then src
+        b_idx = jnp.asarray(order[:num_dst])       # dst token indices (static)
+        a_idx = jnp.asarray(order[num_dst:])       # src token indices (static)
+        n_src = n_tok - num_dst
+
+        metric = k / jnp.maximum(
+            jnp.linalg.norm(k.astype(jnp.float32), axis=-1, keepdims=True), 1e-6)
+        a = metric[:, a_idx]                       # (B, Ns, C)
+        b = metric[:, b_idx]                       # (B, Nd, C)
+        scores = jnp.einsum("bsc,bdc->bsd", a, b)
+        node_max = jnp.max(scores, axis=-1)        # (B, Ns)
+        node_idx = jnp.argmax(scores, axis=-1)     # (B, Ns) best dst per src
+        edge_idx = jnp.argsort(-node_max, axis=-1)  # most similar first
+        src_idx = edge_idx[:, :r]                  # merged src rows
+        unm_idx = edge_idx[:, r:]                  # kept src rows
+        dst_of_src = jnp.take_along_axis(node_idx, src_idx, axis=1)  # (B, r)
+
+        def merge(x):
+            src = x[:, a_idx]
+            dst = x[:, b_idx].astype(jnp.float32)
+            unm = jnp.take_along_axis(src, unm_idx[..., None], axis=1)
+            mrg = jnp.take_along_axis(src, src_idx[..., None], axis=1
+                                      ).astype(jnp.float32)
+
+            def one(dst_b, mrg_b, didx_b):
+                sums = jax.ops.segment_sum(mrg_b, didx_b, num_segments=num_dst)
+                cnts = jax.ops.segment_sum(jnp.ones((r,)), didx_b,
+                                           num_segments=num_dst)
+                return (dst_b + sums) / (1.0 + cnts)[:, None]
+
+            dst = jax.vmap(one)(dst, mrg, dst_of_src).astype(x.dtype)
+            return jnp.concatenate([unm, dst], axis=1)  # (B, Ns-r+Nd, C)
+
+        def unmerge(x):
+            unm = x[:, : n_src - r]
+            dst = x[:, n_src - r:]
+            mrg = jnp.take_along_axis(dst, dst_of_src[..., None], axis=1)
+            # rebuild src order, then invert the dst|src permutation
+            src = jnp.zeros((bsz, n_src, x.shape[-1]), x.dtype)
+            src = jax.vmap(lambda s, i, u: s.at[i].set(u))(src, unm_idx, unm)
+            src = jax.vmap(lambda s, i, m: s.at[i].set(m))(src, src_idx, mrg)
+            out = jnp.zeros((bsz, n_tok, x.shape[-1]), x.dtype)
+            out = out.at[:, b_idx].set(dst)
+            out = out.at[:, a_idx].set(src)
+            return out
+
+        qm, km, vm = merge(q), merge(k), merge(v)
+        return unmerge(attention(qm, km, vm, heads))
+
+    return attn_all

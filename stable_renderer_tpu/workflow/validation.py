@@ -584,6 +584,9 @@ def _declare_default_specs() -> None:
                            WidgetSpec("b2", "FLOAT", min=0.0, max=10.0),
                            WidgetSpec("s1", "FLOAT", min=0.0, max=10.0),
                            WidgetSpec("s2", "FLOAT", min=0.0, max=10.0)))
+    register_spec("TomePatchModel", input_types={"model": "MODEL"},
+                  return_types=("MODEL",),
+                  widgets=(WidgetSpec("ratio", "FLOAT", min=0.0, max=1.0),))
     register_spec("HyperTile", input_types={"model": "MODEL"},
                   return_types=("MODEL",),
                   widgets=(WidgetSpec("tile_size", "INT", min=1, max=2048),

@@ -122,3 +122,82 @@ def test_overlap_corresponder_hooks_and_callback():
     # low sigma (late, t < 500) -> passthrough
     lo = cb(x, x, jnp.asarray(0.05), 5)
     np.testing.assert_allclose(np.asarray(lo), np.asarray(x))
+
+
+def test_group_frame_distance_average_matches_pairwise_oracle():
+    """group_frame_distance_average == the legacy FrameDistance pairwise
+    formula (legacy_codes/.../algorithms.py:53-74): out_i =
+    sum_j x_j/(|f_i-f_j|+1) / sum_j 1/(|f_i-f_j|+1) within a vertex group."""
+    import numpy as np
+
+    from stable_renderer_tpu.ops.math import group_frame_distance_average
+
+    rng = np.random.default_rng(0)
+    n, c, n_frames, n_seg = 64, 3, 4, 8
+    x = rng.normal(size=(n, c)).astype(np.float32)
+    ids = rng.integers(0, n_seg, size=n).astype(np.int32)
+    frames = rng.integers(0, n_frames, size=n).astype(np.int32)
+
+    got = np.asarray(group_frame_distance_average(
+        jnp.asarray(x), jnp.asarray(ids), jnp.asarray(frames), n_seg, n_frames))
+
+    want = x.copy()
+    for i in range(n):
+        members = np.where(ids == ids[i])[0]
+        w = 1.0 / (np.abs(frames[i] - frames[members]) + 1.0)
+        want[i] = (w[:, None] * x[members]).sum(0) / w.sum()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_vertex_average_injection_weighting_schemes():
+    """All four legacy weighting schemes run and differ from each other
+    (algorithms.py AverageDistance/FrameDistance/PixelDistance/
+    PerpendicularViewNormal equivalents)."""
+    import numpy as np
+
+    from stable_renderer_tpu.ops.correspondence import vertex_average_injection
+
+    key = jax.random.PRNGKey(0)
+    b, h, w = 3, 8, 8
+    latent = jax.random.normal(key, (b, h, w, 4))
+    ids = np.zeros((b, 16, 16, 4), np.int32)
+    # one shared vertex pattern across frames, a few distinct vertices
+    vid = (np.arange(16 * 16).reshape(16, 16) % 37) + 1
+    for f in range(b):
+        ids[f, ..., 3] = vid
+        ids[f, ..., 0] = 1
+        ids[f, ..., 2] = 3  # map_index != NON_AI
+    normals = jax.random.uniform(jax.random.PRNGKey(2), (b, 16, 16, 3))
+    outs = {}
+    for scheme in ("average", "frame_distance", "pixel_distance", "view_normal"):
+        outs[scheme] = np.asarray(vertex_average_injection(
+            latent, jnp.asarray(ids), 0.5, num_segments=64,
+            weighting=scheme, normal_maps=normals))
+        assert np.isfinite(outs[scheme]).all(), scheme
+    names = list(outs)
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            assert not np.allclose(outs[names[i]], outs[names[j]]), (
+                f"{names[i]} == {names[j]}")
+    # view_normal without normals falls back to average
+    fb = np.asarray(vertex_average_injection(
+        latent, jnp.asarray(ids), 0.5, num_segments=64,
+        weighting="view_normal", normal_maps=None))
+    np.testing.assert_allclose(fb, outs["average"], atol=1e-6)
+
+
+def test_overlap_corresponder_weighting_plumbs_through():
+    from stable_renderer_tpu.ops.correspondence import OverlapCorresponder
+
+    import numpy as np
+
+    ids = np.zeros((2, 8, 8, 4), np.int32)
+    ids[..., 3] = np.arange(64).reshape(8, 8) % 9 + 1
+    ids[..., 2] = 1
+    corr = OverlapCorresponder(weighting="frame_distance", vertex_segments=64,
+                               update_corrmap=False)
+    cb = corr.make_step_callback(jnp.asarray(ids), None)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4))
+    out = cb(x, x, jnp.asarray(1.0), 0)
+    assert np.isfinite(np.asarray(out)).all()
+    assert not np.allclose(np.asarray(out), np.asarray(x))

@@ -272,3 +272,23 @@ def test_sd4x_upscale_conditioning():
     assert latent["samples"].shape == (1, 16, 16, 4)
     assert pos["concat_image"].shape == (1, 16, 16, 3)
     assert pos["noise_augmentation"] == pytest.approx(0.1)
+
+
+def test_tome_patch_merge_unmerge_identity_and_runs():
+    """ToMe (nodes_tomesd.py): the merged attention path runs and produces
+    finite output that differs from the unpatched run; with ratio=0 the patch
+    is an exact no-op."""
+    ictx = _ictx()
+    model, clip, _ = _tiny_model(ictx)
+    (pos,) = NODE_REGISTRY["CLIPTextEncode"](ictx, _N("CLIPTextEncode", ["x"]), clip=clip)
+    (latent,) = NODE_REGISTRY["EmptyLatentImage"](ictx, _N("EmptyLatentImage", [64, 64, 1]))
+    base = _run_ksampler(ictx, model, pos, latent, node_id=90)
+    (m_tome,) = NODE_REGISTRY["TomePatchModel"](
+        ictx, _N("TomePatchModel", [0.4]), model=model)
+    out = _run_ksampler(ictx, m_tome, pos, latent, node_id=91)
+    assert np.isfinite(out).all()
+    assert not np.allclose(base, out)
+    (m_zero,) = NODE_REGISTRY["TomePatchModel"](
+        ictx, _N("TomePatchModel", [0.0]), model=model)
+    out0 = _run_ksampler(ictx, m_zero, pos, latent, node_id=92)
+    np.testing.assert_allclose(base, out0, atol=1e-5)
