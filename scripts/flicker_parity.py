@@ -118,7 +118,30 @@ def main() -> None:
     with open(json_path, "w") as f:
         json.dump(report, f, indent=2)
     md = ["# Temporal-flicker parity report (BASELINE metric #2)", "",
-          "Scored with `stable_renderer_tpu.ops.metrics` — see PARITY.json for raw values.", ""]
+          "Scored with `stable_renderer_tpu.ops.metrics` — see PARITY.json for raw values.", "",
+          "## Methodology", "",
+          "- `reference/*`: the reference's own dumped render sequences "
+          "(`resources/example-map-outputs`) — its observed temporal behavior is "
+          "the parity target (BASELINE.md).", "",
+          "- `ours`: rendered by `scripts/render_parity_ours.py --mode replay` — "
+          "the product's temporal-consistency path end to end: the reference's "
+          "miku color dumps are baked into a CorrespondMap through the engine's "
+          "own BAKE-mode rasterized id maps, then replayed through the real "
+          "engine loop (GAME mode, CorrMapRenderer renderMode=BAKED, orbiting "
+          "camera, 512²). `vertex_flicker` (the correspondence-aware metric) is "
+          "scored against the engine's per-frame id maps; 0.0 = every 3D vertex "
+          "keeps exactly one color across all frames — the guarantee the "
+          "correspondence machinery exists to provide.", "",
+          "- The diffusion img2img path (`--mode diffusion`) needs real SD "
+          "weights for meaningful numbers (none ship in this environment; a "
+          "random UNet/VAE outputs texture noise whose flicker measures "
+          "nothing). Pass `--ckpt <sd15.safetensors>` to score it; the "
+          "pipeline under that mode is the same program benchmarked in "
+          "bench.py.", "",
+          "- LPIPS: no VGG/LPIPS weights ship offline either; `--lpips CKPT` "
+          "enables `flicker_lpips` when a checkpoint is available. The "
+          "committed metrics (L1 / 1-SSIM / vertex RMS) are "
+          "weight-free and reproducible in CI.", ""]
     for section, vals in report.items():
         if section in ("metric_defs",):
             continue

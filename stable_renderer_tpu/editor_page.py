@@ -1,0 +1,130 @@
+"""The in-browser graph editor page (served at /editor).
+
+A dependency-free stand-in for the reference's embedded ComfyUI graph editor
+(reference: comfyUI/web/ frontend served by server.py:114-791 and embedded in
+the PySide6 editor via QWebEngineView, ui/components/pipeline_editor.py:12-14):
+a single-file HTML/JS canvas where nodes from /object_info are placed, wired,
+and submitted as the same UI-format workflow JSON the loader consumes
+(workflow/loader.py); execution progress + latent previews stream back over
+/events (SSE).
+"""
+
+EDITOR_HTML = r"""<!doctype html>
+<html><head><title>stable_renderer_tpu graph editor</title><style>
+body{background:#14161a;color:#ccc;font-family:system-ui,sans-serif;margin:0;overflow:hidden}
+#bar{padding:8px;background:#1d2127;border-bottom:1px solid #333;display:flex;gap:8px;align-items:center}
+#bar select,#bar button,#bar span{font-size:13px}
+button{background:#2d3340;color:#ddd;border:1px solid #555;border-radius:4px;padding:4px 12px;cursor:pointer}
+button:hover{background:#3a4252}
+#canvas{position:relative;width:100vw;height:calc(100vh - 46px)}
+svg{position:absolute;inset:0;pointer-events:none;width:100%;height:100%}
+.node{position:absolute;min-width:170px;background:#23272f;border:1px solid #4a5160;border-radius:6px;
+ box-shadow:0 3px 10px #0006;user-select:none}
+.node h4{margin:0;padding:5px 8px;background:#303744;border-radius:6px 6px 0 0;font-size:12px;cursor:move}
+.port{width:10px;height:10px;border-radius:50%;background:#888;display:inline-block;cursor:crosshair;margin:2px}
+.port.out{background:#7aa2f7}.port.in{background:#9ece6a}.port.sel{outline:2px solid #ff9e64}
+.row{display:flex;justify-content:space-between;align-items:center;padding:1px 4px;font-size:11px}
+.node input,.node select{width:90px;background:#161a20;color:#ccc;border:1px solid #444;font-size:11px}
+#status{margin-left:auto;font-size:12px;color:#9ece6a}
+#preview{position:fixed;right:12px;bottom:12px;max-width:220px;border:1px solid #444;display:none}
+progress{width:140px}
+.del{float:right;color:#f66;cursor:pointer;padding:0 4px}
+</style></head><body>
+<div id="bar">
+ <select id="palette"></select>
+ <button onclick="addNode()">add node</button>
+ <button onclick="submit()">run ▶</button>
+ <button onclick="clearAll()">clear</button>
+ <progress id="p" value="0" max="1"></progress><span id="pt"></span>
+ <span id="status"></span>
+</div>
+<div id="canvas"><svg id="wires"></svg></div>
+<img id="preview"/>
+<script>
+let INFO={},nodes=[],links=[],nid=1,lid=1,selPort=null;
+const canvas=document.getElementById('canvas');
+fetch('/object_info').then(r=>r.json()).then(d=>{INFO=d;
+ const pal=document.getElementById('palette');
+ Object.keys(d).sort().forEach(n=>{const o=document.createElement('option');o.value=o.textContent=n;pal.appendChild(o);});
+ // seed a starter graph
+ ['CheckpointLoaderSimple','CLIPTextEncode','EmptyLatentImage','KSampler','VAEDecode','InferenceOutput']
+  .forEach((t,i)=>addNode(t,30+i*190,60+(i%2)*230));
+});
+function widgetsOf(t){const inf=INFO[t];if(!inf)return[];const req=inf.input.required||{};
+ return Object.entries(req).filter(([k,v])=>{
+  const ty=Array.isArray(v[0])?'COMBO':v[0];
+  return ['INT','FLOAT','STRING','BOOLEAN','COMBO'].includes(ty)||Array.isArray(v[0]);});}
+function linkInputsOf(t){const inf=INFO[t];if(!inf)return[];const req=inf.input.required||{};
+ return Object.entries(req).filter(([k,v])=>{
+  const ty=Array.isArray(v[0])?'COMBO':v[0];
+  return !['INT','FLOAT','STRING','BOOLEAN','COMBO'].includes(ty)&&!Array.isArray(v[0]);});}
+function addNode(type,x,y){type=type||document.getElementById('palette').value;
+ const n={id:nid++,type,x:x??(60+Math.random()*500),y:y??(80+Math.random()*300),widgets:{}};
+ nodes.push(n);render();}
+function removeNode(id){nodes=nodes.filter(n=>n.id!==id);
+ links=links.filter(l=>l.src!==id&&l.dst!==id);render();}
+function render(){
+ canvas.querySelectorAll('.node').forEach(e=>e.remove());
+ for(const n of nodes){
+  const d=document.createElement('div');d.className='node';d.style.left=n.x+'px';d.style.top=n.y+'px';d.dataset.id=n.id;
+  const outs=(INFO[n.type]?.output)||['ANY'];
+  let h=`<h4>${n.type} <span class="del" onclick="removeNode(${n.id})">×</span></h4>`;
+  linkInputsOf(n.type).forEach(([k,v],i)=>{
+   h+=`<div class="row"><span><span class="port in" data-n="${n.id}" data-slot="${i}" data-name="${k}"></span>${k} <i style="color:#666">${v[0]}</i></span></div>`;});
+  outs.forEach((t,i)=>{
+   h+=`<div class="row"><span></span><span>${t} <span class="port out" data-n="${n.id}" data-slot="${i}"></span></span></div>`;});
+  widgetsOf(n.type).forEach(([k,v])=>{
+   const cur=n.widgets[k]??'';
+   if(Array.isArray(v[0])){
+    h+=`<div class="row">${k}<select data-w="${k}">${v[0].map(c=>`<option ${c==cur?'selected':''}>${c}</option>`).join('')}</select></div>`;
+   }else{h+=`<div class="row">${k}<input data-w="${k}" value="${cur}"/></div>`;}});
+  d.innerHTML=h;canvas.appendChild(d);
+  d.querySelector('h4').onmousedown=e=>{const sx=e.clientX-n.x,sy=e.clientY-n.y;
+   const mv=ev=>{n.x=ev.clientX-sx;n.y=ev.clientY-sy;d.style.left=n.x+'px';d.style.top=n.y+'px';drawWires();};
+   const up=()=>{removeEventListener('mousemove',mv);removeEventListener('mouseup',up);};
+   addEventListener('mousemove',mv);addEventListener('mouseup',up);};
+  d.querySelectorAll('[data-w]').forEach(el=>el.onchange=()=>{n.widgets[el.dataset.w]=el.value;});
+  d.querySelectorAll('.port').forEach(p=>p.onclick=()=>portClick(p));
+ }
+ drawWires();}
+function portClick(p){
+ if(p.classList.contains('out')){document.querySelectorAll('.port.sel').forEach(e=>e.classList.remove('sel'));
+  p.classList.add('sel');selPort=p;return;}
+ if(selPort&&p.classList.contains('in')){
+  const dst=+p.dataset.n;
+  links=links.filter(l=>!(l.dst===dst&&l.dstName===p.dataset.name));
+  links.push({id:lid++,src:+selPort.dataset.n,srcSlot:+selPort.dataset.slot,
+              dst,dstSlot:+p.dataset.slot,dstName:p.dataset.name});
+  selPort.classList.remove('sel');selPort=null;drawWires();}}
+function portPos(nId,slot,kind,name){
+ const d=canvas.querySelector(`.node[data-id="${nId}"]`);if(!d)return null;
+ const sel=kind==='out'?`.port.out[data-slot="${slot}"]`:`.port.in[data-name="${name}"]`;
+ const p=d.querySelector(sel);if(!p)return null;const r=p.getBoundingClientRect(),c=canvas.getBoundingClientRect();
+ return[r.left-c.left+5,r.top-c.top+5];}
+function drawWires(){const svg=document.getElementById('wires');
+ svg.innerHTML=links.map(l=>{
+  const a=portPos(l.src,l.srcSlot,'out'),b=portPos(l.dst,l.dstSlot,'in',l.dstName);
+  if(!a||!b)return'';
+  return`<path d="M${a[0]},${a[1]} C${a[0]+60},${a[1]} ${b[0]-60},${b[1]} ${b[0]},${b[1]}" stroke="#7aa2f7" fill="none" stroke-width="2"/>`;
+ }).join('');}
+function buildWorkflow(){
+ return{nodes:nodes.map(n=>({id:n.id,type:n.type,
+   widgets_values:widgetsOf(n.type).map(([k])=>n.widgets[k]??''),
+   inputs:links.filter(l=>l.dst===n.id).map(l=>({name:l.dstName,link:l.id}))})),
+  links:links.map(l=>[l.id,l.src,l.srcSlot,l.dst,l.dstSlot,'ANY'])};}
+async function submit(){
+ const st=document.getElementById('status');
+ try{const r=await fetch('/prompt',{method:'POST',body:JSON.stringify({prompt:buildWorkflow()})});
+  st.textContent='queued #'+(await r.json()).prompt_id;}
+ catch(e){st.textContent=String(e);}}
+function clearAll(){nodes=[];links=[];render();}
+const es=new EventSource('/events');
+es.onmessage=m=>{const e=JSON.parse(m.data);const st=document.getElementById('status');
+ if(e.type==='progress'){const d=e.data;
+  document.getElementById('p').value=d.step;document.getElementById('p').max=d.total;
+  document.getElementById('pt').textContent=d.step+'/'+d.total;
+  if(d.preview){const im=document.getElementById('preview');
+   im.src='data:image/jpeg;base64,'+d.preview;im.style.display='block';}}
+ if(e.type==='executed')st.textContent='done: '+e.data.status;
+ if(e.type==='execution_start')st.textContent='running #'+e.data.prompt_id;};
+</script></body></html>""".encode("utf-8")

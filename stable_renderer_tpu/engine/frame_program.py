@@ -50,6 +50,7 @@ from stable_renderer_tpu.ops.raster import rasterize_auto, vertex_stage
         "cn_sources",
         "to_uint8",
         "apply_post",
+        "stream_init",
     ),
 )
 def frame_step(
@@ -76,6 +77,9 @@ def frame_step(
     # host applies post_process after them (RenderManager.on_frame_run)
     lights=None,              # traced (L, 16) Light.pack_lights rows or None:
     # defer-stage Lambert lighting (ops/postprocess.py apply_lights)
+    stream_state=None,        # traced (S, h, w, 4) in-flight latents for the
+    # StreamDiffusion pipeline (RenderConfig.stream_pipeline); None = off
+    stream_init: bool = False,  # static: fill the pipeline from this frame
 ):
     gbuf = GBuffer.empty(height, width)
     zbuf = jnp.ones((height, width))
@@ -111,7 +115,25 @@ def frame_step(
     pack = _pack_arrays(gbuf, bg_noise)
     display = gbuf.color  # (H, W, 4)
     images = None
-    if run_diffusion:
+    new_stream_state = None
+    if run_diffusion and (stream_state is not None or stream_init):
+        # StreamDiffusion path: one batched UNet eval advances `steps` frames
+        images, new_stream_state = pipeline._jit_render_stream(
+            unet_params,
+            vae_params,
+            pack["color"][None],
+            pack["noise"][None],
+            pack["id"][None],
+            stream_state,
+            sigmas,
+            key,
+            ctx,
+            nctx,
+            stream_init=stream_init,
+        )
+        rgb = images[-1]
+        display = jnp.concatenate([rgb, jnp.ones_like(rgb[..., :1])], axis=-1)
+    elif run_diffusion:
         if pending is not None:
             batch = {
                 k: jnp.concatenate([pending[k], pack[k][None]], axis=0)
@@ -157,7 +179,7 @@ def frame_step(
         display = post_process(display, pp)
     if to_uint8:
         display = jnp.round(jnp.clip(display, 0.0, 1.0) * 255.0).astype(jnp.uint8)
-    return display, gbuf, pack, images
+    return display, gbuf, pack, images, new_stream_state
 
 
 @jax.jit

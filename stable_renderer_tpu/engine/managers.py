@@ -224,6 +224,7 @@ class RenderManager(Manager):
         self._env_prompts: List[EnvPrompt] = []
         self._pending: List[dict] = []  # accumulated frame packs for bake batching
         self._pending_indices: List[int] = []
+        self._stream_state = None  # in-flight latents (RenderConfig.stream_pipeline)
         self._inflight = None  # (device frame, frame_index) awaiting present
         self.timer = StageTimer()
         self._bg_noise = None
@@ -363,8 +364,11 @@ class RenderManager(Manager):
             pp = self.post_process_params or PostProcessParams()
             have_tasks = bool(len(self.defer_tasks) or len(self.post_tasks))
 
+        use_stream = (run_diffusion and pipe is not None
+                      and getattr(pipe.config, "stream_pipeline", False)
+                      and not is_baking)
         with self.timer.stage("dispatch"):
-            display, gbuf, pack, images = frame_step(
+            display, gbuf, pack, images, stream_state = frame_step(
                 pipe if run_diffusion else None,
                 corresponder,
                 sprite_ids,
@@ -391,7 +395,11 @@ class RenderManager(Manager):
                 y_uncond,
                 apply_post=not have_tasks,
                 lights=lights,
+                stream_state=self._stream_state if use_stream else None,
+                stream_init=use_stream and self._stream_state is None,
             )
+        if use_stream:
+            self._stream_state = stream_state
         self.last_gbuffer = gbuf
 
         if have_tasks:

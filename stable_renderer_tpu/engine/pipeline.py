@@ -632,3 +632,82 @@ class DiffusionPipeline:
                 self.taesd_params, out_latent.astype(vae_dtype)).astype(jnp.float32)
         decoded = self.vae.decode(vae_params, out_latent.astype(vae_dtype)).astype(jnp.float32)
         return jnp.clip(decoded * 0.5 + 0.5, 0.0, 1.0)
+
+    # --- stream-pipelined realtime program ------------------------------------
+
+    @partial(jax.jit, static_argnames=("self", "stream_init"))
+    def _jit_render_stream(
+        self, unet_params, vae_params, color, noise_maps, id_maps, state,
+        sigmas, key, ctx, nctx, stream_init: bool = False,
+    ):
+        """StreamDiffusion-style frame pipelining (SURVEY §7): S = steps frames
+        are in flight at different denoise stages; every engine frame costs ONE
+        batched UNet eval (batch S x cfg) instead of S sequential evals —
+        larger batches run at better MFU, so the per-frame cost drops ~15-20%
+        while FLOPs stay identical.
+
+        state: (S, h, w, 4) latents, row i at sigma_i. Each call pushes the new
+        frame's noised latent in at stage 0, advances every stage one step
+        (per-sample sigma through the shared CFG denoiser), and decodes the
+        completed stage. ``stream_init=True`` (first frame) fills the pipeline
+        with copies of the incoming frame — the first S-1 outputs are the
+        warmup transient. Samplers: lcm / euler (memoryless steps). The
+        corresponder's cross-frame machinery targets bake batching and is
+        bypassed here (realtime single-frame mode).
+        """
+        cfg = self.config
+        use_taesd = cfg.realtime_taesd and self.taesd is not None
+        vae_dtype = vae_params["quant_conv"]["weight"].dtype
+        if use_taesd:
+            latent = self.taesd.encode(
+                self.taesd_params, color.astype(vae_dtype)).astype(jnp.float32)
+        else:
+            x = (color * 2.0 - 1.0).astype(vae_dtype)
+            latent = self.vae.encode(vae_params, x).astype(jnp.float32)
+        lh, lw = latent.shape[1], latent.shape[2]
+        key, nkey, skey = jax.random.split(key, 3)
+        if noise_maps is not None:
+            noise = noise_maps[..., : latent.shape[-1]]
+            if noise.shape[1:3] != (lh, lw):
+                from stable_renderer_tpu.ops.math import resize_nearest
+
+                noise = resize_nearest(noise, lh, lw)
+        elif id_maps is not None and cfg.vertex_noise:
+            noise = vertex_noise(nkey, id_maps, lh, lw, latent.shape[-1])
+        else:
+            noise = jax.random.normal(nkey, latent.shape)
+        s = sigmas.shape[0] - 1  # pipeline depth = steps
+        x_t = latent + noise * sigmas[0]  # (1, h, w, C)
+        if stream_init:
+            state = jnp.broadcast_to(x_t, (s, *x_t.shape[1:]))
+
+        uncond = None if cfg.cfg_scale == 1.0 else nctx
+        log_sigmas = jnp.asarray(self.model_sampling.log_sigmas)
+        den = make_denoiser(
+            self.unet, unet_params,
+            jnp.broadcast_to(ctx[:1], (s, *ctx.shape[1:])),
+            None if uncond is None else jnp.broadcast_to(
+                uncond[:1], (s, *uncond.shape[1:])),
+            log_sigmas, cfg_scale=cfg.cfg_scale,
+            prediction=self.model_sampling.prediction,
+        )
+        sig_vec = sigmas[:s]          # stage i sits at sigma_i
+        sig_next = sigmas[1 : s + 1]  # and steps to sigma_{i+1}
+        denoised = den(state, sig_vec)
+        if cfg.sampler == "lcm":
+            fresh = jax.random.normal(skey, state.shape)
+            stepped = denoised + sig_next[:, None, None, None] * fresh
+        else:  # euler
+            d = (state - denoised) / jnp.maximum(
+                sig_vec[:, None, None, None], 1e-8)
+            stepped = state + d * (sig_next - sig_vec)[:, None, None, None]
+        out_latent = jnp.where(sig_next[-1] > 0, stepped[-1], denoised[-1])[None]
+        new_state = jnp.concatenate([x_t, stepped[:-1]], axis=0)
+        if use_taesd:
+            image = self.taesd.decode(
+                self.taesd_params, out_latent.astype(vae_dtype)).astype(jnp.float32)
+        else:
+            decoded = self.vae.decode(
+                vae_params, out_latent.astype(vae_dtype)).astype(jnp.float32)
+            image = jnp.clip(decoded * 0.5 + 0.5, 0.0, 1.0)
+        return image, new_state

@@ -171,7 +171,17 @@ def make_denoiser(
 
     def denoise(x: jax.Array, sigma: jax.Array) -> jax.Array:
         b = x.shape[0]
-        t = t_fn(sigma) if t_fn is not None else timestep_from_sigma(log_sigmas, sigma)
+        if getattr(sigma, "ndim", 0) == 1:
+            # per-sample sigmas: the stream-pipelined frame batch holds frames
+            # at DIFFERENT denoise stages (StreamDiffusion batching, SURVEY §7)
+            t = (t_fn(sigma) if t_fn is not None
+                 else jax.vmap(lambda s: timestep_from_sigma(log_sigmas, s))(sigma))
+            sigma = sigma.reshape(b, 1, 1, 1)
+            per_sample_t = t
+            t = t.reshape(b, 1, 1, 1)  # for calculate_denoised broadcasting
+        else:
+            t = t_fn(sigma) if t_fn is not None else timestep_from_sigma(log_sigmas, sigma)
+            per_sample_t = None
         c_in = 1.0 / jnp.sqrt(sigma**2 + 1.0)  # eps-model input scaling
         x_in = (x * c_in).astype(compute_dtype)
         groups = 1 + (1 if use_cfg else 0) + (1 if use_perp_neg else 0)
@@ -186,7 +196,10 @@ def make_denoiser(
         else:
             x_b, ctx = x_in, cond_context
         ctx = ctx.astype(compute_dtype)
-        tb = jnp.broadcast_to(t, (x_b.shape[0],))
+        if per_sample_t is not None:
+            tb = jnp.concatenate([per_sample_t] * groups)
+        else:
+            tb = jnp.broadcast_to(t, (x_b.shape[0],))
         y = yu = None
         if y_cond is not None:
             # SDXL ADM rides the same cond/uncond batching (model_base.py SDXL)

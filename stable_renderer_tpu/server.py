@@ -283,6 +283,15 @@ class FrameServer:
                     self.send_header("Content-Type", "text/html")
                     self.end_headers()
                     self.wfile.write(_INDEX_HTML)
+                elif self.path.startswith("/editor"):
+                    # the in-browser graph editor (reference: ComfyUI web
+                    # frontend embedded in the PySide6 editor)
+                    from stable_renderer_tpu.editor_page import EDITOR_HTML
+
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html")
+                    self.end_headers()
+                    self.wfile.write(EDITOR_HTML)
                 elif self.path.startswith("/frame"):
                     with server._frame_cv:
                         frame = server._frame

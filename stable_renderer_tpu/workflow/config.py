@@ -48,6 +48,12 @@ class RenderConfig:
     # ~3 ms vs ~41 ms at 512²; the reference uses taesd for previews only —
     # on TPU it's a legitimate realtime quality/speed knob)
     realtime_taesd: bool = False
+    # StreamDiffusion-style realtime pipelining (SURVEY §7): keep `steps`
+    # frames in flight at different denoise stages so each engine frame costs
+    # ONE batched UNet eval instead of `steps` sequential evals (better MXU
+    # utilization; output lags the raster by steps-1 frames). lcm/euler only;
+    # bypasses controlnets + cross-frame correspondence (realtime mode).
+    stream_pipeline: bool = False
     scene_conditioning: bool = True  # per-sprite masked conditioning (SceneTextEncode)
     keep_background: bool = False  # inpaint mode: denoise only AI-object pixels
     controlnets: Tuple[ControlNetSpec, ...] = ()

@@ -356,3 +356,29 @@ def test_editor_mode_serves_live_view():
 
     eng2 = Game.Run(winSize=(64, 64), disableComfyUI=True, max_frames=1)
     assert eng2.editor_server is None
+
+
+def test_stream_pipeline_mode():
+    """RenderConfig(stream_pipeline=True): steps frames stay in flight and each
+    engine frame runs ONE batched UNet eval (StreamDiffusion batching,
+    SURVEY §7); state depth == steps, outputs stay finite, and after warmup the
+    stream output differs from the warmup transient."""
+    pipe = DiffusionPipeline.from_random(
+        RenderConfig(steps=3, cfg_scale=2.0, sampler="lcm",
+                     scheduler="sgm_uniform", stream_pipeline=True),
+        tiny=True,
+    )
+
+    class App(Engine):
+        def beforePrepare(self):
+            _build_scene(with_ai=False)
+
+    eng = App.Run(
+        winSize=(64, 64), pipeline=pipe, max_frames=5, keep_frames_in_memory=True
+    )
+    assert len(eng.WindowManager.frames) == 5
+    for f in eng.WindowManager.frames:
+        assert np.isfinite(np.asarray(f, dtype=np.float32)).all()
+    state = eng.RenderManager._stream_state
+    assert state is not None and state.shape[0] == 3  # pipeline depth = steps
+    assert np.isfinite(np.asarray(state)).all()

@@ -251,3 +251,63 @@ def test_sse_progress_events_during_execution(server):
     assert progress[-1]["data"]["total"] == 2
     assert "preview" in progress[-1]["data"]  # base64 latent preview
     assert [e for e in got if e["type"] == "executed"][0]["data"]["prompt_id"] == pid
+
+
+def test_graph_editor_page(server):
+    """/editor serves the in-browser graph editor wired to /object_info,
+    /prompt and /events (the reference's embedded ComfyUI web editor
+    equivalent, ui/components/pipeline_editor.py:12-14)."""
+    base = f"http://127.0.0.1:{server.port}"
+    code, body, hdrs = _get(base + "/editor")
+    assert code == 200 and hdrs["Content-Type"].startswith("text/html")
+    text = body.decode()
+    for needle in ("graph editor", "/object_info", "/events", "/prompt",
+                   "buildWorkflow", "widgets_values"):
+        assert needle in text, needle
+
+
+def test_editor_built_workflow_executes(server):
+    """A workflow in exactly the shape the /editor page's buildWorkflow()
+    emits (ids + widgets_values + named inputs + [id,src,slot,dst,slot,type]
+    links) validates and executes through the worker loop."""
+    base = f"http://127.0.0.1:{server.port}"
+    wf = {
+        "nodes": [
+            {"id": 1, "type": "CheckpointLoaderSimple",
+             "widgets_values": ["x.safetensors"], "inputs": []},
+            {"id": 2, "type": "CLIPTextEncode", "widgets_values": ["a boat"],
+             "inputs": [{"name": "clip", "link": 1}]},
+            {"id": 3, "type": "EmptyLatentImage", "widgets_values": [64, 64, 1],
+             "inputs": []},
+            {"id": 4, "type": "KSampler",
+             "widgets_values": [3, "fixed", 2, 1.5, "euler", "normal", 1.0],
+             "inputs": [{"name": "model", "link": 2},
+                        {"name": "positive", "link": 3},
+                        {"name": "negative", "link": 4},
+                        {"name": "latent_image", "link": 5}]},
+            {"id": 5, "type": "VAEDecode",
+             "inputs": [{"name": "samples", "link": 6},
+                        {"name": "vae", "link": 7}]},
+            {"id": 6, "type": "InferenceOutput",
+             "inputs": [{"name": "value", "link": 8}]},
+        ],
+        "links": [
+            [1, 1, 1, 2, 0, "ANY"],
+            [2, 1, 0, 4, 0, "ANY"],
+            [3, 2, 0, 4, 1, "ANY"],
+            [4, 2, 0, 4, 2, "ANY"],
+            [5, 3, 0, 4, 3, "ANY"],
+            [6, 4, 0, 5, 0, "ANY"],
+            [7, 1, 2, 5, 1, "ANY"],
+            [8, 5, 0, 6, 0, "ANY"],
+        ],
+    }
+    req = urllib.request.Request(
+        base + "/prompt", data=json.dumps({"prompt": wf}).encode(),
+        method="POST")
+    with urllib.request.urlopen(req, timeout=5) as r:
+        pid = json.loads(r.read())["prompt_id"]
+    serve_workflows(server, max_prompts=1, poll_timeout=0.1)
+    hist = json.loads(_get(base + "/history")[1])
+    entry = [h for h in hist if h["prompt_id"] == pid][0]
+    assert entry["status"] == "success", entry
