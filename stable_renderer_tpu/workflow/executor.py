@@ -802,6 +802,20 @@ def ksampler(
     b = latent.shape[0]
     ctx_pos = positive["context"]
     ctx_neg = negative["context"] if negative else None
+    ccp = model.get("cc_projection")
+    if ccp is not None and ctx_pos.shape[-1] != model["unet"].config.context_dim:
+        # Zero123: project [clip-vision embed, camera embedding] (772) into the
+        # UNet's 768-dim cross-attn space (comfy model_base.py Zero123)
+        w_cc = jnp.asarray(ccp["weight"])
+        b_cc = jnp.asarray(ccp.get("bias", jnp.zeros((w_cc.shape[0],))))
+        ctx_pos = ctx_pos @ w_cc.T + b_cc
+        if ctx_neg is not None:
+            if ctx_neg.shape[-1] != w_cc.shape[1]:
+                ctx_neg = jnp.concatenate(
+                    [ctx_neg, jnp.zeros((*ctx_neg.shape[:-1],
+                                         w_cc.shape[1] - ctx_neg.shape[-1]))],
+                    axis=-1)
+            ctx_neg = ctx_neg @ w_cc.T + b_cc
     if ctx_pos.shape[0] != b:
         ctx_pos = jnp.broadcast_to(ctx_pos[:1], (b, *ctx_pos.shape[1:]))
     if ctx_neg is not None and ctx_neg.shape[0] != b:

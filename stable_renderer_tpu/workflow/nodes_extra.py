@@ -994,13 +994,31 @@ def image_only_checkpoint_loader(ctx: InferenceContext, node: WorkflowNode):
         from stable_renderer_tpu.models.weights import (
             load_state_dict, nest, to_device)
 
+        from stable_renderer_tpu.models import UNetModel
+        from stable_renderer_tpu.models.sampling import ModelSampling
+        from stable_renderer_tpu.models.weights import detect_unet_config
+        from stable_renderer_tpu.models.video_unet import VideoUNetConfig
+
         flat = load_state_dict(path)
         unet_p = nest(flat, "model.diffusion_model.")
         vae_p = nest(flat, "first_stage_model.")
         cv_p = nest(flat, "conditioner.embedders.0.open_clip.model.visual.")
-        unet = VideoUNetModel(SVD_UNET_CONFIG)
+        if not cv_p:  # Zero123 layout (cond_stage_model = clip vision)
+            cv_p = nest(flat, "cond_stage_model.model.visual.")
+        ucfg = detect_unet_config(flat)
+        if isinstance(ucfg, VideoUNetConfig):
+            unet = VideoUNetModel(ucfg)
+            ms = ModelSamplingEDM(prediction="v")
+        else:  # image-conditioned stills model (Stable Zero123 etc.)
+            unet = UNetModel(ucfg)
+            ms = ModelSampling()
         model = {"unet": unet, "params": to_device(unet_p, jnp.bfloat16),
-                 "sampling": ModelSamplingEDM(prediction="v")}
+                 "sampling": ms}
+        if "cc_projection.weight" in flat:
+            model["cc_projection"] = {
+                "weight": flat["cc_projection.weight"],
+                "bias": flat.get("cc_projection.bias"),
+            }
         vae = {"vae": VAE(SD15_VAE_CONFIG), "params": to_device(vae_p, jnp.bfloat16)}
         cv = CLIPVisionModel(VITH_CONFIG)
         clip_vision = {"model": cv, "params": to_device({"vision_model": cv_p},
@@ -1213,3 +1231,51 @@ def _make_tome_attn(p: dict):
         return unmerge(attention(qm, km, vm, heads))
 
     return attn_all
+
+
+# ---------------------------------------------------------------------------
+# Stable Zero123 (nodes_stable3d.py — novel-view synthesis conditioning)
+
+
+@register_node("StableZero123_Conditioning")
+def stable_zero123_conditioning(ctx: InferenceContext, node: WorkflowNode,
+                                clip_vision=None, init_image=None, vae=None):
+    """Zero123 novel-view conditioning (nodes_stable3d.py
+    StableZero123_Conditioning): CLIP-vision image embed concatenated with the
+    4-dim camera embedding (polar offset, sin/cos azimuth, fixed 90deg) as the
+    cross-attn context, init-image latent as c_concat. The Zero123 model's
+    cc_projection (772 -> 768) is applied by the KSampler when the loaded
+    model carries it (comfy model_base.py Zero123.extra_conds)."""
+    import jax
+    import jax.numpy as jnp
+
+    w = node.widgets
+    width = int(w[0]) if w else 256
+    height = int(w[1]) if len(w) > 1 else 256
+    batch_size = int(w[2]) if len(w) > 2 else 1
+    elevation = float(w[3]) if len(w) > 3 else 0.0
+    azimuth = float(w[4]) if len(w) > 4 else 0.0
+
+    out = clip_vision["model"].encode_image(clip_vision["params"], init_image)
+    pooled = out.image_embeds[:1][:, None, :]  # (1, 1, D)
+    img = jnp.asarray(init_image)[..., :3]
+    if img.shape[1:3] != (height, width):
+        img = jax.image.resize(
+            img, (img.shape[0], height, width, 3), method="bilinear")
+    dtype = vae["params"]["quant_conv"]["weight"].dtype
+    t = vae["vae"].encode(vae["params"], (img * 2.0 - 1.0).astype(dtype)
+                          ).astype(jnp.float32)
+    # Zero123 polar is 90 - elevation; embedding rows per nodes_stable3d.py
+    cam = jnp.asarray([[
+        jnp.deg2rad(jnp.asarray((90.0 - elevation) - 90.0)),
+        jnp.sin(jnp.deg2rad(jnp.asarray(azimuth))),
+        jnp.cos(jnp.deg2rad(jnp.asarray(azimuth))),
+        jnp.deg2rad(jnp.asarray(90.0)),
+    ]], jnp.float32)[None]  # (1, 1, 4)
+    cond = jnp.concatenate([pooled, cam], axis=-1)
+    pos = {"context": cond, "concat_latent_image": t}
+    neg = {"context": jnp.zeros_like(pooled),
+           "concat_latent_image": jnp.zeros_like(t)}
+    latent = {"samples": jnp.zeros(
+        (batch_size, t.shape[1], t.shape[2], 4), jnp.float32)}
+    return (pos, neg, latent)

@@ -644,6 +644,15 @@ def _declare_default_specs() -> None:
                            WidgetSpec("fps", "INT", min=1, max=1024),
                            WidgetSpec("augmentation_level", "FLOAT",
                                       min=0.0, max=10.0)))
+    register_spec("StableZero123_Conditioning",
+                  input_types={"clip_vision": "CLIP_VISION",
+                               "init_image": "IMAGE", "vae": "VAE"},
+                  return_types=("CONDITIONING", "CONDITIONING", "LATENT"),
+                  widgets=(WidgetSpec("width", "INT", min=16, max=16384),
+                           WidgetSpec("height", "INT", min=16, max=16384),
+                           WidgetSpec("batch_size", "INT", min=1, max=4096),
+                           WidgetSpec("elevation", "FLOAT", min=-180.0, max=180.0),
+                           WidgetSpec("azimuth", "FLOAT", min=-180.0, max=180.0)))
     register_spec("VideoLinearCFGGuidance", input_types={"model": "MODEL"},
                   return_types=("MODEL",),
                   widgets=(WidgetSpec("min_cfg", "FLOAT", min=0.0, max=100.0),))

@@ -122,3 +122,37 @@ def test_modelsampling_edm_schedule():
     # percent_to_sigma: log interpolation between the EDM bounds
     mid = ms.percent_to_sigma(0.5)
     assert 0.002 < mid < 700.0
+
+
+def test_stable_zero123_conditioning_and_sample():
+    """StableZero123_Conditioning (nodes_stable3d.py): camera-embedding context
+    + image c_concat; the KSampler applies cc_projection when the model
+    carries it and denoises an 8-channel Zero123-style UNet."""
+    import dataclasses
+
+    from stable_renderer_tpu.models.unet import TINY_UNET_CONFIG, UNetModel
+    from stable_renderer_tpu.models.sampling.schedules import ModelSampling
+
+    ictx = InferenceContext(model_dirs=(), jit_cache={})
+    _, clip_vision, vae = NODE_REGISTRY["ImageOnlyCheckpointLoader"](
+        ictx, _N("ImageOnlyCheckpointLoader", ["none.safetensors"]))
+    init_image = jax.random.uniform(jax.random.PRNGKey(3), (1, 32, 32, 3))
+    pos, neg, latent = NODE_REGISTRY["StableZero123_Conditioning"](
+        ictx, _N("StableZero123_Conditioning", [32, 32, 2, 10.0, 45.0]),
+        clip_vision=clip_vision, init_image=init_image, vae=vae)
+    d_embed = pos["context"].shape[-1]
+    assert d_embed >= 4  # clip embed + 4 camera dims
+    assert latent["samples"].shape[0] == 2
+    # Zero123-style model: 8-ch UNet + cc_projection (d_embed -> context_dim)
+    u8 = UNetModel(dataclasses.replace(TINY_UNET_CONFIG, in_channels=8))
+    ccp_w = np.random.randn(u8.config.context_dim, d_embed).astype(np.float32) * 0.02
+    model = {"unet": u8, "params": u8.init(jax.random.PRNGKey(0)),
+             "sampling": ModelSampling(),
+             "cc_projection": {"weight": ccp_w,
+                               "bias": np.zeros(u8.config.context_dim, np.float32)}}
+    (out,) = NODE_REGISTRY["KSampler"](
+        ictx, _N("KSampler", [0, "fixed", 2, 2.0, "euler", "normal", 1.0], id=31),
+        model=model, positive=pos, negative=neg, latent_image=latent)
+    z = np.asarray(out["samples"])
+    assert z.shape == (2, *latent["samples"].shape[1:])
+    assert np.isfinite(z).all()
