@@ -67,7 +67,9 @@ def build_denoiser(
     perp_neg_scale: float = 1.0,
     sag: Optional[tuple] = None,                  # SelfAttentionGuidance
     denoise_mask_fn: Optional[Callable] = None,   # DifferentialDiffusion
-    t_fn: Optional[Callable] = None,              # EDM timestep (SVD)
+    t_fn: Optional[Callable] = None,              # EDM/cascade timestep
+    model_extra_cond: Optional[dict] = None,      # named model inputs
+    model_extra_uncond: Optional[dict] = None,    # (cascade effnet prior)
 ) -> Callable:
     """Dispatch to the scene / cond-list / plain CFG denoiser.
 
@@ -101,6 +103,8 @@ def build_denoiser(
             y_cond=y_cond, y_uncond=y_uncond,
             nocond_context=nocond_context, perp_neg_scale=perp_neg_scale,
             sag=sag, denoise_mask_fn=denoise_mask_fn, t_fn=t_fn,
+            model_extra_cond=model_extra_cond,
+            model_extra_uncond=model_extra_uncond,
         )
     if inpaint_mask is not None and inpaint_latent is not None:
         # KSamplerX0Inpaint wrap (comfy samplers.py:363-430): keep the source

@@ -59,6 +59,18 @@ def calculate_denoised(
     raise ValueError(f"unknown prediction type {prediction}")
 
 
+def _params_dtype(params: dict):
+    """Compute dtype of a model's param tree (UNet time_embed for the SD
+    family; first floating leaf otherwise — cascade trees have no time_embed)."""
+    te = params.get("time_embed") if isinstance(params, dict) else None
+    if te is not None:
+        return te["0"]["weight"].dtype
+    for leaf in jax.tree_util.tree_leaves(params):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf.dtype
+    return jnp.float32
+
+
 def make_denoiser(
     unet: UNetModel,
     params: dict,
@@ -89,6 +101,11 @@ def make_denoiser(
     t_fn: Optional[Callable] = None,  # sigma -> UNet timestep; None = discrete
     # log-sigma index interpolation. EDM models (SVD) pass 0.25*log(sigma)
     # (comfy model_sampling.py ModelSamplingContinuousEDM.timestep)
+    model_extra_cond: Optional[dict] = None,   # extra named model inputs for
+    # the positive rows (e.g. Stable Cascade Stage B's effnet prior,
+    # model_base.py StableCascade_B.extra_conds); uncond rows take
+    # model_extra_uncond or zeros
+    model_extra_uncond: Optional[dict] = None,
 ) -> Callable:
     """Build the (x, sigma) -> denoised closure for samplers.sample().
 
@@ -165,7 +182,7 @@ def make_denoiser(
         return AttnHooks(pre=pre, post=post, attn=attn, mid=mid, **passthru)
 
     # run UNet activations in the params' dtype (bf16 on TPU, fp32 stats inside)
-    compute_dtype = params["time_embed"]["0"]["weight"].dtype
+    compute_dtype = _params_dtype(params)
     use_perp_neg = nocond_context is not None and use_cfg
     use_sag = sag is not None and use_cfg
 
@@ -254,9 +271,18 @@ def make_denoiser(
 
             if run_hooks.attn is None:  # attn (corresponder) takes precedence
                 run_hooks = run_hooks._replace(attn_all=sag_attn_all)
+        extra_kwargs = {}
+        if model_extra_cond:
+            for k_name, val in model_extra_cond.items():
+                vu = None if model_extra_uncond is None else model_extra_uncond.get(k_name)
+                if vu is None:
+                    vu = jnp.zeros_like(val)
+                rows = [val] + [vu] * (groups - 1)
+                extra_kwargs[k_name] = (jnp.concatenate(rows, axis=0)
+                                        if use_cfg else val)
         out = unet.apply(
             params, with_concat(x_b, groups), tb, ctx, control=control,
-            hooks=run_hooks, y=y,
+            hooks=run_hooks, y=y, **extra_kwargs,
         ).astype(jnp.float32)
         x32 = x.astype(jnp.float32)
         if use_cfg:

@@ -106,7 +106,9 @@ def make_cond_denoiser(
     """(x, sigma) -> denoised with the full comfy cond-list semantics."""
     assert len(contexts) == len(specs) == len(masks) and contexts
     use_cfg = uncond_context is not None
-    compute_dtype = params["time_embed"]["0"]["weight"].dtype
+    from stable_renderer_tpu.models.sampling.cfg import _params_dtype
+
+    compute_dtype = _params_dtype(params)
     max_len = max(c.shape[1] for c in contexts)
     if use_cfg:
         max_len = max(max_len, uncond_context.shape[1])

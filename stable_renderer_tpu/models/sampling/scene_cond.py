@@ -75,7 +75,9 @@ def make_scene_denoiser(
     """
     s1, b = contexts.shape[0], contexts.shape[1]
     use_cfg = uncond_context is not None
-    compute_dtype = params["time_embed"]["0"]["weight"].dtype
+    from stable_renderer_tpu.models.sampling.cfg import _params_dtype
+
+    compute_dtype = _params_dtype(params)
 
     # normalize masks so every latent pixel's blend weights sum to 1
     weights = masks / jnp.maximum(jnp.sum(masks, axis=0, keepdims=True), 1e-6)

@@ -128,6 +128,42 @@ class ModelSamplingEDM(ModelSampling):
         return float(np.exp(log_min + (log_max - log_min) * percent))
 
 
+@dataclass
+class ModelSamplingCascade(ModelSampling):
+    """Stable Cascade continuous cosine sampling (comfy model_sampling.py
+    StableCascadeSampling): sigma(t) from a shifted cosine alpha-cumprod over
+    t in (0, 1]; the model's timestep input IS that continuous t. Stage C uses
+    shift=2.0, Stage B shift=1.0 (supported_models.py sampling_settings)."""
+
+    shift: float = 1.0
+    cosine_s: float = 8e-3
+    timestep_mode: str = "cascade"
+
+    def __post_init__(self) -> None:
+        self.num_timesteps = 1000  # sigma table resolution (comfy uses 10000)
+        self._init_alpha = float(
+            np.cos(self.cosine_s / (1 + self.cosine_s) * np.pi * 0.5) ** 2)
+        t = (np.arange(self.num_timesteps, dtype=np.float64) + 1) / self.num_timesteps
+        self.sigmas = self.sigma_of_t(t).astype(np.float32)
+        self.log_sigmas = np.log(self.sigmas)
+
+    def sigma_of_t(self, t: np.ndarray) -> np.ndarray:
+        alpha = (np.cos((t + self.cosine_s) / (1 + self.cosine_s) * np.pi * 0.5)
+                 ** 2 / self._init_alpha)
+        if self.shift != 1.0:
+            log_snr = np.log(alpha / (1 - alpha)) + 2 * np.log(1.0 / self.shift)
+            alpha = 1.0 / (1.0 + np.exp(-log_snr))
+        alpha = np.clip(alpha, 1e-4, 0.9999)
+        return ((1 - alpha) / alpha) ** 0.5
+
+    def t_of_sigma(self, sigma):
+        """Continuous t for the model's timestep input (timestep())."""
+        var = 1.0 / (sigma * sigma + 1.0)
+        var = np.clip(var, 0.0, 1.0)
+        s, init = self.cosine_s, self._init_alpha
+        return ((np.arccos(np.sqrt(var * init)) / (np.pi * 0.5)) * (1 + s) - s)
+
+
 def _sigmas_karras(n: int, sigma_min: float, sigma_max: float, rho: float = 7.0) -> np.ndarray:
     ramp = np.linspace(0, 1, n, dtype=np.float64)
     min_inv_rho = sigma_min ** (1 / rho)

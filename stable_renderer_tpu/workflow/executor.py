@@ -786,6 +786,10 @@ def ksampler(
     # ADM conditioning vector attached to conds (SDXL pooled / SVD fps+motion)
     y_pos = positive.get("y") if isinstance(positive, dict) else None
     y_neg = negative.get("y") if isinstance(negative, dict) else None
+    # Stable Cascade Stage B: the Stage-C latent prior feeds the effnet mapper
+    # (model_base.py StableCascade_B.extra_conds; uncond rows get zeros)
+    cascade_prior = (positive.get("stable_cascade_prior")
+                     if isinstance(positive, dict) else None)
     # inpaint: a latent-attached noise_mask restricts denoising to the hole
     # (comfy sample.py prepare_mask; VAEEncodeForInpaint attaches it)
     noise_mask = (latent_image.get("noise_mask")
@@ -947,6 +951,7 @@ def ksampler(
         y_pos is not None,
         y_neg is not None,
         normal_maps is not None,
+        cascade_prior is not None,
         tuple(p["sig"] for p in model.get("patches", ())),
         use_progress,
     )
@@ -972,11 +977,21 @@ def ksampler(
         if getattr(ms, "timestep_mode", "") == "edm":
             # EDM models (SVD) take 0.25*log(sigma) as the UNet timestep
             patch_opts["t_fn"] = lambda s: 0.25 * jnp.log(jnp.maximum(s, 1e-10))
+        elif getattr(ms, "timestep_mode", "") == "cascade":
+            # Stable Cascade: continuous cosine t (StableCascadeSampling.timestep)
+            _cs, _init = float(ms.cosine_s), float(ms._init_alpha)
+
+            def _cascade_t(s, _cs=_cs, _init=_init):
+                var = jnp.clip(1.0 / (s * s + 1.0), 0.0, 1.0)
+                return (jnp.arccos(jnp.sqrt(var * _init)) / (jnp.pi * 0.5)
+                        ) * (1 + _cs) - _cs
+
+            patch_opts["t_fn"] = _cascade_t
 
         def run(unet_params, cn_params_t, ctx_pos_, ctx_neg_, latent_, noise_,
                 sigmas_, id_maps_, hints_t, key_, cond_ctxs_t, cond_masks_t,
                 scene_ctx_, noise_mask_=None, concat_zm_=None, neg_concat_=None,
-                y_pos_=None, y_neg_=None, normals_=None):
+                y_pos_=None, y_neg_=None, normals_=None, prior_=None):
             control_fn = None
             if cn_models:
                 def control_fn(x_in, t, c_):
@@ -1065,7 +1080,8 @@ def ksampler(
                 scene_smasks = sprite_masks(
                     id_maps_, sprite_ids, latent_.shape[1], latent_.shape[2])
             concat_latent_ = None
-            gap = unet.config.in_channels - latent_.shape[-1]
+            gap = (getattr(unet.config, "in_channels", latent_.shape[-1])
+                   - latent_.shape[-1])
             if gap > 0:
                 def _fit_batch(z):
                     if z.shape[0] != latent_.shape[0]:
@@ -1117,6 +1133,10 @@ def ksampler(
                     y_pos_[:1], (latent_.shape[0], y_pos_.shape[-1])),
                 y_uncond=None if y_neg_ is None else jnp.broadcast_to(
                     y_neg_[:1], (latent_.shape[0], y_neg_.shape[-1])),
+                model_extra_cond=(None if prior_ is None
+                                  else {"effnet": jnp.broadcast_to(
+                                      prior_[:1], (latent_.shape[0],
+                                                   *prior_.shape[1:]))}),
                 **patch_opts,
             )
             return sample(
@@ -1132,7 +1152,7 @@ def ksampler(
         model["params"], tuple(cn_params), ctx_pos, ctx_neg, latent, noise,
         sigmas, id_maps, tuple(cn_hints), jax.random.PRNGKey(seed),
         tuple(cond_ctxs), tuple(cond_masks), scene_ctx, noise_mask, concat_zm,
-        neg_concat, y_pos, y_neg, normal_maps,
+        neg_concat, y_pos, y_neg, normal_maps, cascade_prior,
     )
     return ({"samples": out},)
 

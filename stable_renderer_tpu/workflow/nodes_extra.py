@@ -1279,3 +1279,90 @@ def stable_zero123_conditioning(ctx: InferenceContext, node: WorkflowNode,
     latent = {"samples": jnp.zeros(
         (batch_size, t.shape[1], t.shape[2], 4), jnp.float32)}
     return (pos, neg, latent)
+
+
+# ---------------------------------------------------------------------------
+# Stable Cascade (nodes_stable_cascade.py + ldm/cascade)
+
+
+@register_node("StableCascade_EmptyLatentImage")
+def stable_cascade_empty_latent(ctx: InferenceContext, node: WorkflowNode):
+    import jax.numpy as jnp
+
+    w = node.widgets
+    width = int(w[0]) if w else 1024
+    height = int(w[1]) if len(w) > 1 else 1024
+    compression = int(w[2]) if len(w) > 2 else 42
+    batch = int(w[3]) if len(w) > 3 else 1
+    c_latent = jnp.zeros((batch, height // compression, width // compression, 16))
+    b_latent = jnp.zeros((batch, height // 4, width // 4, 4))
+    return ({"samples": c_latent}, {"samples": b_latent})
+
+
+@register_node("StableCascade_StageB_Conditioning")
+def stable_cascade_stage_b_conditioning(ctx: InferenceContext,
+                                        node: WorkflowNode,
+                                        conditioning=None, stage_c=None):
+    prior = stage_c["samples"] if isinstance(stage_c, dict) else stage_c
+    return ({**(conditioning or {}), "stable_cascade_prior": prior},)
+
+
+@register_node("CascadeStageLoader", "UNETLoader")
+def cascade_stage_loader(ctx: InferenceContext, node: WorkflowNode):
+    """UNet-only checkpoint loader (comfy UNETLoader) with Stable Cascade
+    stage detection (clip_txt_mapper -> Stage C, effnet_mapper -> Stage B).
+    Falls back to tiny random cascade stages offline, picked by the name
+    containing 'stage_b' (else Stage C) — same fallback policy as the other
+    loaders."""
+    import jax
+
+    from stable_renderer_tpu.models.cascade import (
+        CascadeStageB,
+        CascadeStageC,
+        STAGE_B_CONFIG,
+        STAGE_C_CONFIG,
+        TINY_CASCADE_B_CONFIG,
+        TINY_CASCADE_C_CONFIG,
+    )
+    from stable_renderer_tpu.models.sampling.schedules import ModelSamplingCascade
+
+    name = str(node.widgets[0]) if node.widgets else ""
+    path = _find_model_file(ctx, name)
+    if path:
+        import jax.numpy as jnp
+
+        from stable_renderer_tpu.models.weights import (
+            load_state_dict, nest, to_device)
+
+        flat = load_state_dict(path)
+        if any(k.startswith("model.diffusion_model.") for k in flat):
+            flat = {k[len("model.diffusion_model."):]: v for k, v in flat.items()
+                    if k.startswith("model.diffusion_model.")}
+        if "clip_txt_mapper.weight" in flat:
+            model = CascadeStageC(STAGE_C_CONFIG)
+            ms = ModelSamplingCascade(shift=2.0)
+        elif "effnet_mapper.0.weight" in flat:
+            model = CascadeStageB(STAGE_B_CONFIG)
+            ms = ModelSamplingCascade(shift=1.0)
+        else:
+            # plain SD UNet file (comfy UNETLoader's main use)
+            from stable_renderer_tpu.models import UNetModel
+            from stable_renderer_tpu.models.sampling import ModelSampling
+            from stable_renderer_tpu.models.weights import detect_unet_config
+
+            ucfg = detect_unet_config(
+                {f"model.diffusion_model.{k}": v for k, v in flat.items()})
+            return ({"unet": UNetModel(ucfg),
+                     "params": to_device(nest(flat, ""), jnp.bfloat16),
+                     "sampling": ModelSampling()},)
+        return ({"unet": model, "params": to_device(nest(flat, ""), jnp.bfloat16),
+                 "sampling": ms},)
+    logger.warning(f"unet '{name}' not found; tiny random cascade stage")
+    key = jax.random.PRNGKey(0)
+    if "stage_b" in name.lower():
+        model = CascadeStageB(TINY_CASCADE_B_CONFIG)
+        ms = ModelSamplingCascade(shift=1.0)
+    else:
+        model = CascadeStageC(TINY_CASCADE_C_CONFIG)
+        ms = ModelSamplingCascade(shift=2.0)
+    return ({"unet": model, "params": model.init(key), "sampling": ms},)

@@ -644,6 +644,19 @@ def _declare_default_specs() -> None:
                            WidgetSpec("fps", "INT", min=1, max=1024),
                            WidgetSpec("augmentation_level", "FLOAT",
                                       min=0.0, max=10.0)))
+    register_spec("StableCascade_EmptyLatentImage",
+                  return_types=("LATENT", "LATENT"),
+                  widgets=(WidgetSpec("width", "INT", min=256, max=16384),
+                           WidgetSpec("height", "INT", min=256, max=16384),
+                           WidgetSpec("compression", "INT", min=4, max=128),
+                           WidgetSpec("batch_size", "INT", min=1, max=4096)))
+    register_spec("StableCascade_StageB_Conditioning",
+                  input_types={"conditioning": "CONDITIONING",
+                               "stage_c": "LATENT"},
+                  return_types=("CONDITIONING",))
+    register_spec("CascadeStageLoader", "UNETLoader",
+                  return_types=("MODEL",),
+                  widgets=(WidgetSpec("unet_name", "STRING"),))
     register_spec("StableZero123_Conditioning",
                   input_types={"clip_vision": "CLIP_VISION",
                                "init_image": "IMAGE", "vae": "VAE"},
