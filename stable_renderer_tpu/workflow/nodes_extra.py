@@ -1366,3 +1366,135 @@ def cascade_stage_loader(ctx: InferenceContext, node: WorkflowNode):
         model = CascadeStageC(TINY_CASCADE_C_CONFIG)
         ms = ModelSamplingCascade(shift=2.0)
     return ({"unet": model, "params": model.init(key), "sampling": ms},)
+
+
+# ---------------------------------------------------------------------------
+# PhotoMaker (nodes_photomaker.py — identity-conditioned SDXL encoding)
+
+
+def _pm_mlp(p: dict, x, residual: bool):
+    from stable_renderer_tpu.models.layers import layer_norm, linear
+
+    import jax
+
+    h = layer_norm(p["layernorm"], x)
+    h = linear(p["fc2"], jax.nn.gelu(linear(p["fc1"], h)))
+    return h + x if residual else h
+
+
+def photomaker_fuse(p: dict, prompt_embeds, id_embeds, token_index: int):
+    """FuseModule.fuse_fn + masked scatter at the trigger-token position
+    (nodes_photomaker.py FuseModule): the class token's embedding is replaced
+    by LN(mlp2(mlp1([token; id]) + token))."""
+    import jax.numpy as jnp
+
+    from stable_renderer_tpu.models.layers import layer_norm
+
+    tok = prompt_embeds[:, token_index]              # (B, D)
+    stacked = jnp.concatenate([tok, id_embeds], axis=-1)
+    fused = _pm_mlp(p["mlp1"], stacked, residual=False) + tok
+    fused = _pm_mlp(p["mlp2"], fused, residual=True)
+    fused = layer_norm(p["layer_norm"], fused)
+    return prompt_embeds.at[:, token_index].set(fused)
+
+
+@register_node("PhotoMakerLoader")
+def photomaker_loader(ctx: InferenceContext, node: WorkflowNode):
+    """PhotoMaker ID encoder: ViT-L CLIP vision tower + dual projections
+    (1024->768 and 1024->1280, concatenated to the SDXL 2048 embed width) +
+    the FuseModule (nodes_photomaker.py PhotoMakerIDEncoder)."""
+    import jax
+
+    from stable_renderer_tpu.models.clip_vision import (
+        CLIPVisionModel,
+        TINY_VISION_CONFIG,
+        VITL_CONFIG,
+    )
+
+    name = str(node.widgets[0]) if node.widgets else ""
+    path = _find_model_file(ctx, name)
+    if path:
+        import jax.numpy as jnp
+
+        from stable_renderer_tpu.models.weights import (
+            load_state_dict, nest, to_device)
+
+        flat = load_state_dict(path)
+        flat = {k[len("id_encoder."):] if k.startswith("id_encoder.") else k: v
+                for k, v in flat.items()}
+        tree = to_device(nest(flat, ""), jnp.float32)
+        return ({"vision": CLIPVisionModel(VITL_CONFIG), "params": tree},)
+    logger.warning(f"photomaker '{name}' not found; tiny random encoder")
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    cfg = TINY_VISION_CONFIG
+    vis = CLIPVisionModel(cfg)
+    key = jax.random.PRNGKey(0)
+    vp = vis.init(key)
+    d1, d2 = cfg.projection_dim, cfg.projection_dim
+    embed = d1 + d2
+
+    def lin(i, o, k):
+        return {"weight": jax.random.normal(jax.random.PRNGKey(k), (o, i)) * 0.02,
+                "bias": jnp.zeros((o,))}
+
+    def mlp(i, o, hdim, k):
+        return {"layernorm": {"weight": jnp.ones((i,)), "bias": jnp.zeros((i,))},
+                "fc1": lin(i, hdim, k), "fc2": lin(hdim, o, k + 1)}
+
+    params = {
+        **vp,
+        "visual_projection_2": {"weight": jax.random.normal(
+            jax.random.PRNGKey(9), (d2, cfg.hidden_size)) * 0.02},
+        "fuse_module": {
+            "mlp1": mlp(embed * 2, embed, embed, 20),
+            "mlp2": mlp(embed, embed, embed, 22),
+            "layer_norm": {"weight": jnp.ones((embed,)),
+                           "bias": jnp.zeros((embed,))},
+        },
+    }
+    return ({"vision": vis, "params": params},)
+
+
+@register_node("PhotoMakerEncode")
+def photomaker_encode(ctx: InferenceContext, node: WorkflowNode,
+                      photomaker=None, image=None, clip=None):
+    """Encode a prompt whose 'photomaker' trigger word's embedding is replaced
+    by the fused identity embedding of the reference image
+    (nodes_photomaker.py PhotoMakerEncode)."""
+    import jax.numpy as jnp
+
+    from stable_renderer_tpu.models.layers import linear
+    from stable_renderer_tpu.workflow.executor import _encode_weighted
+
+    text = str(node.widgets[0]) if node.widgets else "photograph of photomaker"
+    special = "photomaker"
+    words = text.split(" ")
+    try:
+        index = words.index(special) + 1
+    except ValueError:
+        index = -1
+    clean = " ".join(w for w in words if w != special)
+    cond = _encode_weighted(clip, [clean or text])
+    if index <= 0 or photomaker is None or image is None:
+        return ({"context": cond},)
+
+    vis = photomaker["vision"]
+    p = photomaker["params"]
+    out = vis.encode_image(p, image)
+    # dual projections concatenated (1024 -> 768 + 1280 = SDXL 2048 width);
+    # encode_image already applied visual_projection -> image_embeds
+    id2 = out.last_hidden_state[:, 0] @ p["visual_projection_2"]["weight"].T
+    id_embeds = jnp.concatenate([out.image_embeds, id2], axis=-1)[:1]
+    token_index = min(index - 1, cond.shape[1] - 1)
+    if id_embeds.shape[-1] != cond.shape[-1]:
+        # non-SDXL text towers: project the id embed onto the text width
+        reps = -(-cond.shape[-1] // id_embeds.shape[-1])
+        id_embeds = jnp.tile(id_embeds, (1, reps))[:, : cond.shape[-1]]
+        fused = cond.at[:, token_index].set(
+            0.5 * cond[:, token_index] + 0.5 * id_embeds)
+        return ({"context": fused},)
+    fused = photomaker_fuse(p["fuse_module"], cond, id_embeds, token_index)
+    return ({"context": fused},)

@@ -644,6 +644,13 @@ def _declare_default_specs() -> None:
                            WidgetSpec("fps", "INT", min=1, max=1024),
                            WidgetSpec("augmentation_level", "FLOAT",
                                       min=0.0, max=10.0)))
+    register_spec("PhotoMakerLoader", return_types=("PHOTOMAKER",),
+                  widgets=(WidgetSpec("photomaker_model_name", "STRING"),))
+    register_spec("PhotoMakerEncode",
+                  input_types={"photomaker": "PHOTOMAKER", "image": "IMAGE",
+                               "clip": "CLIP"},
+                  return_types=("CONDITIONING",),
+                  widgets=(WidgetSpec("text", "STRING"),))
     register_spec("StableCascade_EmptyLatentImage",
                   return_types=("LATENT", "LATENT"),
                   widgets=(WidgetSpec("width", "INT", min=256, max=16384),

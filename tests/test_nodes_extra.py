@@ -292,3 +292,29 @@ def test_tome_patch_merge_unmerge_identity_and_runs():
         ictx, _N("TomePatchModel", [0.0]), model=model)
     out0 = _run_ksampler(ictx, m_zero, pos, latent, node_id=92)
     np.testing.assert_allclose(base, out0, atol=1e-5)
+
+
+def test_photomaker_encode_replaces_trigger_token():
+    """PhotoMakerEncode (nodes_photomaker.py): the 'photomaker' trigger word's
+    embedding is replaced by the fused identity embedding; the rest of the
+    prompt conditioning is unchanged vs encoding without the trigger."""
+    ictx = _ictx()
+    _, clip, _ = _tiny_model(ictx)
+    (pm,) = NODE_REGISTRY["PhotoMakerLoader"](
+        ictx, _N("PhotoMakerLoader", ["none.bin"]))
+    assert "vision" in pm and "fuse_module" in pm["params"]
+    img = np.random.rand(1, 28, 28, 3).astype(np.float32)
+    (with_id,) = NODE_REGISTRY["PhotoMakerEncode"](
+        ictx, _N("PhotoMakerEncode", ["portrait of photomaker person"]),
+        photomaker=pm, image=img, clip=clip)
+    (plain,) = NODE_REGISTRY["PhotoMakerEncode"](
+        ictx, _N("PhotoMakerEncode", ["portrait of person"], id=2),
+        photomaker=pm, image=img, clip=clip)
+    a, b = np.asarray(with_id["context"]), np.asarray(plain["context"])
+    assert a.shape == b.shape
+    assert not np.allclose(a, b)  # identity embedding injected
+    # a different reference image changes the conditioning
+    (with_id2,) = NODE_REGISTRY["PhotoMakerEncode"](
+        ictx, _N("PhotoMakerEncode", ["portrait of photomaker person"], id=3),
+        photomaker=pm, image=img * 0.2, clip=clip)
+    assert not np.allclose(a, np.asarray(with_id2["context"]))
