@@ -78,6 +78,11 @@ class PromptExecutor:
         self._cache: Dict[int, tuple] = {}
         self._jit_cache: Dict[Any, Any] = {}
         self.progress_holder: list = [None]  # [sink]; see InferenceContext
+        # NodePool (reference comfyUI/types/runtime.py NodePool): persistent
+        # node INSTANCES keyed (node_id, type) for class-registered nodes —
+        # node-local state survives across executes like the reference's
+        # instance cache
+        self.node_pool: Dict[Tuple[int, str], Any] = {}
         self._frame_tainted: set = set()
         self._compute_taint()
         self.validation_errors: List[dict] = []
@@ -186,7 +191,17 @@ class PromptExecutor:
                 if adapter is not None:
                     val = adapter(val)
             inputs[name] = val
-        result = impl(ctx, node, **inputs)
+        if isinstance(impl, type):
+            # class-based node: one persistent instance per (node_id, type)
+            # (reference AdvancedNodeBase + NodePool, types/node_base.py +
+            # types/runtime.py) — instance attributes carry node-local state
+            key = (node.id, node.type)
+            inst = self.node_pool.get(key)
+            if inst is None:
+                inst = self.node_pool[key] = impl()
+            result = inst(ctx, node, **inputs)
+        else:
+            result = impl(ctx, node, **inputs)
         if not isinstance(result, tuple):
             result = (result,)
         ctx.outputs[node.id] = result
