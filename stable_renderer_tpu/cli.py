@@ -36,6 +36,15 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--no-diffusion", action="store_true")
     p.add_argument("--workflow", type=str, default=None, help="reference workflow JSON")
     p.add_argument("--gif", type=str, default=None, help="also write an animated gif")
+    p.add_argument("--stream", action="store_true",
+                   help="StreamDiffusion frame pipelining (one batched UNet "
+                        "eval per frame; steps-1 frame output lag)")
+    p.add_argument("--taesd", action="store_true",
+                   help="realtime TAESD autoencoder swap")
+    p.add_argument("--editor", action="store_true",
+                   help="EDITOR mode: boot the live-view/graph-editor HTTP "
+                        "server and stream frames to it")
+    p.add_argument("--editor-port", type=int, default=8188)
 
 
 def _build_pipeline(args):
@@ -50,6 +59,8 @@ def _build_pipeline(args):
             prompt=args.prompt, negative_prompt=args.negative, steps=args.steps,
             cfg_scale=args.cfg, sampler=args.sampler, scheduler=args.scheduler,
             denoise=args.denoise, seed=args.seed,
+            stream_pipeline=getattr(args, "stream", False),
+            realtime_taesd=getattr(args, "taesd", False),
         )
     loras = []
     for spec in args.lora:
@@ -89,13 +100,15 @@ def cmd_render(args) -> int:
         def beforePrepare(self):
             _scene(args)
 
-    eng = App.Run(
+    run = App.RunEditor if getattr(args, "editor", False) else App.Run
+    eng = run(
         winSize=(args.size, args.size),
         pipeline=None if args.no_diffusion else _build_pipeline(args),
         disableComfyUI=args.no_diffusion,
         max_frames=args.frames,
         output_dir=out,
         keep_frames_in_memory=bool(args.gif),
+        editor_port=getattr(args, "editor_port", 8188),
     )
     if args.gif:
         from stable_renderer_tpu.utils.media import write_gif
