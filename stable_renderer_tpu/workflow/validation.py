@@ -691,3 +691,58 @@ def _declare_default_specs() -> None:
 
 
 _declare_default_specs()
+
+
+# ---------------------------------------------------------------------------
+# signature-reflection node authoring (reference types/node_base.py
+# AdvancedNodeBase: INPUT_TYPES/RETURN_TYPES derived from __call__ reflection)
+
+_PY_TO_COMFY = {int: "INT", float: "FLOAT", str: "STRING", bool: "BOOLEAN"}
+
+
+def spec_from_callable(fn, return_types=None) -> NodeSpec:
+    """Build a NodeSpec by reflecting a node callable's signature: string
+    annotations are comfy type names (link inputs); int/float/str/bool
+    annotations (or defaults of those types) become positional widgets —
+    the reference's AdvancedNodeBase authoring model."""
+    import inspect
+
+    sig = inspect.signature(fn)
+    input_types: Dict[str, str] = {}
+    widgets: List[WidgetSpec] = []
+    params = list(sig.parameters.values())
+    # skip self/ctx/node leading params
+    skip = {"self", "ctx", "node"}
+    for p in params:
+        if p.name in skip or p.kind in (p.VAR_POSITIONAL, p.VAR_KEYWORD):
+            continue
+        ann = p.annotation
+        if isinstance(ann, str):
+            input_types[p.name] = ann
+        elif ann in _PY_TO_COMFY:
+            widgets.append(WidgetSpec(p.name, _PY_TO_COMFY[ann]))
+        elif p.default is not p.empty and type(p.default) in _PY_TO_COMFY:
+            widgets.append(WidgetSpec(p.name, _PY_TO_COMFY[type(p.default)]))
+        else:
+            input_types[p.name] = "ANY"
+    rts = return_types
+    if rts is None:
+        rts = getattr(fn, "RETURN_TYPES", None)
+    if rts is None and hasattr(fn, "__self__"):
+        rts = getattr(type(fn.__self__), "RETURN_TYPES", None)
+    return NodeSpec(input_types=input_types,
+                    return_types=tuple(rts) if rts else ("ANY",),
+                    widgets=tuple(widgets))
+
+
+def register_reflected(name: str, node) -> None:
+    """Register a class/function node with a reflected spec (the reference's
+    auto registration, node_base.py:179-691). Classes reflect __call__ and
+    honor a RETURN_TYPES class attribute; the executor's NodePool keeps one
+    instance per (node_id, type)."""
+    from stable_renderer_tpu.workflow.executor import NODE_REGISTRY
+
+    target = node.__call__ if isinstance(node, type) else node
+    NODE_SPECS[name] = spec_from_callable(
+        target, getattr(node, "RETURN_TYPES", None))
+    NODE_REGISTRY[name] = node
