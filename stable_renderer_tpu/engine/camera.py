@@ -62,10 +62,32 @@ class Camera(Component):
         return np.linalg.inv(self.transform.globalTransformMatrix).astype(np.float32)
 
     def projectionMatrix(self, aspect: float) -> np.ndarray:
-        import jax.numpy as jnp
-
-        from stable_renderer_tpu.ops.transforms import orthographic, perspective
-
+        """Projection matrix computed on HOST numpy with a parameter-keyed
+        cache. (Round-3 host-profile finding: fetching the jnp version forced
+        a blocking device round-trip — ~30 ms through the axon tunnel — every
+        frame; the matrix is a tiny static 4x4 that belongs on the host.)"""
+        key = (self.ortho, self.ortho_size, self.fov, aspect, self.near, self.far)
+        cached = getattr(self, "_proj_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
         if self.ortho:
-            return np.asarray(orthographic(self.ortho_size, aspect, self.near, self.far))
-        return np.asarray(perspective(self.fov, aspect, self.near, self.far))
+            t = self.ortho_size  # half vertical extent (ops/transforms.py)
+            r = t * aspect
+            n, f = self.near, self.far
+            m = np.array([
+                [1.0 / r, 0, 0, 0],
+                [0, 1.0 / t, 0, 0],
+                [0, 0, -2.0 / (f - n), -(f + n) / (f - n)],
+                [0, 0, 0, 1.0],
+            ], np.float32)
+        else:
+            n, f = self.near, self.far
+            ttan = float(np.tan(np.radians(self.fov) / 2.0))
+            m = np.array([
+                [1.0 / (aspect * ttan), 0, 0, 0],
+                [0, 1.0 / ttan, 0, 0],
+                [0, 0, -(f + n) / (f - n), -2.0 * f * n / (f - n)],
+                [0, 0, -1.0, 0],
+            ], np.float32)
+        self._proj_cache = (key, m)
+        return m
