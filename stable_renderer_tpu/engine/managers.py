@@ -352,7 +352,12 @@ class RenderManager(Manager):
                     dict(self._sprites), env, n, image_size=(h, w)
                 )
                 sigmas = pipe.scheduler_sigmas()
-                key = jax.random.PRNGKey(pipe.config.seed + frame_count)
+                # host-built threefry key, bit-identical to
+                # jax.random.PRNGKey(seed) under default x64-disabled semantics
+                # (seed truncated to 32 bits, high word 0): avoids one device
+                # dispatch per frame; uploaded with the frame_step args
+                seed = (pipe.config.seed + frame_count) & 0xFFFFFFFF
+                key = np.array([0, seed], np.uint32)
                 if self._pending:
                     pending = {
                         k: jnp.stack([p[k] for p in self._pending]) for k in _PACK_KEYS
@@ -442,7 +447,12 @@ class RenderManager(Manager):
             self._pending_indices.append(frame_count)
 
         with self.timer.stage("present"):
-            # double-buffered: dispatch this frame, read back the previous one
+            # double-buffered: dispatch this frame, read back the previous one.
+            # Start the D2H copy NOW (async, fires when the device finishes the
+            # frame) so next frame's np.asarray finds the bytes already on the
+            # host instead of paying the full transfer latency synchronously.
+            if hasattr(display, "copy_to_host_async"):
+                display.copy_to_host_async()
             prev, self._inflight = self._inflight, (display, frame_count)
             if prev is not None:
                 engine.WindowManager.present(np.asarray(prev[0]), prev[1])

@@ -101,10 +101,22 @@ class Transform(Component):
 
     @localEulerAngles.setter
     def localEulerAngles(self, euler_deg) -> None:
-        import jax.numpy as jnp
-
-        q = np.asarray(T.quat_from_euler(jnp.asarray(euler_deg, jnp.float32)))
-        self._local_quat = q.astype(np.float32)
+        # Host numpy (same formula as ops.transforms.quat_from_euler) — routing
+        # a tiny 3-vector through the device cost a blocking ~30 ms round-trip
+        # per set when scripts animate rotation via euler angles.
+        rx, ry, rz = np.deg2rad(np.asarray(euler_deg, np.float64)) / 2.0
+        cx, sx = np.cos(rx), np.sin(rx)
+        cy, sy = np.cos(ry), np.sin(ry)
+        cz, sz = np.cos(rz), np.sin(rz)
+        self._local_quat = np.array(
+            [
+                cx * cy * cz + sx * sy * sz,
+                sx * cy * cz - cx * sy * sz,
+                cx * sy * cz + sx * cy * sz,
+                cx * cy * sz - sx * sy * cz,
+            ],
+            np.float32,
+        )
 
     # --- matrices ---
     @property
