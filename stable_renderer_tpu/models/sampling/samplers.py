@@ -15,9 +15,13 @@ so N steps never leave the chip. Second-order model evaluations (heun/dpm_2/...)
 sit behind ``lax.cond`` so only the taken branch executes at runtime.
 
 Deviations from the reference, by design:
-- SDE samplers draw per-step i.i.d. gaussians from the scan key instead of a
-  BrownianTreeNoiseSampler (torchsde); the marginal noise distribution is
-  identical, only the correlation across re-splits of the same interval differs.
+- SDE samplers default to ``sde_noise="brownian"``: a deterministic Brownian
+  bridge over the sigma range (``brownian_increment``) reproducing the
+  BrownianTreeNoiseSampler semantics (k_diffusion/sampling.py:110-140,
+  torchsde BrownianTree) — noise over an interval is a consistent function of
+  the interval, so overlapping queries across different step grids correlate.
+  torchsde's lazy tree is replaced by a fixed-depth dyadic bisection (traced,
+  scan-compatible, no recompile); ``sde_noise="iid"`` gives per-step gaussians.
 - s_churn/s_tmin/s_tmax are not exposed (comfy always calls with churn 0).
 - LMS integrates the Lagrange basis polynomials in closed form on-device
   (degree <= 3) instead of scipy.integrate.quad host calls.
@@ -82,6 +86,65 @@ def _log(s):
     return jnp.log(jnp.maximum(s, 1e-10))
 
 
+def brownian_increment(
+    root_key: jax.Array,
+    s_from: jax.Array,   # scalar sigma (interval start)
+    s_to: jax.Array,     # scalar sigma (interval end)
+    t_lo: jax.Array,     # global sigma range of the motion
+    t_hi: jax.Array,
+    shape: tuple,
+    dtype,
+    depth: int = 26,
+) -> jax.Array:
+    """Unit-variance Brownian noise for the sigma interval [s_from, s_to].
+
+    Returns (W(s_to) - W(s_from)) / sqrt(|s_to - s_from|) where W is a
+    DETERMINISTIC Brownian motion on [t_lo, t_hi] keyed by ``root_key``
+    (k_diffusion BrownianTreeNoiseSampler semantics, sampling.py:110-140;
+    identity sigma transform). W(t) is built by dyadic Brownian-bridge
+    bisection to ``depth`` levels: each bridge midpoint draws from
+    ``fold_in(root_key, heap_index)``, so any t maps to the same value on
+    every query — re-querying overlapping intervals (different step counts,
+    restart samplers) yields correlated noise, unlike i.i.d. draws. The
+    dyadic snap error is 2^-depth of the range (irrelevant at depth 26).
+    """
+    span = jnp.maximum(t_hi - t_lo, 1e-12)
+
+    def W(t):
+        u = jnp.clip((t - t_lo) / span, 0.0, 1.0)
+        wa = jnp.zeros(shape, jnp.float32)
+        wb = jax.random.normal(
+            jax.random.fold_in(root_key, 1), shape, jnp.float32
+        ) * jnp.sqrt(span)
+
+        def body(_l, st):
+            wa, wb, lo, hi, heap = st
+            mid = 0.5 * (lo + hi)
+            zm = jax.random.normal(
+                jax.random.fold_in(root_key, heap), shape, jnp.float32
+            )
+            # bridge midpoint: mean of endpoints + N(0, len/4), len in sigma units
+            wm = 0.5 * (wa + wb) + zm * (0.5 * jnp.sqrt((hi - lo) * span))
+            right = u >= mid
+            return (
+                jnp.where(right, wm, wa),
+                jnp.where(right, wb, wm),
+                jnp.where(right, mid, lo),
+                jnp.where(right, hi, mid),
+                heap * 2 + right.astype(jnp.uint32),
+            )
+
+        wa, wb, lo, hi, _ = jax.lax.fori_loop(
+            0, depth, body,
+            (wa, wb, jnp.zeros(()), jnp.ones(()), jnp.uint32(2)),
+        )
+        frac = jnp.clip((u - lo) / jnp.maximum(hi - lo, 1e-20), 0.0, 1.0)
+        return wa + (wb - wa) * frac
+
+    inc = W(s_to) - W(s_from)
+    return (inc / jnp.sqrt(jnp.maximum(jnp.abs(s_to - s_from), 1e-12))).astype(dtype)
+
+
 def _lms_coeffs(sigmas: jax.Array, i: jax.Array, cur_order: jax.Array, max_order: int = 4):
     """Exact linear-multistep coefficients (k_diffusion sampling.py:265-276).
 
@@ -119,7 +182,7 @@ def _lms_coeffs(sigmas: jax.Array, i: jax.Array, cur_order: jax.Array, max_order
     return jax.vmap(coeff_j)(jnp.arange(max_order))
 
 
-@partial(jax.jit, static_argnames=("denoise_model", "sampler", "step_callback", "eta"))
+@partial(jax.jit, static_argnames=("denoise_model", "sampler", "step_callback", "eta", "sde_noise"))
 def sample(
     denoise_model: Callable,   # (x, sigma_scalar) -> denoised
     noise: jax.Array,          # (B, h, w, C) initial noise (unit variance)
@@ -129,6 +192,8 @@ def sample(
     key: Optional[jax.Array] = None,
     step_callback: Optional[Callable] = None,  # (x, denoised, sigma, i) -> x
     eta: float = 1.0,
+    sde_noise: str = "brownian",  # SDE samplers: "brownian" (reference
+    # BrownianTree parity) | "iid" (per-step gaussians)
 ) -> jax.Array:
     """Run the full denoise loop; returns the final latent.
 
@@ -153,6 +218,24 @@ def sample(
         return _sample_dpm_adaptive(denoise_model, x, sigmas, step_callback)
 
     n_steps = sigmas.shape[0] - 1
+
+    # Brownian-tree SDE noise: one deterministic motion over the sigma range
+    # per run (root key derived once from the run key, matching the
+    # reference's one tree per sample() call; k_diffusion sampling.py:563+).
+    # Statically gated on the sampler so non-SDE programs trace byte-identically
+    # (keeps their persistent-compile-cache keys stable).
+    use_brownian = sde_noise == "brownian" and sampler.endswith("sde")
+    if use_brownian:
+        bt_root = jax.random.fold_in(key, 0x42B)
+        bt_hi = sigmas[0]
+        bt_lo = sigmas[jnp.maximum(sigmas.shape[0] - 2, 0)]  # smallest positive
+
+    def _sde_noise(s_from, s_to, fallback_key, x):
+        if not use_brownian:
+            return jax.random.normal(fallback_key, x.shape, x.dtype)
+        return brownian_increment(
+            bt_root, s_from, s_to, bt_lo, bt_hi, x.shape, x.dtype
+        )
 
     def step(state: dict, i):
         sigma = sigmas[i]
@@ -295,14 +378,14 @@ def sample(
                 sd, su = _ancestral_step(jnp.exp(-t), jnp.exp(-s), eta)
                 s_ = -_log(sd)
                 x_2 = (jnp.exp(-s_) / jnp.exp(-t)) * x - jnp.expm1(t - s_) * denoised
-                x_2 = x_2 + jax.random.normal(sub, x.shape, x.dtype) * su
+                x_2 = x_2 + _sde_noise(sigma, jnp.exp(-s), sub, x) * su
                 denoised_2 = denoise_model(x_2, jnp.exp(-s))
                 # step 2
                 sd2, su2 = _ancestral_step(jnp.exp(-t), jnp.exp(-t_next), eta)
                 t_next_ = -_log(sd2)
                 denoised_d = (1 - fac) * denoised + fac * denoised_2
                 x_o = (jnp.exp(-t_next_) / jnp.exp(-t)) * x - jnp.expm1(t - t_next_) * denoised_d
-                return x_o + jax.random.normal(sub2, x.shape, x.dtype) * su2
+                return x_o + _sde_noise(sigma, sigma_next, sub2, x) * su2
 
             x_new = jax.lax.cond(sigma_next > 0, solver_br, euler_br, None)
 
@@ -337,7 +420,7 @@ def sample(
             x_sde = x_sde + jnp.where(have_old, mid, jnp.zeros_like(mid))
             if eta:
                 noise_amt = sigma_next * jnp.sqrt(jnp.maximum(-jnp.expm1(-2 * eta_h), 0.0))
-                x_sde = x_sde + jax.random.normal(sub, x.shape, x.dtype) * noise_amt
+                x_sde = x_sde + _sde_noise(sigma, sigma_next, sub, x) * noise_amt
             x_new = jnp.where(sigma_next > 0, x_sde, denoised)
             new["old_denoised"] = denoised
             new["h_last"] = h
@@ -363,7 +446,7 @@ def sample(
             )
             if eta:
                 noise_amt = sigma_next * jnp.sqrt(jnp.maximum(-jnp.expm1(-2 * h * eta), 0.0))
-                x_sde = x_sde + jax.random.normal(sub, x.shape, x.dtype) * noise_amt
+                x_sde = x_sde + _sde_noise(sigma, sigma_next, sub, x) * noise_amt
             x_new = jnp.where(sigma_next > 0, x_sde, denoised)
             new["den_2"] = state["den_1"]
             new["den_1"] = denoised

@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, kv_len: int, sm_scale: float):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, kv_len: int, sm_scale: float, need_mask: bool):
     """One (q_tile, k_tile) step of online-softmax attention.
 
     Grid: (bh, num_q_blocks, num_k_blocks); the k axis is the innermost
@@ -54,14 +54,20 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, kv_len: 
     k = k_ref[0]  # (Bk, D)
     v = v_ref[0]  # (Bk, D)
 
+    # sm_scale is pre-folded into q by the wrapper (scaling L*D once beats an
+    # L*L fp32 multiply per tile here)
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * sm_scale  # (Bq, Bk)
+    )  # (Bq, Bk)
 
-    # mask padded K rows (beyond the true kv_len)
-    bk = k.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + ki * bk
-    logits = jnp.where(col < kv_len, logits, _NEG_INF)
+    if need_mask:
+        # mask padded K rows (beyond the true kv_len). Statically skipped when
+        # kv_len divides block_k: the iota+compare+select over the full logits
+        # tile costs about as much VPU time as the exp itself, and the hot
+        # L=4096 self-attention shape never needs it.
+        bk = k.shape[0]
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + ki * bk
+        logits = jnp.where(col < kv_len, logits, _NEG_INF)
 
     m_prev = m_ref[:]                       # (Bq, 1)
     m_cur = jnp.max(logits, axis=-1, keepdims=True)
@@ -108,13 +114,14 @@ def flash_attention(
     lq_pad = _round_up(lq, bq)
     lk_pad = _round_up(lk, bk)
 
-    qp = jnp.pad(q, ((0, 0), (0, lq_pad - lq), (0, d_pad - d)))
+    qp = jnp.pad(q * jnp.asarray(sm_scale, q.dtype), ((0, 0), (0, lq_pad - lq), (0, d_pad - d)))
     kp = jnp.pad(k, ((0, 0), (0, lk_pad - lk), (0, d_pad - d)))
     vp = jnp.pad(v, ((0, 0), (0, lk_pad - lk), (0, d_pad - d)))
 
     grid = (bh, lq_pad // bq, lk_pad // bk)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, kv_len=lk, sm_scale=sm_scale),
+        functools.partial(_flash_kernel, kv_len=lk, sm_scale=sm_scale,
+                          need_mask=lk_pad != lk),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, d_pad), lambda b, qi, ki: (b, qi, 0)),
