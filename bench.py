@@ -64,8 +64,11 @@ def main() -> None:
     pipe = DiffusionPipeline.from_random(cfg, tiny=quick)
     if taesd_mode:
         pipe.with_taesd()
+    # segment bound = next pow2 over the scene's vertex count (Sphere(1.0, 48)
+    # rasterizes 2401 vertex ids) — the 512*512 bound cost 1.12 ms/step in
+    # segment scatters vs 0.21 ms at 4096 (scripts/profile_stages.py probe)
     corresponder = OverlapCorresponder(
-        vertex_segments=size * size, update_corrmap=False
+        vertex_segments=4096 if not quick else size * size, update_corrmap=False
     )
     platform = jax.devices()[0].platform
 

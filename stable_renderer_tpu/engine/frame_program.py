@@ -191,9 +191,16 @@ def display_to_uint8(display: jax.Array) -> jax.Array:
 def draw_call_inputs(draw_calls, view) -> Tuple[tuple, tuple]:
     """Split a sorted DrawCall list into (traced draws tuple, static sigs tuple)
     for frame_step. The traced side carries device arrays; the static side the
-    per-draw uniforms + corrmap size (the compiled pass specialization)."""
+    per-draw uniforms + corrmap size (the compiled pass specialization).
+
+    ``view`` is HOST numpy: the 4x4 model-view product is host math, uploaded
+    with the frame_step args (a per-draw device matmul here cost a ~1.4 ms
+    dispatch per draw per frame through the tunnel)."""
+    import numpy as np
+
     from stable_renderer_tpu.engine.render_exec import mesh_device_buffers
 
+    view = np.asarray(view, np.float32)
     draws = []
     sigs = []
     for dc in draw_calls:
@@ -205,7 +212,7 @@ def draw_call_inputs(draw_calls, view) -> Tuple[tuple, tuple]:
         draws.append(
             dict(
                 buffers=mesh_device_buffers(dc.mesh),
-                mv=view @ jnp.asarray(dc.model_matrix),
+                mv=view @ np.asarray(dc.model_matrix, np.float32),
                 diffuse=None if dc.diffuse is None else dc.diffuse.array,
                 noise=None if dc.noise is None else dc.noise.array,
                 corrmap=corr_vals,

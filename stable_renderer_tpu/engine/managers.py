@@ -321,13 +321,14 @@ class RenderManager(Manager):
             if cam is not None and draw_calls:
                 from stable_renderer_tpu.engine.renderers import Light
 
-                view = jnp.asarray(cam.viewMatrix)
-                proj = jnp.asarray(cam.projectionMatrix(w / h))
+                # all HOST numpy: view/proj/lights/mv upload as part of the
+                # single frame_step dispatch instead of one device op each
+                view = cam.viewMatrix
+                proj = cam.projectionMatrix(w / h)
                 draws, sigs = draw_call_inputs(draw_calls, view)
-                packed = Light.pack_lights(cam.viewMatrix)
-                lights = None if packed is None else jnp.asarray(packed)
+                lights = Light.pack_lights(cam.viewMatrix)
             else:
-                draws, sigs, proj = (), (), jnp.eye(4)
+                draws, sigs, proj = (), (), np.eye(4, dtype=np.float32)
 
             pipe = None if engine.disableComfyUI else dm.pipeline
             is_baking = engine.Mode.name == "BAKE"
