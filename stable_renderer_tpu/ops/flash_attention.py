@@ -97,11 +97,13 @@ def flash_attention(
     k: jax.Array,  # (BH, Lk, D)
     v: jax.Array,  # (BH, Lk, D)
     block_q: int = 512,
-    block_k: int = 1024,
-    # defaults from the round-3 on-chip sweep (scripts/sweep_attention.py):
-    # at the SD1.5 hot shape (L=4096, D=40, bh=16) bq=512/bk=1024 runs 1.21 ms
-    # vs 2.22 ms at the old 256/512 — fewer sequential grid programs amortize
-    # the per-program overhead and halve the online-softmax correction steps
+    block_k: Optional[int] = None,
+    # defaults from the round-3 on-chip sweeps (scripts/sweep_attention.py):
+    # at the SD1.5 hot shape (L=4096, D=40, bh=16) bq=512/bk=4096 runs 1.03 ms
+    # (vs 1.14 at bk=1024, 2.22 at the round-2 256/512) — with the whole K/V
+    # in one k-step the online-softmax corrections vanish entirely. Large bk
+    # costs VMEM (bq*bk fp32 logits + 2*bk*d_pad bf16 tiles), so wide-head
+    # attention (VAE's d=512) caps bk at 1024.
 ) -> jax.Array:
     """Non-causal flash attention over merged batch-head leading axis."""
     bh, lq, d = q.shape
@@ -109,6 +111,8 @@ def flash_attention(
     sm_scale = 1.0 / math.sqrt(d)
 
     d_pad = _round_up(d, 128)
+    if block_k is None:
+        block_k = 4096 if d_pad <= 128 else 1024
     bq = min(block_q, _round_up(lq, 128))
     bk = min(block_k, _round_up(lk, 128))
     lq_pad = _round_up(lq, bq)
