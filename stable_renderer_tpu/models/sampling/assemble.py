@@ -68,6 +68,7 @@ def build_denoiser(
     sag: Optional[tuple] = None,                  # SelfAttentionGuidance
     denoise_mask_fn: Optional[Callable] = None,   # DifferentialDiffusion
     t_fn: Optional[Callable] = None,              # EDM/cascade timestep
+    rescale_cfg_multiplier: Optional[float] = None,  # RescaleCFG
     model_extra_cond: Optional[dict] = None,      # named model inputs
     model_extra_uncond: Optional[dict] = None,    # (cascade effnet prior)
 ) -> Callable:
@@ -103,6 +104,7 @@ def build_denoiser(
             y_cond=y_cond, y_uncond=y_uncond,
             nocond_context=nocond_context, perp_neg_scale=perp_neg_scale,
             sag=sag, denoise_mask_fn=denoise_mask_fn, t_fn=t_fn,
+            rescale_cfg_multiplier=rescale_cfg_multiplier,
             model_extra_cond=model_extra_cond,
             model_extra_uncond=model_extra_uncond,
         )

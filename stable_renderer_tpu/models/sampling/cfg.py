@@ -56,6 +56,10 @@ def calculate_denoised(
         c_skip = sigma_data**2 / (scaled_t**2 + sigma_data**2)
         c_out = scaled_t / jnp.sqrt(scaled_t**2 + sigma_data**2)
         return c_out * x0 + c_skip * x
+    if prediction == "x0":
+        # the model directly outputs the denoised image
+        # (comfy_extras/nodes_model_advanced.py X0.calculate_denoised)
+        return model_out
     raise ValueError(f"unknown prediction type {prediction}")
 
 
@@ -101,6 +105,9 @@ def make_denoiser(
     t_fn: Optional[Callable] = None,  # sigma -> UNet timestep; None = discrete
     # log-sigma index interpolation. EDM models (SVD) pass 0.25*log(sigma)
     # (comfy model_sampling.py ModelSamplingContinuousEDM.timestep)
+    rescale_cfg_multiplier: Optional[float] = None,  # RescaleCFG
+    # (comfy_extras/nodes_model_advanced.py RescaleCFG): CFG combined in
+    # v-prediction space, rescaled to the positive prediction's std
     model_extra_cond: Optional[dict] = None,   # extra named model inputs for
     # the positive rows (e.g. Stable Cascade Stage B's effnet prior,
     # model_base.py StableCascade_B.extra_conds); uncond rows take
@@ -123,7 +130,9 @@ def make_denoiser(
         attaches gligen per-cond, and the uncond normally carries none
         (samplers.py gligen cond field)."""
         passthru = dict(pre_all=hooks.pre_all, pre_cross=hooks.pre_cross,
-                        attn_all=hooks.attn_all, out_block=hooks.out_block)
+                        attn_all=hooks.attn_all, out_block=hooks.out_block,
+                        in_block=hooks.in_block,
+                        in_block_after=hooks.in_block_after)
         if (hooks.pre is None and hooks.post is None and hooks.attn is None
                 and hooks.mid is None):
             return AttnHooks(**passthru)
@@ -302,6 +311,22 @@ def make_denoiser(
                               jnp.maximum(jnp.sum(pos * pos), 1e-12)) * pos
                 noise_pred = np_noc + cfg_scale * (pos - perp * perp_neg_scale)
                 denoised = x32 - noise_pred
+            elif rescale_cfg_multiplier is not None:
+                # RescaleCFG (nodes_model_advanced.py:184-206): combine in
+                # v-pred space, rescale the cfg result to the positive
+                # prediction's per-sample std, lerp by the multiplier
+                mult = rescale_cfg_multiplier
+                sig = sigma
+                x_v = x32 / (sig**2 + 1.0)
+                s_root = jnp.sqrt(sig**2 + 1.0)
+                cond_v = (x_v - den_c) * s_root / sig
+                uncond_v = (x_v - den_u) * s_root / sig
+                x_cfg = uncond_v + cfg_scale * (cond_v - uncond_v)
+                ro_pos = jnp.std(cond_v, axis=(1, 2, 3), keepdims=True)
+                ro_cfg = jnp.std(x_cfg, axis=(1, 2, 3), keepdims=True)
+                x_rescaled = x_cfg * (ro_pos / jnp.maximum(ro_cfg, 1e-12))
+                x_final = mult * x_rescaled + (1.0 - mult) * x_cfg
+                denoised = x32 - (x_v - x_final * sig / s_root)
             else:
                 denoised = den_u + (den_c - den_u) * cfg_scale
         else:

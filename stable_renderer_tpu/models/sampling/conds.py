@@ -124,7 +124,9 @@ def make_cond_denoiser(
         """Per-cond-group hook application on the full-frame batch
         [cond_0 x B ... cond_{nf-1} x B, uncond x B] (scene_cond.py layout)."""
         passthru = dict(pre_all=user.pre_all, pre_cross=user.pre_cross,
-                        attn_all=user.attn_all, out_block=user.out_block)
+                        attn_all=user.attn_all, out_block=user.out_block,
+                        in_block=user.in_block,
+                        in_block_after=user.in_block_after)
         if user.pre is None and user.post is None:
             return AttnHooks(**passthru)
 

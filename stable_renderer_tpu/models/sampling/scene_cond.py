@@ -87,7 +87,9 @@ def make_scene_denoiser(
         never across groups or onto the uncond rows — the batch layout is
         [cond_0 x B, ..., cond_S x B, uncond x B]."""
         passthru = dict(pre_all=user.pre_all, pre_cross=user.pre_cross,
-                        attn_all=user.attn_all, out_block=user.out_block)
+                        attn_all=user.attn_all, out_block=user.out_block,
+                        in_block=user.in_block,
+                        in_block_after=user.in_block_after)
         if (user.pre is None and user.post is None and user.attn is None
                 and user.mid is None):
             return AttnHooks(**passthru)

@@ -85,6 +85,13 @@ class ModelSampling:
             return 0.0
         return float(self.sigma(np.asarray((1.0 - percent) * (self.num_timesteps - 1))))
 
+    def set_sigmas(self, sigmas: np.ndarray) -> None:
+        """Replace the sigma table (ModelSamplingDiscrete.set_sigmas), e.g.
+        after zero-terminal-SNR rescaling."""
+        self.sigmas = np.asarray(sigmas, np.float32)
+        self.log_sigmas = np.log(np.maximum(self.sigmas, 1e-20))
+        self.num_timesteps = len(self.sigmas)
+
     def sigma(self, timestep: np.ndarray) -> np.ndarray:
         t = np.clip(timestep, 0, self.num_timesteps - 1)
         low_idx = np.floor(t).astype(np.int64)
@@ -162,6 +169,22 @@ class ModelSamplingCascade(ModelSampling):
         var = np.clip(var, 0.0, 1.0)
         s, init = self.cosine_s, self._init_alpha
         return ((np.arccos(np.sqrt(var * init)) / (np.pi * 0.5)) * (1 + s) - s)
+
+
+def rescale_zero_terminal_snr_sigmas(sigmas: np.ndarray) -> np.ndarray:
+    """Zero-terminal-SNR rescale (comfy_extras/nodes_model_advanced.py
+    rescale_zero_terminal_snr_sigmas, Lin et al. 2023): shift/scale the
+    alpha-bar sqrt so the final timestep has zero SNR (used with
+    v-prediction zsnr checkpoints)."""
+    sigmas = np.asarray(sigmas, np.float64)
+    alphas_cumprod = 1.0 / (sigmas * sigmas + 1.0)
+    alphas_bar_sqrt = np.sqrt(alphas_cumprod)
+    a0, aT = alphas_bar_sqrt[0].copy(), alphas_bar_sqrt[-1].copy()
+    alphas_bar_sqrt = alphas_bar_sqrt - aT
+    alphas_bar_sqrt = alphas_bar_sqrt * (a0 / (a0 - aT))
+    alphas_bar = alphas_bar_sqrt**2
+    alphas_bar[-1] = 4.8973451890853435e-08
+    return np.sqrt((1.0 - alphas_bar) / alphas_bar).astype(np.float32)
 
 
 def _sigmas_karras(n: int, sigma_min: float, sigma_max: float, rho: float = 7.0) -> np.ndarray:

@@ -251,3 +251,129 @@ def load_t2i_adapter(flat: Dict[str, np.ndarray]) -> Tuple[T2IAdapter, dict]:
         nums_rb=2, cin=cin, ksize=ksize, sk=True, use_conv=use_conv, xl=xl,
     )
     return T2IAdapter(cfg), nest(flat, "")
+
+
+# ---------------------------------------------------------------------------
+# StyleAdapter (T2I style transfer)
+
+
+@dataclass
+class StyleAdapterConfig:
+    """reference comfy/t2i_adapter/adapter.py:199-212 StyleAdapter defaults
+    (the released t2iadapter_style checkpoint: ViT-L vision width 1024,
+    SD1 context 768, 3 residual attention layers, 8 style tokens)."""
+
+    width: int = 1024
+    context_dim: int = 768
+    num_head: int = 8
+    n_layers: int = 3
+    num_token: int = 4
+
+
+class StyleAdapter:
+    """CLIP-style transformer mapping CLIP-vision tokens to ``num_token``
+    style context tokens appended to the text conditioning
+    (reference adapter.py:199-233 StyleAdapter.forward; wrapped as
+    comfy/sd.py:383 StyleModel.get_cond, applied by nodes.py StyleModelApply).
+
+    Input x is the vision tower's last_hidden_state (B, 1+P, width); the
+    learned style tokens attend over it through ``n_layers`` pre-LN residual
+    attention blocks (QuickGELU MLP, packed qkv in_proj), then the last
+    ``num_token`` rows are layer-normed and projected to the text context
+    dim."""
+
+    def __init__(self, config: StyleAdapterConfig = StyleAdapterConfig()):
+        self.config = config
+
+    def _block(self, p: dict, x: jax.Array) -> jax.Array:
+        from stable_renderer_tpu.models.layers import attention, layer_norm, linear
+
+        cfg = self.config
+        n = layer_norm(p["ln_1"], x)
+        w = p["attn"]["in_proj_weight"].astype(x.dtype)
+        b = p["attn"]["in_proj_bias"].astype(x.dtype)
+        qkv = n @ w.T + b
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        a = attention(q, k, v, cfg.num_head)
+        x = x + linear(p["attn"]["out_proj"], a)
+        n = layer_norm(p["ln_2"], x)
+        h = linear(p["mlp"]["c_fc"], n)
+        h = h * jax.nn.sigmoid(1.702 * h)  # QuickGELU
+        return x + linear(p["mlp"]["c_proj"], h)
+
+    def apply(self, params: dict, x: jax.Array) -> jax.Array:
+        from stable_renderer_tpu.models.layers import layer_norm
+
+        cfg = self.config
+        style = params["style_embedding"].astype(x.dtype)
+        style = jnp.broadcast_to(style, (x.shape[0], cfg.num_token, cfg.width))
+        x = jnp.concatenate([x, style], axis=1)
+        x = layer_norm(params["ln_pre"], x)
+        for i in range(cfg.n_layers):
+            x = self._block(params["layers"][str(i)], x)
+        x = layer_norm(params["ln_post"], x[:, -cfg.num_token:, :])
+        return x @ params["proj"].astype(x.dtype)
+
+    def init(self, key: jax.Array, dtype=jnp.float32) -> dict:
+        cfg = self.config
+        ks = jax.random.split(key, cfg.n_layers + 2)
+
+        def lin(k, i, o):
+            return {"weight": jax.random.normal(k, (o, i), dtype) * 0.02,
+                    "bias": jnp.zeros((o,), dtype)}
+
+        def ln():
+            return {"weight": jnp.ones((cfg.width,), dtype),
+                    "bias": jnp.zeros((cfg.width,), dtype)}
+
+        layers = {}
+        for i in range(cfg.n_layers):
+            sub = jax.random.split(ks[i], 4)
+            layers[str(i)] = {
+                "ln_1": ln(), "ln_2": ln(),
+                "attn": {
+                    "in_proj_weight": jax.random.normal(
+                        sub[0], (3 * cfg.width, cfg.width), dtype) * 0.02,
+                    "in_proj_bias": jnp.zeros((3 * cfg.width,), dtype),
+                    "out_proj": lin(sub[1], cfg.width, cfg.width),
+                },
+                "mlp": {"c_fc": lin(sub[2], cfg.width, cfg.width * 4),
+                        "c_proj": lin(sub[3], cfg.width * 4, cfg.width)},
+            }
+        return {
+            "style_embedding": jax.random.normal(
+                ks[-2], (1, cfg.num_token, cfg.width), dtype) * cfg.width**-0.5,
+            "ln_pre": ln(), "ln_post": ln(),
+            "proj": jax.random.normal(
+                ks[-1], (cfg.width, cfg.context_dim), dtype) * cfg.width**-0.5,
+            "layers": layers,
+        }
+
+
+def load_style_model(flat: Dict[str, np.ndarray]) -> Tuple[StyleAdapter, dict]:
+    """Reference style-adapter state dict -> (StyleAdapter, params). Accepts
+    both the upstream checkpoint's misspelled ``transformer_layes.*`` keys and
+    the corrected ``transformer_layers.*`` (adapter.py:216-219)."""
+    from stable_renderer_tpu.models.weights import nest
+
+    if "style_embedding" not in flat:
+        raise ValueError("not a style adapter state dict")
+    width = flat["style_embedding"].shape[-1]
+    num_token = flat["style_embedding"].shape[1]
+    context_dim = flat["proj"].shape[-1]
+    layer_prefix = ("transformer_layes" if any(
+        k.startswith("transformer_layes.") for k in flat) else "transformer_layers")
+    n_layers = 1 + max(int(k.split(".")[1]) for k in flat
+                       if k.startswith(layer_prefix + "."))
+    heads = 8 if width % 8 == 0 else 1
+    cfg = StyleAdapterConfig(width=width, context_dim=context_dim,
+                             num_head=heads, n_layers=n_layers,
+                             num_token=num_token)
+    nested = nest(flat, "")
+    params = {
+        "style_embedding": nested["style_embedding"],
+        "ln_pre": nested["ln_pre"], "ln_post": nested["ln_post"],
+        "proj": nested["proj"],
+        "layers": nested[layer_prefix],
+    }
+    return StyleAdapter(cfg), params

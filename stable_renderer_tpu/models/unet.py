@@ -153,6 +153,15 @@ class AttnHooks(NamedTuple):
     out_block: (h, hsp, block_idx) -> (h, hsp)
                output-block patch before the skip concat
                (set_model_output_block_patch, e.g. FreeU).
+    in_block:  (h, block_idx, t) -> h
+               input-block patch applied after each input block BEFORE the
+               activation is stored as a skip (set_model_input_block_patch,
+               openaimodel.py forward input_block_patch). ``t`` is the (B,)
+               timestep batch so sigma-gated patches (Kohya Deep Shrink)
+               can gate per step under jit.
+    in_block_after: (h, block_idx, t) -> h
+               same, but applied AFTER the skip store — the skip keeps the
+               unpatched activation (set_model_input_block_patch_after_skip).
     """
 
     pre: Optional[Callable] = None
@@ -163,6 +172,8 @@ class AttnHooks(NamedTuple):
     pre_cross: Optional[Callable] = None
     attn_all: Optional[Callable] = None
     out_block: Optional[Callable] = None
+    in_block: Optional[Callable] = None
+    in_block_after: Optional[Callable] = None
 
 
 # ---------------------------------------------------------------------------
@@ -364,7 +375,11 @@ class UNetModel:
                     )
             if ctrl_in is not None and i < len(ctrl_in) and ctrl_in[i] is not None:
                 h = h + ctrl_in[i].astype(h.dtype)
+            if hooks.in_block is not None:
+                h = hooks.in_block(h, i, timesteps)
             hs.append(h)
+            if hooks.in_block_after is not None:
+                h = hooks.in_block_after(h, i, timesteps)
 
         mp = params["middle_block"]
         mid_level = len(cfg.channel_mult) - 1

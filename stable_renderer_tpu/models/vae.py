@@ -141,7 +141,8 @@ class VAE:
 
         b, h, w, c = z.shape
         f = 2 ** (len(self.config.ch_mult) - 1)
-        step = tile - overlap
+        overlap = min(overlap, tile // 2)  # keep the stride positive
+        step = max(tile - overlap, 1)
         out = np.zeros((b, h * f, w * f, 3), np.float32)
         weight = np.zeros((b, h * f, w * f, 1), np.float32)
         ramp = np.minimum(np.arange(1, tile * f + 1) / max(overlap * f, 1), 1.0)
@@ -175,7 +176,8 @@ class VAE:
 
         b, h, w, _ = x.shape
         f = 2 ** (len(self.config.ch_mult) - 1)
-        step = tile - overlap
+        overlap = min(overlap, tile // 2)  # keep the stride positive
+        step = max(tile - overlap, 1)
         zc = self.config.embed_dim
         out = np.zeros((b, h // f, w // f, zc), np.float32)
         weight = np.zeros((b, h // f, w // f, 1), np.float32)

@@ -911,6 +911,23 @@ def ksampler(
                     params = to_device(params, _jnp.bfloat16)
                 else:
                     params = to_device(nest(flat, "control_model."), _jnp.bfloat16)
+                    diff_base = c["control"].get("diff_base")
+                    if diff_base is not None:
+                        # DiffControlNetLoader: diff checkpoints hold
+                        # controlnet-minus-base weights — add the base UNet's
+                        # matching tensors back (comfy controlnet.py
+                        # load_controlnet model-diff path)
+                        def _add_base(cp, bp):
+                            if isinstance(cp, dict):
+                                return {k: (_add_base(v, bp[k])
+                                            if isinstance(bp, dict) and k in bp
+                                            else v)
+                                        for k, v in cp.items()}
+                            if getattr(bp, "shape", None) == cp.shape:
+                                return cp + _jnp.asarray(bp).astype(cp.dtype)
+                            return cp
+
+                        params = _add_base(params, diff_base["params"])
             else:
                 params = cn.init(jax.random.PRNGKey(5))
             cn_models.append((cn, float(c["strength"]), tuple(c["percent"])))
@@ -1046,7 +1063,9 @@ def ksampler(
             )
             hooks = hooks._replace(
                 pre_all=patch_hooks.pre_all, pre_cross=patch_hooks.pre_cross,
-                attn_all=patch_hooks.attn_all, out_block=patch_hooks.out_block)
+                attn_all=patch_hooks.attn_all, out_block=patch_hooks.out_block,
+                in_block=patch_hooks.in_block,
+                in_block_after=patch_hooks.in_block_after)
             gligen_spec = positive.get("gligen")
             if gligen_spec is not None:
                 # grounded boxes -> per-transformer-index fuser mid hook
@@ -1055,9 +1074,9 @@ def ksampler(
                 _, gl_model, gl_pos = gligen_spec
                 objs = gl_model.grounding_tokens(
                     latent_.shape[0], gl_pos, (latent_.shape[1], latent_.shape[2]))
-                hooks = AttnHooks(pre=hooks.pre, post=hooks.post,
-                                  attn=hooks.attn,
-                                  mid=gl_model.make_mid_hook(objs))
+                # _replace keeps the patch hooks (pre_all/out_block/in_block)
+                # alongside the gligen mid hook
+                hooks = hooks._replace(mid=gl_model.make_mid_hook(objs))
             step_cb = (corr.make_step_callback(id_maps_, log_sigmas, normals_)
                        if use_corr else None)
             if use_progress:
@@ -1196,7 +1215,7 @@ def vae_decode(ctx: InferenceContext, node: WorkflowNode, samples=None, vae=None
     return (img,)
 
 
-@register_node("InferenceOutput")
+@register_node("InferenceOutput", "InferenceOutputNode")
 def inference_output(ctx: InferenceContext, node: WorkflowNode, **kw):
     for v in kw.values():
         if v is not None:
@@ -1213,7 +1232,7 @@ def passthrough(ctx: InferenceContext, node: WorkflowNode, **kw):
 # --- logic / IO nodes (stable_rendering/_nodes/logic.py, comfyUI nodes) -----
 
 
-@register_node("IsNotNone")
+@register_node("IsNotNone", "IsNotNoneNode")
 def is_not_none(ctx: InferenceContext, node: WorkflowNode, **kw):
     val = next(iter(kw.values()), None)
     return (val is not None,)
@@ -1601,3 +1620,5 @@ def conditioning_zero_out(ctx: InferenceContext, node: WorkflowNode,
 # tier-2 comfy_extras node packs register themselves on import (placed at module
 # end to avoid a circular import: nodes_extra imports register_node from here)
 from stable_renderer_tpu.workflow import nodes_extra as _nodes_extra  # noqa: E402,F401
+from stable_renderer_tpu.workflow import nodes_parity as _nodes_parity  # noqa: E402,F401
+from stable_renderer_tpu.workflow import nodes_sr as _nodes_sr  # noqa: E402,F401

@@ -684,6 +684,8 @@ def model_patch_options(model: dict, unet, sigmas, ms):
     pre_alls = []
     pre_crosses = []
     attn_all = None
+    in_block = None
+    in_block_after = None
     opts: dict = {}
     for p in patches:
         kind = p["kind"]
@@ -706,6 +708,27 @@ def model_patch_options(model: dict, unet, sigmas, ms):
         elif kind == "perp_neg":
             opts["nocond_context"] = jnp.asarray(p["empty_context"])
             opts["perp_neg_scale"] = p["neg_scale"]
+        elif kind == "rescale_cfg":
+            opts["rescale_cfg_multiplier"] = p["multiplier"]
+        elif kind == "downscale":
+            # PatchModelAddDownscale / Kohya Deep Shrink
+            # (comfy_extras/nodes_model_downscale.py). Static-shape TPU
+            # divergence: instead of shrinking h mid-network (a dynamic shape
+            # under jit), the input-block patch applies the equivalent
+            # low-pass (downscale then upscale back) gated per-step by the
+            # sigma window, and the output-block upscale patch becomes a
+            # no-op because shapes never diverge.
+            sigma_start = ms.percent_to_sigma(p["start_percent"])
+            sigma_end = ms.percent_to_sigma(p["end_percent"])
+            t_hi = float(ms.timestep(np.asarray(
+                min(sigma_start, float(ms.sigma_max)))))
+            t_lo = float(ms.timestep(np.asarray(
+                max(sigma_end, float(ms.sigma_min)))))
+            hook = _make_downscale_in_block(p, t_lo, t_hi)
+            if p.get("after_skip", True):
+                in_block_after = hook
+            else:
+                in_block = hook
         elif kind == "linear_cfg":
             # VideoLinearCFGGuidance: per-frame cfg ramp (consumed by the
             # KSampler assembly, executor.py)
@@ -746,8 +769,50 @@ def model_patch_options(model: dict, unet, sigmas, ms):
         attn_all=attn_all,
         out_block=(out_blocks[0] if len(out_blocks) == 1 else (
             None if not out_blocks else _chain_out_blocks(out_blocks))),
+        in_block=in_block,
+        in_block_after=in_block_after,
     )
     return hooks, opts
+
+
+_RESIZE_METHODS = {
+    # comfy.utils.common_upscale method -> jax.image.resize method.
+    # 'area' and 'bislerp' have no jax.image equivalent; linear is the
+    # closest separable approximation (documented divergence).
+    "nearest-exact": "nearest", "nearest": "nearest",
+    "bilinear": "linear", "area": "linear", "bislerp": "linear",
+    "bicubic": "cubic", "lanczos": "cubic",
+}
+
+
+def _resize_image(x, h: int, w: int, method: str):
+    """NHWC spatial resize (comfy.utils.common_upscale equivalent)."""
+    import jax
+
+    m = _RESIZE_METHODS.get(method, "linear")
+    return jax.image.resize(x, (x.shape[0], h, w, x.shape[3]), method=m
+                            ).astype(x.dtype)
+
+
+def _make_downscale_in_block(p: dict, t_lo: float, t_hi: float):
+    """Sigma-window-gated low-pass input-block hook for Deep Shrink."""
+    import jax.numpy as jnp
+
+    block_number = int(p["block_number"])
+    factor = float(p["downscale_factor"])
+
+    def hook(h, idx, t):
+        if idx != block_number:
+            return h
+        hh = _resize_image(
+            h, max(1, round(h.shape[1] / factor)),
+            max(1, round(h.shape[2] / factor)), p.get("downscale_method", "bicubic"))
+        hh = _resize_image(hh, h.shape[1], h.shape[2],
+                           p.get("upscale_method", "bicubic"))
+        gate = (t >= t_lo) & (t <= t_hi)
+        return jnp.where(gate[:, None, None, None], hh, h)
+
+    return hook
 
 
 def _chain_out_blocks(fns):

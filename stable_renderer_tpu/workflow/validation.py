@@ -688,6 +688,266 @@ def _declare_default_specs() -> None:
                   widgets=(WidgetSpec("scale_ratio", "FLOAT", min=0.0, max=10.0),
                            WidgetSpec("noise_augmentation", "FLOAT",
                                       min=0.0, max=1.0)))
+    # --- remaining builtin/extras parity nodes (workflow/nodes_parity.py) ---
+    register_spec("SetLatentNoiseMask",
+                  input_types={"samples": "LATENT", "mask": "MASK"},
+                  return_types=("LATENT",))
+    register_spec("LatentFromBatch", input_types={"samples": "LATENT"},
+                  return_types=("LATENT",),
+                  widgets=(WidgetSpec("batch_index", "INT", min=0, max=4095),
+                           WidgetSpec("length", "INT", min=1, max=4096)))
+    register_spec("RepeatLatentBatch", input_types={"samples": "LATENT"},
+                  return_types=("LATENT",),
+                  widgets=(WidgetSpec("amount", "INT", min=1, max=4096),))
+    register_spec("LatentBlend",
+                  input_types={"samples1": "LATENT", "samples2": "LATENT"},
+                  return_types=("LATENT",),
+                  widgets=(WidgetSpec("blend_factor", "FLOAT", min=0.0,
+                                      max=1.0),))
+    register_spec("LatentRotate", input_types={"samples": "LATENT"},
+                  return_types=("LATENT",),
+                  widgets=(WidgetSpec("rotation", "COMBO", choices=(
+                      "none", "90 degrees", "180 degrees", "270 degrees")),))
+    register_spec("LatentFlip", input_types={"samples": "LATENT"},
+                  return_types=("LATENT",),
+                  widgets=(WidgetSpec("flip_method", "COMBO", choices=(
+                      "x-axis: vertically", "y-axis: horizontally")),))
+    register_spec("LatentCrop", input_types={"samples": "LATENT"},
+                  return_types=("LATENT",),
+                  widgets=(WidgetSpec("width", "INT", min=64, max=16384),
+                           WidgetSpec("height", "INT", min=64, max=16384),
+                           WidgetSpec("x", "INT", min=0, max=16384),
+                           WidgetSpec("y", "INT", min=0, max=16384)))
+    register_spec("LatentInterpolate",
+                  input_types={"samples1": "LATENT", "samples2": "LATENT"},
+                  return_types=("LATENT",),
+                  widgets=(WidgetSpec("ratio", "FLOAT", min=0.0, max=1.0),))
+    register_spec("LatentBatch",
+                  input_types={"samples1": "LATENT", "samples2": "LATENT"},
+                  return_types=("LATENT",))
+    register_spec("LatentBatchSeedBehavior", input_types={"samples": "LATENT"},
+                  return_types=("LATENT",),
+                  widgets=(WidgetSpec("seed_behavior", "COMBO",
+                                      choices=("random", "fixed")),))
+    register_spec("LatentCompositeMasked",
+                  input_types={"destination": "LATENT", "source": "LATENT",
+                               "mask": "MASK"},
+                  return_types=("LATENT",))
+    register_spec("ImageCompositeMasked",
+                  input_types={"destination": "IMAGE", "source": "IMAGE",
+                               "mask": "MASK"},
+                  return_types=("IMAGE",))
+    register_spec("SaveLatent", input_types={"samples": "LATENT"},
+                  return_types=("STRING",))
+    register_spec("LoadLatent", return_types=("LATENT",))
+    register_spec("EmptyImage", return_types=("IMAGE",),
+                  widgets=(WidgetSpec("width", "INT", min=1, max=16384),
+                           WidgetSpec("height", "INT", min=1, max=16384),
+                           WidgetSpec("batch_size", "INT", min=1, max=4096),
+                           WidgetSpec("color", "INT", min=0, max=0xFFFFFF)))
+    register_spec("ImageCrop", input_types={"image": "IMAGE"},
+                  return_types=("IMAGE",))
+    register_spec("RepeatImageBatch", input_types={"image": "IMAGE"},
+                  return_types=("IMAGE",),
+                  widgets=(WidgetSpec("amount", "INT", min=1, max=4096),))
+    register_spec("ImageFromBatch", input_types={"image": "IMAGE"},
+                  return_types=("IMAGE",))
+    register_spec("ImageColorToMask", input_types={"image": "IMAGE"},
+                  return_types=("MASK",),
+                  widgets=(WidgetSpec("color", "INT", min=0, max=0xFFFFFF),))
+    register_spec("CropMask", input_types={"mask": "MASK"},
+                  return_types=("MASK",))
+    register_spec("LoadImageMask", return_types=("MASK",),
+                  widgets=(WidgetSpec("image", "STRING"),
+                           WidgetSpec("channel", "COMBO", choices=(
+                               "alpha", "red", "green", "blue"))))
+    register_spec("ImageScaleToTotalPixels", input_types={"image": "IMAGE"},
+                  return_types=("IMAGE",),
+                  widgets=(WidgetSpec("upscale_method", "STRING"),
+                           WidgetSpec("megapixels", "FLOAT", min=0.01,
+                                      max=16.0)))
+    register_spec("Canny", input_types={"image": "IMAGE"},
+                  return_types=("IMAGE",),
+                  widgets=(WidgetSpec("low_threshold", "FLOAT", min=0.01,
+                                      max=0.99),
+                           WidgetSpec("high_threshold", "FLOAT", min=0.01,
+                                      max=0.99)))
+    register_spec("SaveAnimatedWEBP", "SaveAnimatedPNG",
+                  input_types={"images": "IMAGE"}, return_types=("IMAGE",))
+    register_spec("ConditioningAverage",
+                  input_types={"conditioning_to": "CONDITIONING",
+                               "conditioning_from": "CONDITIONING"},
+                  return_types=("CONDITIONING",),
+                  widgets=(WidgetSpec("conditioning_to_strength", "FLOAT",
+                                      min=0.0, max=1.0),))
+    register_spec("ConditioningSetAreaStrength",
+                  input_types={"conditioning": "CONDITIONING"},
+                  return_types=("CONDITIONING",),
+                  widgets=(WidgetSpec("strength", "FLOAT", min=0.0,
+                                      max=10.0),))
+    register_spec("CLIPTextEncodeSDXL", input_types={"clip": "CLIP"},
+                  return_types=("CONDITIONING",))
+    register_spec("CLIPTextEncodeSDXLRefiner", input_types={"clip": "CLIP"},
+                  return_types=("CONDITIONING",))
+    register_spec("CLIPTextEncodeControlnet",
+                  input_types={"clip": "CLIP",
+                               "conditioning": "CONDITIONING"},
+                  return_types=("CONDITIONING",),
+                  widgets=(WidgetSpec("text", "STRING"),))
+    register_spec("VAELoader", return_types=("VAE",),
+                  widgets=(WidgetSpec("vae_name", "STRING"),))
+    register_spec("CLIPLoader", return_types=("CLIP",),
+                  widgets=(WidgetSpec("clip_name", "STRING"),))
+    register_spec("DualCLIPLoader", return_types=("CLIP",),
+                  widgets=(WidgetSpec("clip_name1", "STRING"),
+                           WidgetSpec("clip_name2", "STRING")))
+    register_spec("LoraLoader",
+                  input_types={"model": "MODEL", "clip": "CLIP"},
+                  return_types=("MODEL", "CLIP"),
+                  widgets=(WidgetSpec("lora_name", "STRING"),
+                           WidgetSpec("strength_model", "FLOAT", min=-20.0,
+                                      max=20.0),
+                           WidgetSpec("strength_clip", "FLOAT", min=-20.0,
+                                      max=20.0)))
+    register_spec("CheckpointLoader", return_types=("MODEL", "CLIP", "VAE"),
+                  widgets=(WidgetSpec("config_name", "STRING"),
+                           WidgetSpec("ckpt_name", "STRING")))
+    register_spec("unCLIPCheckpointLoader",
+                  return_types=("MODEL", "CLIP", "VAE", "CLIP_VISION"),
+                  widgets=(WidgetSpec("ckpt_name", "STRING"),))
+    register_spec("DiffusersLoader", return_types=("MODEL", "CLIP", "VAE"),
+                  widgets=(WidgetSpec("model_path", "STRING"),))
+    register_spec("StyleModelLoader", return_types=("STYLE_MODEL",),
+                  widgets=(WidgetSpec("style_model_name", "STRING"),))
+    register_spec("StyleModelApply",
+                  input_types={"conditioning": "CONDITIONING",
+                               "style_model": "STYLE_MODEL",
+                               "clip_vision_output": "CLIP_VISION_OUTPUT"},
+                  return_types=("CONDITIONING",))
+    register_spec("DiffControlNetLoader", input_types={"model": "MODEL"},
+                  return_types=("CONTROL_NET",),
+                  widgets=(WidgetSpec("control_net_name", "STRING"),))
+    register_spec("VAEDecodeTiled",
+                  input_types={"samples": "LATENT", "vae": "VAE"},
+                  return_types=("IMAGE",),
+                  widgets=(WidgetSpec("tile_size", "INT", min=64,
+                                      max=16384),))
+    register_spec("VAEEncodeTiled",
+                  input_types={"pixels": "IMAGE", "vae": "VAE"},
+                  return_types=("LATENT",),
+                  widgets=(WidgetSpec("tile_size", "INT", min=64,
+                                      max=16384),))
+    register_spec("ModelSamplingDiscrete", input_types={"model": "MODEL"},
+                  return_types=("MODEL",),
+                  widgets=(WidgetSpec("sampling", "COMBO", choices=(
+                      "eps", "v_prediction", "lcm", "x0")),))
+    register_spec("ModelSamplingContinuousEDM", input_types={"model": "MODEL"},
+                  return_types=("MODEL",),
+                  widgets=(WidgetSpec("sampling", "COMBO", choices=(
+                      "v_prediction", "eps")),
+                      WidgetSpec("sigma_max", "FLOAT", min=0.0, max=1000.0),
+                      WidgetSpec("sigma_min", "FLOAT", min=0.0, max=1000.0)))
+    register_spec("ModelSamplingStableCascade", input_types={"model": "MODEL"},
+                  return_types=("MODEL",),
+                  widgets=(WidgetSpec("shift", "FLOAT", min=0.0, max=100.0),))
+    register_spec("RescaleCFG", input_types={"model": "MODEL"},
+                  return_types=("MODEL",),
+                  widgets=(WidgetSpec("multiplier", "FLOAT", min=0.0,
+                                      max=1.0),))
+    register_spec("PatchModelAddDownscale", input_types={"model": "MODEL"},
+                  return_types=("MODEL",),
+                  widgets=(WidgetSpec("block_number", "INT", min=1, max=32),
+                           WidgetSpec("downscale_factor", "FLOAT", min=0.1,
+                                      max=9.0),
+                           WidgetSpec("start_percent", "FLOAT", min=0.0,
+                                      max=1.0),
+                           WidgetSpec("end_percent", "FLOAT", min=0.0,
+                                      max=1.0)))
+    register_spec("StableCascade_StageC_VAEEncode",
+                  input_types={"image": "IMAGE", "vae": "VAE"},
+                  return_types=("LATENT", "LATENT"),
+                  widgets=(WidgetSpec("compression", "INT", min=4,
+                                      max=128),))
+    register_spec("StableZero123_Conditioning_Batched",
+                  input_types={"clip_vision": "CLIP_VISION",
+                               "init_image": "IMAGE", "vae": "VAE"},
+                  return_types=("CONDITIONING", "CONDITIONING", "LATENT"))
+    # --- stable_rendering custom nodes (workflow/nodes_sr.py; reference
+    # source/comfyUI/stable_rendering/_nodes/{loaders,data,processing}) ---
+    register_spec("ImageSequenceLoader",
+                  input_types={"directory": "STRING"},
+                  return_types=("IMAGE",),
+                  widgets=(WidgetSpec("frame_start", "INT", min=0,
+                                      max=100000),
+                           WidgetSpec("num_frames", "INT", min=1,
+                                      max=100000),
+                           WidgetSpec("sd_version", "COMBO",
+                                      choices=("SD15", "SDXL"))))
+    register_spec("NoiseSequenceLoader",
+                  input_types={"directory": "STRING"},
+                  return_types=("LATENT",),
+                  widgets=(WidgetSpec("frame_start", "INT", min=0,
+                                      max=100000),
+                           WidgetSpec("num_frames", "INT", min=1,
+                                      max=100000),
+                           WidgetSpec("sd_version", "COMBO",
+                                      choices=("SD15", "SDXL"))))
+    register_spec("IDSequenceLoader",
+                  input_types={"directory": "STRING"},
+                  return_types=("IDMAP",),
+                  widgets=(WidgetSpec("frame_start", "INT", min=0,
+                                      max=100000),
+                           WidgetSpec("num_frames", "INT", min=1,
+                                      max=100000)))
+    register_spec("CreateNoiseSequenceFromIdMap",
+                  input_types={"id_map": "IDMAP"},
+                  return_types=("LATENT",),
+                  widgets=(WidgetSpec("seed", "INT", min=0,
+                                      max=0xFFFFFFFFFFFFFFFF),
+                           WidgetSpec("sd_version", "COMBO",
+                                      choices=("SD15", "SDXL")),
+                           WidgetSpec("downsample_option", "COMBO",
+                                      choices=("mean", "max", "min",
+                                               "nearest"))))
+    register_spec("CreateIdenticalNoiseSequence",
+                  return_types=("LATENT",),
+                  widgets=(WidgetSpec("seed", "INT", min=0,
+                                      max=0xFFFFFFFFFFFFFFFF),
+                           WidgetSpec("num_frames", "INT", min=1,
+                                      max=100000),
+                           WidgetSpec("sd_version", "COMBO",
+                                      choices=("SD15", "SDXL"))))
+    register_spec("VirtualEngineDataNode",
+                  input_types={"color_maps": "IMAGE", "id_maps": "IDMAP",
+                               "pos_maps": "IMAGE", "normal_maps": "IMAGE",
+                               "depth_maps": "IMAGE", "canny_maps": "IMAGE",
+                               "noise_maps": "LATENT", "masks": "MASK"},
+                  return_types=("ENGINE_DATA",))
+    register_spec("RGBAToRGB", input_types={"image": "IMAGE"},
+                  return_types=("IMAGE",),
+                  widgets=(WidgetSpec("color", "STRING"),))
+    register_spec("RGBAThreshold", input_types={"image": "IMAGE"},
+                  return_types=("IMAGE",),
+                  widgets=(WidgetSpec("threshold", "FLOAT", min=0.0,
+                                      max=1.0),))
+    register_spec("RemoveBGNode", input_types={"image": "IMAGE"},
+                  return_types=("IMAGE",))
+    register_spec("TextConcat",
+                  input_types={"text_a": "STRING", "text_b": "STRING"},
+                  return_types=("STRING",))
+    register_spec("TextReplace",
+                  input_types={"text": "STRING", "pattern": "STRING",
+                               "replace": "STRING"},
+                  return_types=("STRING",))
+    register_spec("SimpleVideoCombine", input_types={"images": "IMAGE"},
+                  return_types=("STRING",),
+                  widgets=(WidgetSpec("alpha_threshold", "FLOAT", min=0.0,
+                                      max=1.0),
+                           WidgetSpec("enable_alpha_threshold", "BOOLEAN"),
+                           WidgetSpec("frame_rate", "INT", min=1, max=240),
+                           WidgetSpec("loop_count", "INT", min=0, max=100),
+                           WidgetSpec("filename_prefix", "STRING"),
+                           WidgetSpec("pingpong", "BOOLEAN")))
 
 
 _declare_default_specs()
