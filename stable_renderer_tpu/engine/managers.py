@@ -225,7 +225,15 @@ class RenderManager(Manager):
         self._pending: List[dict] = []  # accumulated frame packs for bake batching
         self._pending_indices: List[int] = []
         self._stream_state = None  # in-flight latents (RenderConfig.stream_pipeline)
-        self._inflight = None  # (device frame, frame_index) awaiting present
+        # present pipeline: frames awaiting host readback. Depth 2 hides a
+        # full device-frame + transfer latency behind TWO frames of compute —
+        # with a remote-tunnel TPU the ~29 ms sync RT then overlaps device
+        # work entirely (PERF.md "host per frame"). Depth 1 = the reference's
+        # double buffering (renderManager double-buffered FBO presents).
+        import os as _os
+
+        self._present_depth = max(1, int(_os.environ.get("SR_PRESENT_DEPTH", "2")))
+        self._inflight: list = []  # [(device frame, frame_index), ...] FIFO
         self.timer = StageTimer()
         self._bg_noise = None
         self.last_gbuffer = None
@@ -448,20 +456,22 @@ class RenderManager(Manager):
             self._pending_indices.append(frame_count)
 
         with self.timer.stage("present"):
-            # double-buffered: dispatch this frame, read back the previous one.
-            # Start the D2H copy NOW (async, fires when the device finishes the
-            # frame) so next frame's np.asarray finds the bytes already on the
-            # host instead of paying the full transfer latency synchronously.
+            # pipelined presents: dispatch this frame, read back the oldest
+            # in-flight one. Start the D2H copy NOW (async, fires when the
+            # device finishes the frame) so the eventual np.asarray finds the
+            # bytes already on the host instead of paying the full transfer
+            # latency synchronously.
             if hasattr(display, "copy_to_host_async"):
                 display.copy_to_host_async()
-            prev, self._inflight = self._inflight, (display, frame_count)
-            if prev is not None:
+            self._inflight.append((display, frame_count))
+            while len(self._inflight) > self._present_depth:
+                prev = self._inflight.pop(0)
                 engine.WindowManager.present(np.asarray(prev[0]), prev[1])
 
     def flush_present(self) -> None:
-        """Read back + deliver the last in-flight frame (end of run / tests)."""
-        prev, self._inflight = self._inflight, None
-        if prev is not None:
+        """Read back + deliver all in-flight frames (end of run / tests)."""
+        pending, self._inflight = self._inflight, []
+        for prev in pending:
             self.engine.WindowManager.present(np.asarray(prev[0]), prev[1])
 
     def release(self):

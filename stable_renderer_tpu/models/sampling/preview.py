@@ -17,17 +17,22 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import io_callback
 
-# SD1.5 latent -> RGB linear factors (latent_preview.py)
-SD15_LATENT_RGB = jnp.asarray(
+# SD1.5 latent -> RGB linear factors (latent_preview.py). Host numpy ON
+# PURPOSE: this module is imported lazily from inside jitted node bodies, and
+# under omnistaging a module-level jnp constant created during an active
+# trace becomes a tracer that leaks into every later caller
+# (UnexpectedTracerError). numpy is never staged.
+SD15_LATENT_RGB = np.asarray(
     [
         [0.3512, 0.2297, 0.3227],
         [0.3250, 0.4974, 0.2350],
         [-0.2829, 0.1762, 0.2721],
         [-0.2120, -0.2616, -0.7177],
     ],
-    jnp.float32,
+    np.float32,
 )
 
 
