@@ -128,3 +128,76 @@ es.onmessage=m=>{const e=JSON.parse(m.data);const st=document.getElementById('st
  if(e.type==='executed')st.textContent='done: '+e.data.status;
  if(e.type==='execution_start')st.textContent='running #'+e.data.prompt_id;};
 </script></body></html>""".encode("utf-8")
+
+
+HIERARCHY_HTML = r"""<!doctype html>
+<html><head><title>stable_renderer_tpu scene hierarchy</title><style>
+body{background:#14161a;color:#ccc;font-family:system-ui,sans-serif;margin:0;display:flex;height:100vh}
+#tree{width:280px;overflow:auto;background:#1d2127;border-right:1px solid #333;padding:8px}
+#tree .obj{cursor:pointer;padding:2px 6px;border-radius:4px;font-size:13px;white-space:nowrap}
+#tree .obj:hover{background:#2d3340}
+#tree .obj.sel{background:#3a4252;color:#fff}
+#tree .inactive{opacity:.45}
+#inspector{width:320px;background:#1d2127;border-left:1px solid #333;padding:12px;overflow:auto}
+#inspector h3{margin:2px 0 10px;font-size:14px}
+#inspector label{display:block;font-size:11px;color:#888;margin:8px 0 2px}
+#inspector input[type=number]{width:72px;background:#161a20;color:#ccc;border:1px solid #444;font-size:12px;padding:2px}
+#inspector .comp{font-size:12px;background:#23272f;border:1px solid #3a4252;border-radius:4px;padding:3px 8px;margin:3px 0}
+#view{flex:1;display:flex;align-items:center;justify-content:center;background:#0d0f12}
+#view img{max-width:100%;max-height:100%}
+button{background:#2d3340;color:#ddd;border:1px solid #555;border-radius:4px;padding:4px 12px;cursor:pointer;margin-top:10px}
+button:hover{background:#3a4252}
+.muted{color:#666;font-size:12px}
+</style></head><body>
+<div id="tree"><div class="muted">loading scene…</div></div>
+<div id="view"><img id="frame" src="/stream"/></div>
+<div id="inspector"><div class="muted">select a GameObject</div></div>
+<script>
+let SCENE=[],SEL=null;
+function flat(ns,d,out){for(const n of ns){out.push([n,d]);flat(n.children||[],d+1,out);}return out}
+function renderTree(){
+  const t=document.getElementById('tree');t.innerHTML='';
+  for(const [n,d] of flat(SCENE,0,[])){
+    const div=document.createElement('div');
+    div.className='obj'+(n.active?'':' inactive')+(SEL&&SEL.name===n.name?' sel':'');
+    div.style.paddingLeft=(6+d*16)+'px';
+    div.textContent=(n.children&&n.children.length?'▾ ':'· ')+n.name;
+    div.onclick=()=>{SEL=n;renderTree();renderInspector();};
+    t.appendChild(div);
+  }
+}
+function vec(label,key){
+  const v=SEL.transform[key];
+  return `<label>${label}</label>`+[0,1,2].map(i=>
+    `<input type=number step=0.1 id="${key}${i}" value="${v[i].toFixed(3)}">`).join(' ');
+}
+function renderInspector(){
+  const el=document.getElementById('inspector');
+  if(!SEL){el.innerHTML='<div class=muted>select a GameObject</div>';return;}
+  el.innerHTML=`<h3>${SEL.name}</h3>
+   <label><input type=checkbox id=active ${SEL.active?'checked':''}> active</label>
+   ${vec('position','position')}${vec('rotation (deg)','eulerAngles')}${vec('scale','scale')}
+   <label>components</label>`+
+   SEL.components.map(c=>`<div class=comp>${c}</div>`).join('')+
+   (SEL.tags.length?`<label>tags</label><div class=muted>${SEL.tags.join(', ')}</div>`:'')+
+   `<br><button onclick="apply()">apply</button> <span id=msg class=muted></span>`;
+}
+async function apply(){
+  const g=k=>[0,1,2].map(i=>parseFloat(document.getElementById(k+i).value));
+  const body={name:SEL.name,active:document.getElementById('active').checked,
+              position:g('position'),eulerAngles:g('eulerAngles'),scale:g('scale')};
+  const r=await fetch('/scene/update',{method:'POST',body:JSON.stringify(body)});
+  document.getElementById('msg').textContent=r.ok?'applied':'error';
+  load();
+}
+async function load(){
+  try{
+    const r=await fetch('/scene');
+    if(!r.ok){document.getElementById('tree').innerHTML='<div class=muted>no engine attached</div>';return;}
+    SCENE=(await r.json()).scene;
+    if(SEL){const f=flat(SCENE,0,[]).find(([n])=>n.name===SEL.name);SEL=f?f[0]:null;}
+    renderTree();if(SEL)renderInspector();
+  }catch(e){}
+}
+load();setInterval(load,2000);
+</script></body></html>""".encode()

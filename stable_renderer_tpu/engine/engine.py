@@ -111,6 +111,9 @@ class Engine:
 
             self.editor_server = FrameServer(host=editor_host,
                                              port=editor_port).start()
+            # scene hierarchy + inspector (/scene, /hierarchy) — the
+            # reference editor's left panel (ui/main.py gameobject list)
+            self.editor_server.attach_engine(self)
             user_cb = self.WindowManager.frame_callback
 
             def _editor_cb(frame, idx, _srv=self.editor_server, _user=user_cb):

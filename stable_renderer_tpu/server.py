@@ -116,6 +116,8 @@ textarea{width:60%;height:6em;background:#222;color:#ddd;border:1px solid #444}
 button{background:#333;color:#ddd;border:1px solid #555;padding:4px 14px}</style>
 </head><body>
 <h3>stable_renderer_tpu live view</h3>
+<p><a href="/editor" style="color:#7aa2f7">graph editor</a> &middot;
+<a href="/hierarchy" style="color:#7aa2f7">scene hierarchy</a></p>
 <img src="/stream" alt="render stream"/>
 <p id="s"></p>
 <details><summary>submit workflow JSON</summary>
@@ -225,6 +227,66 @@ class FrameServer:
     def frame_callback(self, frame: np.ndarray, frame_index: int) -> None:
         """Drop-in for Engine(frame_callback=...)."""
         self.publish(frame, frame_index)
+
+    # --- scene hierarchy / inspector (reference ui/main.py left panel:
+    # gameobject list + inspector; served here as /scene + /hierarchy) ---
+
+    def attach_engine(self, engine) -> None:
+        """Expose a running engine's scene graph to /scene (+ editor panel)."""
+        import weakref
+
+        self._engine_ref = weakref.ref(engine)
+
+    def _engine(self):
+        ref = getattr(self, "_engine_ref", None)
+        return ref() if ref is not None else None
+
+    def scene_tree(self) -> Optional[list]:
+        """JSON-able GameObject tree: name/active/tags/components/transform."""
+        engine = self._engine()
+        if engine is None:
+            return None
+        from stable_renderer_tpu.engine.gameobj import GameObject
+
+        def node(obj):
+            tr = obj.transform
+            return {
+                "name": obj.name,
+                "active": bool(obj.active),
+                "tags": sorted(obj.tags),
+                "components": [type(c).__name__ for c in obj.components],
+                "transform": {
+                    "position": [float(v) for v in tr.localPosition],
+                    "eulerAngles": [float(v) for v in tr.localEulerAngles],
+                    "scale": [float(v) for v in tr.localScale],
+                },
+                "children": [node(c) for c in obj.children],
+            }
+
+        return [node(r) for r in GameObject.roots()]
+
+    def scene_update(self, payload: dict) -> dict:
+        """Inspector edit: set active/position/eulerAngles/scale on a
+        GameObject by name (the reference editor mutates the live scene the
+        same way through Qt widgets)."""
+        engine = self._engine()
+        if engine is None:
+            return {"error": "no engine attached"}
+        from stable_renderer_tpu.engine.gameobj import GameObject
+
+        obj = GameObject.find_by_name(str(payload.get("name", "")))
+        if obj is None:
+            return {"error": f"no object named {payload.get('name')!r}"}
+        if "active" in payload:
+            obj.active = bool(payload["active"])
+        tr = obj.transform
+        if payload.get("position") is not None:
+            tr.localPosition = [float(v) for v in payload["position"]]
+        if payload.get("eulerAngles") is not None:
+            tr.localEulerAngles = [float(v) for v in payload["eulerAngles"]]
+        if payload.get("scale") is not None:
+            tr.localScale = [float(v) for v in payload["scale"]]
+        return {"ok": True, "name": obj.name}
 
     @staticmethod
     def object_info() -> Dict[str, Any]:
@@ -397,6 +459,19 @@ class FrameServer:
                     self.send_header("Content-Length", str(len(data)))
                     self.end_headers()
                     self.wfile.write(data)
+                elif self.path.startswith("/scene"):
+                    tree = server.scene_tree()
+                    if tree is None:
+                        self._json({"error": "no engine attached"}, 404)
+                    else:
+                        self._json({"scene": tree})
+                elif self.path.startswith("/hierarchy"):
+                    from stable_renderer_tpu.editor_page import HIERARCHY_HTML
+
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html")
+                    self.end_headers()
+                    self.wfile.write(HIERARCHY_HTML)
                 elif self.path.startswith("/history"):
                     self._json(server.queue.get_history())
                 elif self.path.startswith("/queue"):
@@ -422,6 +497,15 @@ class FrameServer:
                                            priority=payload.get("priority", 0.0))
                     server.post_event("queued", {"prompt_id": pid})
                     self._json({"prompt_id": pid})
+                elif self.path.startswith("/scene/update") or self.path.startswith("/scene"):
+                    n = int(self.headers.get("Content-Length", 0))
+                    try:
+                        payload = json.loads(self.rfile.read(n) or b"{}")
+                    except json.JSONDecodeError as ex:
+                        self._json({"error": f"bad json: {ex}"}, 400)
+                        return
+                    out = server.scene_update(payload)
+                    self._json(out, 200 if "error" not in out else 404)
                 elif self.path.startswith("/upload/image") or self.path.startswith("/upload"):
                     # accept a raw image body (or simple multipart) into
                     # OUTPUT_DIR/input (reference /upload/image, server.py:340)

@@ -311,3 +311,66 @@ def test_editor_built_workflow_executes(server):
     hist = json.loads(_get(base + "/history")[1])
     entry = [h for h in hist if h["prompt_id"] == pid][0]
     assert entry["status"] == "success", entry
+
+
+def test_scene_hierarchy_and_inspector(server):
+    """/scene serializes the live GameObject tree; POST /scene/update edits a
+    transform + active flag (reference ui/main.py gameobject list/inspector)."""
+    import urllib.error
+
+    from stable_renderer_tpu.engine.gameobj import GameObject
+
+    base = f"http://127.0.0.1:{server.port}"
+    # no engine attached -> 404
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(base + "/scene")
+    assert ei.value.code == 404
+
+    GameObject._clear_scene()
+    try:
+        parent = GameObject("root-obj", tags=("env",))
+        child = GameObject("child-obj")
+        child.set_parent(parent)
+        child.transform.localPosition = [1.0, 2.0, 3.0]
+
+        class _Eng:  # scene access only needs the class registry
+            pass
+
+        eng = _Eng()  # hold a strong ref — attach_engine keeps a weakref
+        server.attach_engine(eng)
+        code, body, _ = _get(base + "/scene")
+        tree = json.loads(body)["scene"]
+        root = [n for n in tree if n["name"] == "root-obj"][0]
+        assert root["tags"] == ["env"]
+        kid = root["children"][0]
+        assert kid["name"] == "child-obj"
+        assert kid["transform"]["position"] == [1.0, 2.0, 3.0]
+        assert "Transform" in kid["components"]
+
+        # inspector edit: move + rotate + deactivate the child
+        req = urllib.request.Request(
+            base + "/scene/update", method="POST",
+            data=json.dumps({"name": "child-obj", "active": False,
+                             "position": [4.0, 5.0, 6.0],
+                             "eulerAngles": [0.0, 90.0, 0.0]}).encode())
+        with urllib.request.urlopen(req, timeout=5) as r:
+            assert json.loads(r.read())["ok"]
+        assert not child.active
+        assert np.allclose(child.transform.localPosition, [4.0, 5.0, 6.0])
+        # euler -> quaternion -> euler round-trips at float32 precision
+        assert np.allclose(child.transform.localEulerAngles, [0.0, 90.0, 0.0],
+                           atol=0.05)
+
+        # the hierarchy page serves
+        code, body, _ = _get(base + "/hierarchy")
+        assert code == 200 and b"scene hierarchy" in body
+
+        # unknown object -> 404
+        req = urllib.request.Request(
+            base + "/scene/update", method="POST",
+            data=json.dumps({"name": "nope"}).encode())
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=5)
+        assert ei.value.code == 404
+    finally:
+        GameObject._clear_scene()
