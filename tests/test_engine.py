@@ -382,3 +382,27 @@ def test_stream_pipeline_mode():
     state = eng.RenderManager._stream_state
     assert state is not None and state.shape[0] == 3  # pipeline depth = steps
     assert np.isfinite(np.asarray(state)).all()
+
+
+def test_present_pipeline_depth_order_and_flush(monkeypatch):
+    """Depth-2 present pipeline (managers.py): every frame is presented
+    exactly once, in frame order, with presents lagging dispatch by up to
+    SR_PRESENT_DEPTH frames and the tail flushed at shutdown."""
+    monkeypatch.setenv("SR_PRESENT_DEPTH", "2")
+    presented = []
+
+    class App(Engine):
+        def beforePrepare(self):
+            _build_scene(with_ai=False)
+
+    App.Run(winSize=(48, 48), disableComfyUI=True, max_frames=5,
+            frame_callback=lambda f, i: presented.append(i))
+    assert presented == [0, 1, 2, 3, 4]
+
+    # depth 1 = the reference's double buffering, same contract
+    Engine._reset()
+    monkeypatch.setenv("SR_PRESENT_DEPTH", "1")
+    presented.clear()
+    App.Run(winSize=(48, 48), disableComfyUI=True, max_frames=3,
+            frame_callback=lambda f, i: presented.append(i))
+    assert presented == [0, 1, 2]
