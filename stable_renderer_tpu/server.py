@@ -459,6 +459,20 @@ class FrameServer:
                     self.send_header("Content-Length", str(len(data)))
                     self.end_headers()
                     self.wfile.write(data)
+                elif self.path.startswith("/unique_node_types"):
+                    # reference custom route (comfyUI/server.py:283-285)
+                    from stable_renderer_tpu.workflow.validation import (
+                        UNIQUE_NODE_TYPES,
+                    )
+
+                    self._json(sorted(UNIQUE_NODE_TYPES))
+                elif self.path.startswith("/type_matchings"):
+                    # reference custom route (comfyUI/server.py:524-528)
+                    from stable_renderer_tpu.workflow.validation import (
+                        type_matchings,
+                    )
+
+                    self._json(type_matchings())
                 elif self.path.startswith("/scene"):
                     tree = server.scene_tree()
                     if tree is None:

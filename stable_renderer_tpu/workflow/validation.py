@@ -39,6 +39,22 @@ def register_adapter(frm: str, to: str):
     return deco
 
 
+def type_matchings() -> Dict[str, List[str]]:
+    """Available type conversions, keyed by source type (the reference's
+    /type_matchings route, Adapter._AvailableTypeConvertionInfo,
+    adapters.py:60-80 + server.py:524-528)."""
+    out: Dict[str, List[str]] = {}
+    for frm, to in sorted(ADAPTERS):
+        out.setdefault(frm, []).append(to)
+    return out
+
+
+# node types that may appear at most once per graph (reference node_base.py
+# UNIQUE flag; InferenceOutputNode is the only shipped Unique node,
+# stable_rendering/_nodes/data.py:117; served at /unique_node_types)
+UNIQUE_NODE_TYPES = frozenset({"InferenceOutput", "InferenceOutputNode"})
+
+
 def find_adapter(frm: str, to: str) -> Optional[Callable[[Any], Any]]:
     """Find a converter frm->to; ANY->to is the fallback (adapters.py:83-110)."""
     if frm in ("*",):
@@ -210,6 +226,15 @@ def validate_workflow(workflow, node_registry: Dict[str, Callable]) -> List[dict
     value_bigger_than_max / value_not_in_list."""
     errors: List[dict] = []
     nodes = workflow.nodes
+    # UNIQUE node types may appear at most once per graph (node_base.py
+    # UNIQUE; aliases of one implementation count together)
+    unique_seen = [n for n in nodes.values() if n.type in UNIQUE_NODE_TYPES]
+    if len(unique_seen) > 1:
+        for extra in unique_seen[1:]:
+            errors.append(_err(
+                "duplicate_unique_node", extra.id,
+                f"node type '{extra.type}' is unique and already present "
+                f"(node {unique_seen[0].id})"))
     for node in nodes.values():
         if node.type in ("Note",):
             continue

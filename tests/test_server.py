@@ -374,3 +374,30 @@ def test_scene_hierarchy_and_inspector(server):
         assert ei.value.code == 404
     finally:
         GameObject._clear_scene()
+
+
+def test_unique_node_types_and_type_matchings(server):
+    """Custom introspection routes (reference comfyUI/server.py:283-285,
+    524-528) + the unique-node validation rule."""
+    base = f"http://127.0.0.1:{server.port}"
+    code, body, _ = _get(base + "/unique_node_types")
+    uniq = json.loads(body)
+    assert "InferenceOutput" in uniq and "InferenceOutputNode" in uniq
+    code, body, _ = _get(base + "/type_matchings")
+    tm = json.loads(body)
+    assert "STRING" in tm.get("ANY", [])  # the ANY->STRING adapter
+
+    # two InferenceOutput nodes -> duplicate_unique_node validation error
+    from stable_renderer_tpu.workflow.executor import NODE_REGISTRY
+    from stable_renderer_tpu.workflow.loader import Workflow
+    from stable_renderer_tpu.workflow.validation import validate_workflow
+
+    wf = Workflow.from_dict({"nodes": [
+        {"id": 1, "type": "EmptyLatentImage", "widgets_values": [64, 64, 1]},
+        {"id": 2, "type": "InferenceOutput",
+         "inputs": [{"name": "value", "link": 1}]},
+        {"id": 3, "type": "InferenceOutputNode",
+         "inputs": [{"name": "value", "link": 2}]},
+    ], "links": [[1, 1, 0, 2, 0, "LATENT"], [2, 1, 0, 3, 0, "LATENT"]]})
+    errors = validate_workflow(wf, NODE_REGISTRY)
+    assert any(e["type"] == "duplicate_unique_node" for e in errors)
