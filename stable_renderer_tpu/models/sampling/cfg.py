@@ -326,7 +326,11 @@ def make_denoiser(
                 ro_cfg = jnp.std(x_cfg, axis=(1, 2, 3), keepdims=True)
                 x_rescaled = x_cfg * (ro_pos / jnp.maximum(ro_cfg, 1e-12))
                 x_final = mult * x_rescaled + (1.0 - mult) * x_cfg
-                denoised = x32 - (x_v - x_final * sig / s_root)
+                # v-pred reconstruction: denoised = c_skip*x + c_out*v with
+                # c_skip = 1/(sig^2+1), c_out = -sig/sqrt(sig^2+1) — i.e. the
+                # reference's x_orig - fn(args) collapses to exactly this
+                # (samplers.py:349 with nodes_model_advanced.py:206's return)
+                denoised = x_v - x_final * sig / s_root
             else:
                 denoised = den_u + (den_c - den_u) * cfg_scale
         else:

@@ -46,6 +46,16 @@ def register_node(name: str, *aliases: str):
     return deco
 
 
+def widget(node, i: int, default, cast=None):
+    """Positional widget with default + optional coercion — the shared
+    widget-extraction helper for node packs (trailing widgets are optional,
+    matching the reference's INPUT_TYPES defaults)."""
+    w = node.widgets
+    if len(w) <= i or w[i] is None:
+        return default
+    return cast(w[i]) if cast else w[i]
+
+
 @dataclass
 class InferenceContext:
     """Per-execute context (reference comfyUI/types/hidden.py InferenceContext)."""
@@ -69,7 +79,10 @@ class PromptExecutor:
     """Execute a Workflow graph. Loader-node outputs persist across calls;
     frame-dependent nodes re-run per execute (IS_CHANGED semantics)."""
 
-    FRAME_DEPENDENT = {"EngineData", "EngineDataNode", "VirtualEngineData"}
+    FRAME_DEPENDENT = {"EngineData", "EngineDataNode", "VirtualEngineData",
+                       # composes + installs ctx.engine_data as a side effect,
+                       # so a cached re-execute would lose it (nodes_sr.py)
+                       "VirtualEngineDataNode"}
 
     def __init__(self, workflow: Workflow, model_dirs: Tuple[str, ...] = (),
                  validate: bool = True):

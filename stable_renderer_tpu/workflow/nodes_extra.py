@@ -714,21 +714,33 @@ def model_patch_options(model: dict, unet, sigmas, ms):
             # PatchModelAddDownscale / Kohya Deep Shrink
             # (comfy_extras/nodes_model_downscale.py). Static-shape TPU
             # divergence: instead of shrinking h mid-network (a dynamic shape
-            # under jit), the input-block patch applies the equivalent
-            # low-pass (downscale then upscale back) gated per-step by the
-            # sigma window, and the output-block upscale patch becomes a
-            # no-op because shapes never diverge.
-            sigma_start = ms.percent_to_sigma(p["start_percent"])
-            sigma_end = ms.percent_to_sigma(p["end_percent"])
-            t_hi = float(ms.timestep(np.asarray(
-                min(sigma_start, float(ms.sigma_max)))))
-            t_lo = float(ms.timestep(np.asarray(
-                max(sigma_end, float(ms.sigma_min)))))
+            # under jit), the input-block patch applies a low-pass (downscale
+            # then upscale back) gated per-step by the sigma window, and the
+            # output-block upscale patch becomes a no-op because shapes never
+            # diverge. NOTE: the low-pass removes the same high frequencies
+            # but the UNet still computes at full resolution, so receptive
+            # fields stay unchanged — a documented approximation of the
+            # reference's mid-network shrink, not an exact reproduction.
+            sigma_start = min(ms.percent_to_sigma(p["start_percent"]),
+                              float(ms.sigma_max))
+            sigma_end = max(ms.percent_to_sigma(p["end_percent"]),
+                            float(ms.sigma_min))
+            # thresholds must live in the SAME space as the UNet's timestep
+            # input: index-interpolated t for discrete models, 0.25*log(sigma)
+            # for EDM models (assemble.py t_fn) — both increase with sigma
+            if getattr(ms, "timestep_mode", "") == "edm":
+                t_hi = float(0.25 * np.log(sigma_start))
+                t_lo = float(0.25 * np.log(sigma_end))
+            else:
+                t_hi = float(ms.timestep(np.asarray(sigma_start)))
+                t_lo = float(ms.timestep(np.asarray(sigma_end)))
             hook = _make_downscale_in_block(p, t_lo, t_hi)
             if p.get("after_skip", True):
-                in_block_after = hook
+                in_block_after = (hook if in_block_after is None
+                                  else _chain_in_blocks(in_block_after, hook))
             else:
-                in_block = hook
+                in_block = (hook if in_block is None
+                            else _chain_in_blocks(in_block, hook))
         elif kind == "linear_cfg":
             # VideoLinearCFGGuidance: per-frame cfg ramp (consumed by the
             # KSampler assembly, executor.py)
@@ -813,6 +825,14 @@ def _make_downscale_in_block(p: dict, t_lo: float, t_hi: float):
         return jnp.where(gate[:, None, None, None], hh, h)
 
     return hook
+
+
+def _chain_in_blocks(first, second):
+    """Compose two input-block hooks (stacked PatchModelAddDownscale)."""
+    def chained(h, idx, t):
+        return second(first(h, idx, t), idx, t)
+
+    return chained
 
 
 def _chain_out_blocks(fns):

@@ -39,6 +39,7 @@ from stable_renderer_tpu.workflow.executor import (
     WorkflowNode,
     _find_model_file,
     register_node,
+    widget as _widget,
 )
 from stable_renderer_tpu.workflow.nodes_extra import _add_patch, _resize_image
 
@@ -47,13 +48,6 @@ logger = get_logger("sr_tpu.nodes_parity")
 
 def _samples(latent):
     return latent["samples"] if isinstance(latent, dict) else latent
-
-
-def _widget(node, i, default, cast=None):
-    w = node.widgets
-    if len(w) <= i or w[i] is None:
-        return default
-    return cast(w[i]) if cast else w[i]
 
 
 def _repeat_to_batch(x, n: int):

@@ -29,16 +29,10 @@ from stable_renderer_tpu.workflow.executor import (
     InferenceContext,
     WorkflowNode,
     register_node,
+    widget as _widget,
 )
 
 logger = get_logger("sr_tpu.nodes_sr")
-
-
-def _widget(node, i, default, cast=None):
-    w = node.widgets
-    if len(w) <= i or w[i] is None:
-        return default
-    return cast(w[i]) if cast else w[i]
 
 
 _SD_SIZES = {"SD15": 512, "SDXL": 1024}
@@ -174,7 +168,15 @@ def create_noise_sequence_from_id_map(ctx: InferenceContext,
     num_segments = int(jnp.max(jnp.where(valid, vertex_ids, 0))) + 1
     xs = jnp.clip((info[:, 4] * size).astype(jnp.int32), 0, size - 1)
     ys = jnp.clip((info[:, 5] * size).astype(jnp.int32), 0, size - 1)
-    fs = jnp.clip(info[:, 6].astype(jnp.int32), 0, n - 1)
+    # info[:, 6] carries the FILENAME-derived frame index (corrmap.py:251-254
+    # vertex_screen_info layout), which is a batch-row position only for
+    # 0-based contiguous dumps — map it back to the row via the (sorted)
+    # frame_indices table so frame_start>0 / sparse dumps scatter correctly
+    # (the reference indexes latent[frame_index] directly and would
+    # out-of-range on such dumps, loaders.py:199-206)
+    fi_table = jnp.asarray(id_map.frame_indices, jnp.int32)
+    fs = jnp.clip(jnp.searchsorted(fi_table, info[:, 6].astype(jnp.int32)),
+                  0, n - 1)
 
     def vertex_noise(key):
         base = jax.random.normal(key, (1, size, size, 4), jnp.float32)

@@ -468,6 +468,19 @@ def test_rescale_cfg_changes_output_and_matches_reference_math():
     d_resc = np.asarray(den_resc(x, sigma))
     assert not np.allclose(d_plain, d_resc, atol=1e-5)
     assert np.isfinite(d_resc).all()
+    # cfg_scale=1 pin: x_cfg == cond_v and the std-rescale is identity, so
+    # RescaleCFG must return EXACTLY the plain cond prediction — this is
+    # what the reference's x_orig - fn(args) collapses to
+    # (nodes_model_advanced.py:186-206 with samplers.py:349)
+    den_plain1 = make_denoiser(
+        model["unet"], model["params"], pos["context"], neg["context"],
+        log_sigmas, cfg_scale=1.0)
+    den_resc1 = make_denoiser(
+        model["unet"], model["params"], pos["context"], neg["context"],
+        log_sigmas, cfg_scale=1.0, rescale_cfg_multiplier=0.7)
+    np.testing.assert_allclose(np.asarray(den_resc1(x, sigma)),
+                               np.asarray(den_plain1(x, sigma)),
+                               rtol=2e-3, atol=2e-3)
 
 
 def test_patch_model_add_downscale_gates_by_sigma():

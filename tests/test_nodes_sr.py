@@ -122,6 +122,28 @@ def test_create_noise_sequence_from_id_map():
     assert np.allclose(np.asarray(latm["samples"]), 0.0)
 
 
+def test_create_noise_sequence_nonzero_frame_indices():
+    """Filename-derived frame indices that don't start at 0 (frame_start>0
+    dumps) must still scatter per-vertex noise into the right batch rows —
+    info[:,6] carries the FILE index, not the row (loaders.py:199-206 would
+    out-of-range here in the reference)."""
+    from stable_renderer_tpu.data.idmap import IDMap
+
+    ids = np.zeros((2, 512, 512, 4), np.int32)
+    ids[0, 96, 200] = [1, 1, 0, 7]
+    ids[1, 296, 400] = [1, 1, 0, 7]
+    idmap = IDMap(jnp.asarray(ids), frame_indices=[8, 9])  # frame_start=8
+    (lat,) = _run("CreateNoiseSequenceFromIdMap", [42, "SD15", "nearest"],
+                  id_map=idmap)
+    n = np.asarray(lat["noise"])
+    assert n.shape == (2, 64, 64, 4)
+    assert np.allclose(n[0, 96 // 8, 200 // 8], n[1, 296 // 8, 400 // 8],
+                       atol=1e-5)
+    # and the scattered cell differs from the plain tiled field around it
+    assert not np.allclose(n[0, 96 // 8, 200 // 8], n[1, 96 // 8, 200 // 8],
+                           atol=1e-5)
+
+
 def test_create_identical_noise_sequence():
     (lat,) = _run("CreateIdenticalNoiseSequence", [7, 3, "SD15"])
     assert lat["samples"].shape == (3, 64, 64, 4)
