@@ -165,6 +165,54 @@ def _encode_jpeg(frame: np.ndarray, quality: int = 85) -> bytes:
     return buf.getvalue()
 
 
+# --- RFC6455 websocket (server side, stdlib only) -------------------------
+# The reference pushes status/progress/executing events over an aiohttp
+# websocket at /ws (comfyUI/server.py:114-180); this is the same wire
+# protocol hand-rolled on the stdlib HTTP server (handshake + unmasked
+# server->client text frames + ping/pong/close handling).
+
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+
+def _ws_accept_key(key: str) -> str:
+    import hashlib
+
+    return base64.b64encode(
+        hashlib.sha1((key + _WS_GUID).encode()).digest()).decode()
+
+
+def _ws_frame(payload: bytes, opcode: int = 0x1) -> bytes:
+    """One FIN frame, server->client (never masked)."""
+    head = bytes([0x80 | opcode])
+    n = len(payload)
+    if n < 126:
+        head += bytes([n])
+    elif n < 1 << 16:
+        head += bytes([126]) + n.to_bytes(2, "big")
+    else:
+        head += bytes([127]) + n.to_bytes(8, "big")
+    return head + payload
+
+
+def _ws_read_frame(rfile) -> Optional[Tuple[int, bytes]]:
+    """Read one (possibly masked) client frame; None on EOF."""
+    hdr = rfile.read(2)
+    if not hdr or len(hdr) < 2:
+        return None
+    opcode = hdr[0] & 0x0F
+    masked = hdr[1] & 0x80
+    ln = hdr[1] & 0x7F
+    if ln == 126:
+        ln = int.from_bytes(rfile.read(2), "big")
+    elif ln == 127:
+        ln = int.from_bytes(rfile.read(8), "big")
+    mask = rfile.read(4) if masked else b""
+    payload = rfile.read(ln) if ln else b""
+    if masked and payload:
+        payload = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+    return opcode, payload
+
+
 class FrameServer:
     """Latest-frame mailbox + HTTP endpoints. Start with ``start()``; publish
     uint8 frames from the engine loop via ``publish``."""
@@ -288,6 +336,88 @@ class FrameServer:
             tr.localScale = [float(v) for v in payload["scale"]]
         return {"ok": True, "name": obj.name}
 
+    def _ws_loop(self, conn, rfile, wfile) -> None:
+        """Post-handshake websocket session: relay the event bus as JSON text
+        frames, answer pings, honor close (reference /ws event stream,
+        comfyUI/server.py:114-180)."""
+        import queue as _q
+        import select
+
+        q = self._subscribe()
+        try:
+            with self._frame_cv:
+                idx = self._frame_index
+            hello = {"type": "status",
+                     "data": {"status": {"exec_info": self.queue.queue_info()},
+                              "frame": idx}}
+            wfile.write(_ws_frame(json.dumps(hello).encode()))
+            wfile.flush()
+            while True:
+                # drain any client frames without blocking the push loop
+                r, _, _ = select.select([conn], [], [], 0.0)
+                if r:
+                    got = _ws_read_frame(rfile)
+                    if got is None:
+                        return
+                    opcode, payload = got
+                    if opcode == 0x8:  # close: echo and drop
+                        wfile.write(_ws_frame(payload[:2], 0x8))
+                        wfile.flush()
+                        return
+                    if opcode == 0x9:  # ping -> pong
+                        wfile.write(_ws_frame(payload, 0xA))
+                        wfile.flush()
+                    continue
+                try:
+                    evt = q.get(timeout=5.0)
+                except _q.Empty:
+                    wfile.write(_ws_frame(b"", 0x9))  # keepalive ping
+                    wfile.flush()
+                    continue
+                wfile.write(_ws_frame(json.dumps(evt).encode()))
+                wfile.flush()
+        except (BrokenPipeError, ConnectionResetError, OSError):
+            return
+        finally:
+            self._unsubscribe(q)
+
+    @staticmethod
+    def system_stats() -> Dict[str, Any]:
+        """Host + device inventory (reference /system_stats,
+        comfyUI/server.py:455-479: os/python + per-device vram totals)."""
+        import platform as _platform
+        import sys as _sys
+
+        out: Dict[str, Any] = {
+            "system": {
+                "os": _platform.system(),
+                "python_version": _sys.version,
+                "embedded_python": False,
+            },
+            "devices": [],
+        }
+        try:
+            import jax
+
+            for d in jax.devices():
+                stats: Dict[str, Any] = {}
+                try:
+                    stats = d.memory_stats() or {}
+                except Exception:
+                    pass
+                total = int(stats.get("bytes_limit", 0))
+                used = int(stats.get("bytes_in_use", 0))
+                out["devices"].append({
+                    "name": str(d),
+                    "type": d.platform,
+                    "index": int(d.id),
+                    "vram_total": total,
+                    "vram_free": max(0, total - used),
+                })
+        except Exception:
+            pass
+        return out
+
     @staticmethod
     def object_info() -> Dict[str, Any]:
         """Node introspection from the validation NODE_SPECS + executor
@@ -391,6 +521,23 @@ class FrameServer:
                             self.wfile.write(b"\r\n")
                     except (BrokenPipeError, ConnectionResetError):
                         return
+                elif self.path.startswith("/ws"):
+                    # RFC6455 websocket event push (reference /ws,
+                    # comfyUI/server.py:114-180)
+                    key = self.headers.get("Sec-WebSocket-Key")
+                    upgrade = (self.headers.get("Upgrade") or "").lower()
+                    if not key or "websocket" not in upgrade:
+                        self._json({"error": "websocket upgrade required"}, 400)
+                        return
+                    self.wfile.write(
+                        b"HTTP/1.1 101 Switching Protocols\r\n"
+                        b"Upgrade: websocket\r\n"
+                        b"Connection: Upgrade\r\n"
+                        b"Sec-WebSocket-Accept: "
+                        + _ws_accept_key(key).encode() + b"\r\n\r\n")
+                    self.wfile.flush()
+                    self.close_connection = True
+                    server._ws_loop(self.connection, self.rfile, self.wfile)
                 elif self.path.startswith("/events"):
                     # server-sent events: progress / status / frame pushes
                     q = server._subscribe()
@@ -490,6 +637,8 @@ class FrameServer:
                     self._json(server.queue.get_history())
                 elif self.path.startswith("/queue"):
                     self._json(server.queue.queue_info())
+                elif self.path.startswith("/system_stats"):
+                    self._json(server.system_stats())
                 elif self.path.startswith("/status"):
                     with server._frame_cv:
                         idx = server._frame_index

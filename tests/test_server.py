@@ -401,3 +401,86 @@ def test_unique_node_types_and_type_matchings(server):
     ], "links": [[1, 1, 0, 2, 0, "LATENT"], [2, 1, 0, 3, 0, "LATENT"]]})
     errors = validate_workflow(wf, NODE_REGISTRY)
     assert any(e["type"] == "duplicate_unique_node" for e in errors)
+
+
+def test_websocket_event_push(server):
+    """RFC6455 /ws: handshake, status hello, event relay, ping->pong, close
+    (reference websocket /ws, comfyUI/server.py:114-180)."""
+    import base64
+    import hashlib
+    import socket
+
+    base_key = base64.b64encode(b"0123456789abcdef").decode()
+    s = socket.create_connection(("127.0.0.1", server.port), timeout=10)
+    try:
+        s.sendall(
+            (f"GET /ws HTTP/1.1\r\nHost: localhost\r\n"
+             f"Upgrade: websocket\r\nConnection: Upgrade\r\n"
+             f"Sec-WebSocket-Key: {base_key}\r\n"
+             f"Sec-WebSocket-Version: 13\r\n\r\n").encode())
+        buf = b""
+        while b"\r\n\r\n" not in buf:
+            buf += s.recv(4096)
+        head, _, rest = buf.partition(b"\r\n\r\n")
+        assert b" 101 " in head.split(b"\r\n")[0]
+        guid = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+        expect = base64.b64encode(
+            hashlib.sha1((base_key + guid).encode()).digest()).decode()
+        assert f"Sec-WebSocket-Accept: {expect}".encode() in head
+
+        def read_frame(rest):
+            while len(rest) < 2:
+                rest += s.recv(4096)
+            opcode, ln, off = rest[0] & 0xF, rest[1] & 0x7F, 2
+            if ln == 126:
+                while len(rest) < 4:
+                    rest += s.recv(4096)
+                ln, off = int.from_bytes(rest[2:4], "big"), 4
+            while len(rest) < off + ln:
+                rest += s.recv(4096)
+            return opcode, rest[off:off + ln], rest[off + ln:]
+
+        # hello frame is a status message
+        op, payload, rest = read_frame(rest)
+        assert op == 1
+        assert json.loads(payload)["type"] == "status"
+
+        # posted events arrive as text frames (skip keepalive pings)
+        server.post_event("progress", {"value": 1, "max": 4})
+        for _ in range(5):
+            op, payload, rest = read_frame(rest)
+            if op == 1:
+                break
+        msg = json.loads(payload)
+        assert msg["type"] == "progress" and msg["data"]["value"] == 1
+
+        # client ping (masked) -> server pong with same payload
+        mask = b"\x01\x02\x03\x04"
+        body = bytes(b ^ mask[i % 4] for i, b in enumerate(b"hi"))
+        s.sendall(bytes([0x89, 0x80 | 2]) + mask + body)
+        for _ in range(5):
+            op, payload, rest = read_frame(rest)
+            if op == 0xA:
+                break
+        assert op == 0xA and payload == b"hi"
+
+        # close handshake: server echoes the close frame
+        s.sendall(bytes([0x88, 0x80]) + mask)
+        for _ in range(5):
+            op, payload, rest = read_frame(rest)
+            if op == 0x8:
+                break
+        assert op == 0x8
+    finally:
+        s.close()
+
+
+def test_system_stats_endpoint(server):
+    base = f"http://127.0.0.1:{server.port}"
+    code, body, _ = _get(base + "/system_stats")
+    assert code == 200
+    stats = json.loads(body)
+    assert "system" in stats and "devices" in stats
+    assert stats["system"]["os"]
+    for d in stats["devices"]:
+        assert {"name", "type", "index", "vram_total", "vram_free"} <= set(d)
