@@ -41,28 +41,56 @@ def conv2d(p: dict, x: jax.Array, stride: int = 1, padding: int = 0) -> jax.Arra
     return out
 
 
-def group_norm(p: dict, x: jax.Array, num_groups: int = 32, eps: float = 1e-6) -> jax.Array:
-    """torch nn.GroupNorm over NHWC (normalizes per group of channels).
+_group_norm_pallas_on = False  # set by ops.flash_attention.use_pallas_attention
+
+
+def group_norm(p: dict, x: jax.Array, num_groups: int = 32, eps: float = 1e-6,
+               act: Optional[str] = None) -> jax.Array:
+    """torch nn.GroupNorm over NHWC (normalizes per group of channels), with
+    an optionally fused activation (``act="silu"``).
 
     Statistics in float32 for bf16 stability. TPU layout note: the naive
     reshape-to-(N, S, G, C/G) formulation puts C/G (e.g. 10) in the lane
     dimension — a relayout of the whole tensor. Here the spatial reduction
     keeps C in lanes ((N, S, C) sums), and only the tiny (N, C) row is folded
-    per group, so the heavy passes stay in the native layout.
+    per group, so the heavy passes stay in the native layout. On TPU, the
+    Pallas fused kernel (ops/group_norm_pallas.py) replaces the whole thing
+    with a single 1-read/1-write program when the slab fits VMEM.
     """
     orig_dtype = x.dtype
-    x32 = x.astype(jnp.float32)
-    c = x32.shape[-1]
+    c = x.shape[-1]
     g = num_groups
     while c % g:  # tiny test configs have c < 32; checkpoints always divide evenly
         g //= 2
-    n = x32.shape[0]
+    n = x.shape[0]
     spatial = 1
-    for d in x32.shape[1:-1]:
+    for d in x.shape[1:-1]:
         spatial *= d
-    xf = x32.reshape(n, spatial, c)
-    s1 = jnp.sum(xf, axis=1)            # (N, C), lanes preserved
-    s2 = jnp.sum(xf * xf, axis=1)
+    if _group_norm_pallas_on and c % 128 == 0 and spatial >= 8:
+        from stable_renderer_tpu.ops.group_norm_pallas import (
+            fits_vmem, group_norm_pallas,
+        )
+
+        if fits_vmem(spatial, c):
+            out = group_norm_pallas(
+                x.reshape(n, spatial, c), p["weight"], p["bias"],
+                groups=g, eps=eps, act=act,
+            )
+            return out.reshape(x.shape)
+    # Accumulate stats in f32 WITHOUT converting the tensor upfront: an
+    # upfront astype(f32) makes XLA materialize the producing conv's output
+    # as f32 tuple elements (2x HBM writes — seen as (f32,f32) convolution
+    # fusions in the device trace). dtype-arg reductions keep the tensor
+    # bf16-resident; the f32 convert then fuses into the reduce and the
+    # final normalize pass.
+    xf = x.reshape(n, spatial, c)
+    s1 = jnp.sum(xf, axis=1, dtype=jnp.float32)            # (N, C), lanes kept
+    # square in the activation dtype, accumulate f32: squaring an explicit
+    # f32 copy makes XLA emit the producer as an (f32 x, f32 x^2) tuple —
+    # 4x the HBM writes. bf16 x^2 with f32 accumulation costs ~0.2% on the
+    # variance (well inside bf16 activation noise) and keeps the producer
+    # fusion's output bf16.
+    s2 = jnp.sum(jnp.square(xf), axis=1, dtype=jnp.float32)
     cnt = float(spatial * (c // g))
     gs1 = jnp.sum(s1.reshape(n, g, c // g), axis=-1)  # (N, G): tiny
     gs2 = jnp.sum(s2.reshape(n, g, c // g), axis=-1)
@@ -71,23 +99,42 @@ def group_norm(p: dict, x: jax.Array, num_groups: int = 32, eps: float = 1e-6) -
     rstd_g = jax.lax.rsqrt(var_g + eps)
     mean_c = jnp.repeat(mean_g, c // g, axis=-1)       # (N, C)
     rstd_c = jnp.repeat(rstd_g, c // g, axis=-1)
-    bshape = (n,) + (1,) * (x32.ndim - 2) + (c,)
-    out = (x32 - mean_c.reshape(bshape)) * rstd_c.reshape(bshape)
-    out = out * p["weight"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
-    return out.astype(orig_dtype)
+    bshape = (n,) + (1,) * (x.ndim - 2) + (c,)
+    scale = rstd_c * p["weight"].astype(jnp.float32)   # (N, C), tiny
+    shift = p["bias"].astype(jnp.float32) - mean_c * scale
+    # The big multiply-add runs in the activation dtype: an astype(f32) here
+    # gets CSE'd with the reduces' converts into one materialized f32 copy of
+    # the whole tensor ((f32, bf16) dual-output producer fusions in the device
+    # trace — 3x the HBM writes). scale/shift are f32-computed tiny rows; the
+    # output is orig_dtype anyway, so bf16 FMA costs one rounding step.
+    out = x * scale.reshape(bshape).astype(orig_dtype) \
+        + shift.reshape(bshape).astype(orig_dtype)
+    if act == "silu":
+        out = jax.nn.silu(out)
+    elif act is not None:
+        raise ValueError(f"unknown group_norm act {act!r}")
+    return out
 
 
 def layer_norm(p: dict, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    # Stats accumulate in f32 via reduce dtype args (not an upfront astype,
+    # which would force the producer to materialize f32 — see group_norm).
     orig_dtype = x.dtype
-    x32 = x.astype(jnp.float32)
-    mean = x32.mean(-1, keepdims=True)
-    var = x32.var(-1, keepdims=True)
-    out = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    mean = jnp.mean(x, -1, dtype=jnp.float32, keepdims=True)
+    m2 = jnp.mean(jnp.square(x), -1, dtype=jnp.float32, keepdims=True)
+    var = jnp.maximum(m2 - mean * mean, 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    scale, shift = rstd, -mean * rstd
     if p is not None and "weight" in p:
-        out = out * p["weight"].astype(jnp.float32)
+        w = p["weight"].astype(jnp.float32)
+        scale = rstd * w
+        shift = -mean * scale
         if "bias" in p and p["bias"] is not None:
-            out = out + p["bias"].astype(jnp.float32)
-    return out.astype(orig_dtype)
+            shift = shift + p["bias"].astype(jnp.float32)
+    # activation-dtype FMA for the same reason as group_norm (avoid a CSE'd
+    # full-size f32 materialization); scale/shift are f32 rows
+    out = x * scale.astype(orig_dtype) + shift.astype(orig_dtype)
+    return out
 
 
 def silu(x: jax.Array) -> jax.Array:

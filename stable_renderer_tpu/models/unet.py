@@ -181,13 +181,16 @@ class AttnHooks(NamedTuple):
 
 
 def res_block(p: dict, x: jax.Array, emb: jax.Array) -> jax.Array:
-    """openaimodel ResBlock: GN-SiLU-conv + time-emb add + GN-SiLU-conv + skip."""
-    h = group_norm(p["in_layers"]["0"], x)
-    h = conv2d(p["in_layers"]["2"], silu(h), padding=1)
+    """openaimodel ResBlock: GN-SiLU-conv + time-emb add + GN-SiLU-conv + skip.
+
+    GN+SiLU run as one fused op (Pallas kernel on TPU — one HBM read/write
+    instead of the XLA lowering's f32 double-materialization)."""
+    h = group_norm(p["in_layers"]["0"], x, act="silu")
+    h = conv2d(p["in_layers"]["2"], h, padding=1)
     emb_out = linear(p["emb_layers"]["1"], silu(emb))
     h = h + emb_out[:, None, None, :].astype(h.dtype)
-    h = group_norm(p["out_layers"]["0"], h)
-    h = conv2d(p["out_layers"]["3"], silu(h), padding=1)
+    h = group_norm(p["out_layers"]["0"], h, act="silu")
+    h = conv2d(p["out_layers"]["3"], h, padding=1)
     if "skip_connection" in p:
         x = conv2d(p["skip_connection"], x)
     return x + h
@@ -209,9 +212,20 @@ def basic_transformer_block(
         q_ctx, k_ctx, v_ctx = hooks.pre(q_ctx, k_ctx, v_ctx, layer_idx)
     if hooks.pre_all is not None:  # model patches (full batch, e.g. hypernets)
         q_ctx, k_ctx, v_ctx = hooks.pre_all(q_ctx, k_ctx, v_ctx, layer_idx)
-    q = linear(p["attn1"]["to_q"], q_ctx)
-    k = linear(p["attn1"]["to_k"], k_ctx)
-    v = linear(p["attn1"]["to_v"], v_ctx)
+    if q_ctx is k_ctx and k_ctx is v_ctx:
+        # fused QKV: one (L,C)@(C,3C) matmul instead of three — saves two
+        # read passes of the normed activations per self-attention. The
+        # weight concat is loop-invariant (params), so XLA hoists it out of
+        # the denoise scan. Falls back to separate projections whenever a
+        # pre-hook rewrote any of the three contexts.
+        w_qkv = jnp.concatenate(
+            [p["attn1"]["to_q"]["weight"], p["attn1"]["to_k"]["weight"],
+             p["attn1"]["to_v"]["weight"]], axis=0)
+        q, k, v = jnp.split(linear({"weight": w_qkv}, q_ctx), 3, axis=-1)
+    else:
+        q = linear(p["attn1"]["to_q"], q_ctx)
+        k = linear(p["attn1"]["to_k"], k_ctx)
+        v = linear(p["attn1"]["to_v"], v_ctx)
     if hooks.attn is not None:
         attn_out = hooks.attn(q, k, v, heads, layer_idx)
     elif hooks.attn_all is not None:  # full-batch replacement (e.g. HyperTile)
@@ -231,8 +245,15 @@ def basic_transformer_block(
     if hooks.pre_cross is not None:  # attn2 context patch (hypernetworks)
         n, ctx_k, ctx_v = hooks.pre_cross(n, ctx_k, ctx_v, layer_idx)
     q = linear(p["attn2"]["to_q"], n)
-    k = linear(p["attn2"]["to_k"], ctx_k)
-    v = linear(p["attn2"]["to_v"], ctx_v)
+    if ctx_k is ctx_v:
+        # fused KV over the (short) text context: one matmul instead of two
+        w_kv = jnp.concatenate(
+            [p["attn2"]["to_k"]["weight"], p["attn2"]["to_v"]["weight"]],
+            axis=0)
+        k, v = jnp.split(linear({"weight": w_kv}, ctx_k), 2, axis=-1)
+    else:
+        k = linear(p["attn2"]["to_k"], ctx_k)
+        v = linear(p["attn2"]["to_v"], ctx_v)
     x = x + linear(p["attn2"]["to_out"]["0"], attention(q, k, v, heads))
 
     # feed-forward (GEGLU)
@@ -415,8 +436,8 @@ class UNetModel:
                 key = "2" if kind == "res_attn" else "1"
                 h = upsample(p[key], h)
 
-        h = group_norm(params["out"]["0"], h)
-        h = conv2d(params["out"]["2"], silu(h), padding=1)
+        h = group_norm(params["out"]["0"], h, act="silu")
+        h = conv2d(params["out"]["2"], h, padding=1)
         return h
 
     # --- initialization ----------------------------------------------------

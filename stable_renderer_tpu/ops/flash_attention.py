@@ -151,14 +151,18 @@ def attention_pallas(
 ) -> jax.Array:
     """Drop-in replacement for layers.attention using the flash kernel.
 
-    Routing (round-3 sweep, scripts/sweep_attention.py): the flash kernel wins
-    only when the HBM logits round-trip matters (L >= 2048: 1.21 vs 3.04 ms at
-    L=4096); below that XLA's fused einsum is faster (0.185 vs 0.280 ms at
-    L=1024), so short sequences fall through to it."""
+    Routing (round-3 sweep, scripts/sweep_attention.py + trace analysis): the
+    flash kernel wins only when the HBM logits round-trip matters, i.e. when
+    the K/V sequence is long (lk >= 2048: 1.21 vs 3.04 ms at L=4096 self-attn);
+    for short K/V the logits tensor is small and XLA's fused einsum is faster —
+    that covers both short self-attention (0.185 vs 0.280 ms at L=1024) and
+    CROSS-attention against 77 text tokens (lq=4096, lk=77: the device trace
+    showed the flash kernel costing 0.225 ms there vs ~0.08 for the einsum,
+    ~0.7 ms/UNet-eval across the five level-0 cross attentions)."""
     b, lq, hd = q.shape
     d = hd // heads
     lk = k.shape[1]
-    if max(lq, lk) < 2048:
+    if lk < 2048:
         scale = 1.0 / math.sqrt(d)
         qh = q.reshape(b, lq, heads, d).transpose(0, 2, 1, 3)
         kh = k.reshape(b, lk, heads, d).transpose(0, 2, 1, 3)
@@ -176,10 +180,12 @@ def attention_pallas(
 
 
 def use_pallas_attention(enable: bool = True) -> None:
-    """Route models.layers.attention through the Pallas kernel (TPU only)."""
+    """Route models.layers.attention through the Pallas flash kernel (TPU
+    only). NOTE: the Pallas fused GroupNorm (ops/group_norm_pallas.py) is
+    deliberately NOT routed here — measured A/B, a custom-call GN is a fusion
+    barrier that forces relayout copies around every conv and regressed the
+    full UNet 17.2 -> 33.4 ms/eval even though the kernel matches XLA's GN
+    in isolation (see PERF.md "Negative result: Pallas GroupNorm")."""
     from stable_renderer_tpu.models import layers
 
-    if enable:
-        layers._attention_impl = attention_pallas
-    else:
-        layers._attention_impl = None
+    layers._attention_impl = attention_pallas if enable else None

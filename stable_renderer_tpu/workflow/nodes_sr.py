@@ -379,10 +379,10 @@ def text_replace(ctx: InferenceContext, node: WorkflowNode, text=None,
 @register_node("SimpleVideoCombine")
 def simple_video_combine(ctx: InferenceContext, node: WorkflowNode,
                          images=None):
-    """Combine frames into an animated webp with optional alpha threshold
+    """Combine frames into an animated gif/webp with optional alpha threshold
     and pingpong (processing/video.py:30-100 SimpleVideoCombine; the
-    reference emits a UIImage the server encodes — headless here, written
-    straight to the output dir)."""
+    reference emits a UIImage the server encodes to GIF — headless here,
+    written straight to the output dir; format widget picks gif or webp)."""
     from PIL import Image
 
     from stable_renderer_tpu.utils.paths import OUTPUT_DIR
@@ -393,6 +393,9 @@ def simple_video_combine(ctx: InferenceContext, node: WorkflowNode,
     loop_count = _widget(node, 3, 0, int)
     prefix = str(_widget(node, 4, "video"))
     pingpong = bool(_widget(node, 5, False))
+    fmt = str(_widget(node, 6, "webp")).lower()
+    if fmt not in ("webp", "gif"):
+        fmt = "webp"
 
     arr = np.clip(np.asarray(images, np.float32), 0.0, 1.0)
     if enable_alpha:
@@ -409,10 +412,14 @@ def simple_video_combine(ctx: InferenceContext, node: WorkflowNode,
         frames = frames + frames[-2:0:-1]
     out_dir = Path(OUTPUT_DIR) / "workflow"
     out_dir.mkdir(parents=True, exist_ok=True)
-    counter = len(list(out_dir.glob(f"{prefix}_*.webp")))
-    path = out_dir / f"{prefix}_{counter:05}.webp"
+    counter = len(list(out_dir.glob(f"{prefix}_*.{fmt}")))
+    path = out_dir / f"{prefix}_{counter:05}.{fmt}"
+    save_kwargs = {"lossless": True} if fmt == "webp" else {}
+    if fmt == "gif" and frames[0].mode == "RGBA":
+        # GIF has 1-bit alpha via palette transparency; PIL handles RGBA->P
+        save_kwargs["disposal"] = 2
     frames[0].save(path, save_all=True, append_images=frames[1:],
                    duration=round(1000.0 / frame_rate), loop=loop_count,
-                   lossless=True)
+                   **save_kwargs)
     ctx.status_messages.append(f"saved {path}")
     return (str(path),)

@@ -290,3 +290,20 @@ def test_sr_loader_workflow_end_to_end(tmp_path):
     ed = ctx.engine_data
     assert ed is not None and ed.frame_count == 2
     assert ed.noise_maps.shape == (2, 64, 64, 4)
+
+
+def test_simple_video_combine_gif(monkeypatch, tmp_path):
+    """format widget 'gif' writes an animated GIF (the reference's UIImage
+    path encodes animated output as GIF, processing/video.py docstring)."""
+    import jax.numpy as jnp
+    import stable_renderer_tpu.utils.paths as paths
+
+    monkeypatch.setattr(paths, "OUTPUT_DIR", tmp_path)
+    frames = jnp.stack([jnp.zeros((8, 8, 3)), jnp.ones((8, 8, 3))])
+    (path,) = _run("SimpleVideoCombine",
+                   [0.5, False, 8, 0, "clip", False, "gif"], images=frames)
+    assert path.endswith(".gif")
+    from PIL import Image
+
+    im = Image.open(path)
+    assert getattr(im, "n_frames", 1) == 2
