@@ -56,10 +56,11 @@ def main() -> None:
     size = 64 if quick else 512
     taesd_mode = os.environ.get("SR_BENCH_TAESD") == "1"
     stream_mode = os.environ.get("SR_BENCH_STREAM") == "1"
+    int8_mode = os.environ.get("SR_BENCH_INT8") == "1"
     cfg = RenderConfig(
         prompt="a ball", steps=4, cfg_scale=2.0, sampler="lcm",
         scheduler="sgm_uniform", denoise=1.0, realtime_taesd=taesd_mode,
-        stream_pipeline=stream_mode,
+        stream_pipeline=stream_mode, int8_conv=int8_mode,
     )
     pipe = DiffusionPipeline.from_random(cfg, tiny=quick)
     if taesd_mode:
@@ -194,7 +195,8 @@ def main() -> None:
     print(json.dumps({
         "metric": f"engine-loop img2img fps @ {size}x{size}, 4-step LCM cfg2"
                   + (" taesd" if taesd_mode else "")
-                  + (" stream" if stream_mode else "") + f" ({platform})",
+                  + (" stream" if stream_mode else "")
+                  + (" int8" if int8_mode else "") + f" ({platform})",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 2.5, 3),

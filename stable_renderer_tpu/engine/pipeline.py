@@ -87,6 +87,19 @@ class DiffusionPipeline:
         self.taesd_params = params
         return self
 
+    def quantize_convs(self, vae: bool = True) -> "DiffusionPipeline":
+        """Apply the int8 conv path (models/quant.py) to the UNet (and VAE)
+        param trees — RenderConfig(int8_conv=True). Per-output-channel int8
+        weights + dynamic activation quant on the MXU's 2x int8 rate; the
+        TPU analogue of the reference's fp8 precision flags
+        (comfy/cli_args.py:40-130)."""
+        from stable_renderer_tpu.models.quant import quantize_tree
+
+        self.unet_params = quantize_tree(self.unet_params)
+        if vae:
+            self.vae_params = quantize_tree(self.vae_params)
+        return self
+
     # --- constructors --------------------------------------------------------
 
     @classmethod
@@ -159,6 +172,8 @@ class DiffusionPipeline:
             clip_g=clip_g,
             clip_g_params=clip_g_params,
         )
+        if config.int8_conv:
+            pipe.quantize_convs()
         return pipe
 
     @classmethod
@@ -203,7 +218,7 @@ class DiffusionPipeline:
         config = config or RenderConfig()
         ms = ModelSampling(prediction=config.prediction or (
             "lcm" if config.sampler == "lcm" else "eps"))
-        return cls(
+        pipe = cls(
             unet=unet,
             vae=vae,
             clip=clip,
@@ -220,6 +235,9 @@ class DiffusionPipeline:
                 jax.random.fold_in(key, 3)
             ),
         )
+        if config.int8_conv:
+            pipe.quantize_convs()
+        return pipe
 
     def add_controlnet(self, params: dict, spec: ControlNetSpec) -> None:
         cn = ControlNet(ControlNetConfig(unet=self.unet.config))
@@ -572,7 +590,9 @@ class DiffusionPipeline:
         # program (catastrophic compile times).
         cfg = self.config
         use_taesd = cfg.realtime_taesd and self.taesd is not None
-        vae_dtype = vae_params["quant_conv"]["weight"].dtype
+        _qc = vae_params["quant_conv"]
+        # int8-quantized trees keep the fp bias; use it for the compute dtype
+        vae_dtype = (_qc["weight"] if "weight" in _qc else _qc["bias"]).dtype
         if use_taesd:
             # realtime mode: TAESD encode (~13x cheaper than the full VAE).
             # taesd params are tiny (~5 MB) so the closure constant is fine.
@@ -680,7 +700,9 @@ class DiffusionPipeline:
         """
         cfg = self.config
         use_taesd = cfg.realtime_taesd and self.taesd is not None
-        vae_dtype = vae_params["quant_conv"]["weight"].dtype
+        _qc = vae_params["quant_conv"]
+        # int8-quantized trees keep the fp bias; use it for the compute dtype
+        vae_dtype = (_qc["weight"] if "weight" in _qc else _qc["bias"]).dtype
         if use_taesd:
             latent = self.taesd.encode(
                 self.taesd_params, color.astype(vae_dtype)).astype(jnp.float32)

@@ -27,7 +27,14 @@ def linear(p: dict, x: jax.Array) -> jax.Array:
 
 
 def conv2d(p: dict, x: jax.Array, stride: int = 1, padding: int = 0) -> jax.Array:
-    """torch nn.Conv2d on NHWC activations; weight (O, I, kH, kW)."""
+    """torch nn.Conv2d on NHWC activations; weight (O, I, kH, kW).
+
+    Params quantized by models.quant.quantize_tree carry ``weight_q``
+    (int8 HWIO) instead and take the int8 MXU path."""
+    if "weight_q" in p:
+        from stable_renderer_tpu.models.quant import conv2d_q
+
+        return conv2d_q(p, x, stride=stride, padding=padding)
     w = p["weight"].astype(x.dtype)
     out = jax.lax.conv_general_dilated(
         x,

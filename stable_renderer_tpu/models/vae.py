@@ -80,15 +80,10 @@ class VAE:
             for i in range(cfg.num_res_blocks):
                 h = _resnet(lvl["block"][str(i)], h)
             if level != len(cfg.ch_mult) - 1:
-                # asymmetric pad (0,1) then stride-2 conv (model.py Downsample)
+                # asymmetric pad (0,1) then stride-2 conv (model.py Downsample);
+                # routed through layers.conv2d so the int8 path applies too
                 hp = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
-                h = jax.lax.conv_general_dilated(
-                    hp,
-                    lvl["downsample"]["conv"]["weight"].astype(hp.dtype),
-                    (2, 2),
-                    [(0, 0), (0, 0)],
-                    dimension_numbers=("NHWC", "OIHW", "NHWC"),
-                ) + lvl["downsample"]["conv"]["bias"].astype(hp.dtype)
+                h = conv2d(lvl["downsample"]["conv"], hp, stride=2, padding=0)
         h = _resnet(e["mid"]["block_1"], h)
         h = _attn_block(e["mid"]["attn_1"], h)
         h = _resnet(e["mid"]["block_2"], h)

@@ -54,6 +54,12 @@ class RenderConfig:
     # utilization; output lags the raster by steps-1 frames). lcm/euler only;
     # bypasses controlnets + cross-frame correspondence (realtime mode).
     stream_pipeline: bool = False
+    # int8 conv path (models/quant.py): per-channel int8 conv weights +
+    # dynamic activation quant — the TPU analogue of the reference's fp8
+    # per-component precision flags (comfy/cli_args.py:40-130). Measured:
+    # halves conv-weight memory but is SLOWER single-chip (dynamic act-quant
+    # overhead > MXU int8 gain at SD shapes — see models/quant.py STATUS).
+    int8_conv: bool = False
     scene_conditioning: bool = True  # per-sprite masked conditioning (SceneTextEncode)
     keep_background: bool = False  # inpaint mode: denoise only AI-object pixels
     controlnets: Tuple[ControlNetSpec, ...] = ()

@@ -1,0 +1,104 @@
+"""Int8 conv path (models/quant.py) — the TPU analogue of the reference's
+fp8 per-component precision flags (comfy/cli_args.py:40-130)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stable_renderer_tpu.models import layers
+from stable_renderer_tpu.models.quant import (
+    conv2d_q,
+    quant_act,
+    quantize_conv_params,
+    quantize_tree,
+)
+
+
+def _cos(a, b):
+    a = np.asarray(a, np.float64).ravel()
+    b = np.asarray(b, np.float64).ravel()
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+
+def test_quantize_conv_params_layout_and_range():
+    w = jax.random.normal(jax.random.PRNGKey(0), (16, 8, 3, 3))
+    q = quantize_conv_params({"weight": w, "bias": jnp.zeros((16,))})
+    assert q["weight_q"].shape == (3, 3, 8, 16)  # HWIO
+    assert q["weight_q"].dtype == jnp.int8
+    assert q["w_scale"].shape == (16,)
+    assert int(jnp.max(jnp.abs(q["weight_q"].astype(jnp.int32)))) <= 127
+    # per-channel max maps to +-127
+    assert int(jnp.max(jnp.abs(q["weight_q"][..., 0].astype(jnp.int32)))) == 127
+
+
+def test_int8_conv_close_to_fp32():
+    key = jax.random.PRNGKey(1)
+    x = jax.random.normal(key, (2, 16, 16, 32))
+    w = jax.random.normal(jax.random.fold_in(key, 1), (32, 32, 3, 3)) * 0.1
+    b = jax.random.normal(jax.random.fold_in(key, 2), (32,)) * 0.05
+    p = {"weight": w, "bias": b}
+    ref = layers.conv2d(p, x, padding=1)
+    out = conv2d_q(quantize_conv_params(p), x, padding=1)
+    assert out.dtype == x.dtype
+    assert _cos(out, ref) > 0.999
+
+
+def test_layers_conv2d_dispatches_on_weight_q():
+    key = jax.random.PRNGKey(2)
+    x = jax.random.normal(key, (1, 8, 8, 16))
+    p = {"weight": jax.random.normal(key, (16, 16, 3, 3)) * 0.1}
+    qp = quantize_conv_params(p)
+    via_layers = layers.conv2d(qp, x, padding=1)
+    direct = conv2d_q(qp, x, padding=1)
+    np.testing.assert_allclose(np.asarray(via_layers), np.asarray(direct))
+
+
+def test_quantize_tree_only_touches_convs():
+    tree = {
+        "conv": {"weight": jnp.ones((4, 4, 3, 3)), "bias": jnp.zeros((4,))},
+        "lin": {"weight": jnp.ones((4, 4))},
+        "norm": {"weight": jnp.ones((4,)), "bias": jnp.zeros((4,))},
+        "nested": {"inner": {"weight": jnp.ones((2, 2, 1, 1))}},
+    }
+    q = quantize_tree(tree)
+    assert "weight_q" in q["conv"] and "weight" not in q["conv"]
+    assert "weight" in q["lin"] and q["lin"]["weight"].ndim == 2
+    assert "weight" in q["norm"]
+    assert "weight_q" in q["nested"]["inner"]
+
+
+def test_quant_act_symmetric():
+    x = jnp.asarray([[-2.0, 0.0, 1.0, 2.0]])
+    q, s = quant_act(x)
+    assert q.dtype == jnp.int8
+    np.testing.assert_allclose(float(s), 2.0 / 127.0, rtol=1e-6)
+    assert int(q[0, 0]) == -127 and int(q[0, 3]) == 127
+
+
+def test_pipeline_int8_flag_end_to_end():
+    """RenderConfig(int8_conv=True): tiny pipeline quantizes its conv trees
+    and still renders a frame."""
+    from stable_renderer_tpu.data.engine_data import EngineData
+    from stable_renderer_tpu.engine.pipeline import DiffusionPipeline
+    from stable_renderer_tpu.workflow.config import RenderConfig
+
+    cfg = RenderConfig(prompt="q", steps=2, sampler="lcm",
+                       scheduler="sgm_uniform", int8_conv=True)
+    pipe = DiffusionPipeline.from_random(cfg, tiny=True)
+
+    def has_q(t):
+        if isinstance(t, dict):
+            return "weight_q" in t or any(has_q(v) for v in t.values())
+        return False
+
+    assert has_q(pipe.unet_params) and has_q(pipe.vae_params)
+    size = 32
+    ed = EngineData(
+        frame_indices=jnp.arange(1),
+        color_maps=jnp.zeros((1, size, size, 3)),
+        id_maps=jnp.zeros((1, size, size, 4), jnp.int32),
+        noise_maps=jax.random.normal(jax.random.PRNGKey(0), (1, size, size, 4)),
+    )
+    out = pipe.render(ed, key=jax.random.PRNGKey(0))
+    assert out.shape[1:3] == (size, size)
+    assert np.isfinite(np.asarray(out)).all()
