@@ -166,6 +166,22 @@ def cmd_replay(args) -> int:
     return 0
 
 
+def _model_dirs(args):
+    """--model-dir dirs + extra_model_paths.yaml expansion (reference
+    comfyUI/main.py:202-236 load_extra_path_config; auto-loads the file from
+    the working directory like the reference does next to its entry point)."""
+    from stable_renderer_tpu.utils.model_paths import (
+        auto_extra_model_paths, load_extra_model_paths,
+    )
+
+    dirs = list(args.model_dir or ())
+    if getattr(args, "extra_model_paths", None):
+        dirs += list(load_extra_model_paths(args.extra_model_paths))
+    else:
+        dirs += list(auto_extra_model_paths())
+    return tuple(dict.fromkeys(dirs))
+
+
 def cmd_execute(args) -> int:
     from stable_renderer_tpu.data.loaders import virtual_engine_data
     from stable_renderer_tpu.utils.media import write_png_sequence
@@ -181,7 +197,7 @@ def cmd_execute(args) -> int:
         prompt=args.prompt,
     )
     ex = PromptExecutor(
-        Workflow.Load(args.workflow), model_dirs=tuple(args.model_dir or ())
+        Workflow.Load(args.workflow), model_dirs=_model_dirs(args)
     )
     ctx = ex.execute(engine_data=ed)
     out = args.out or str(new_run_dir("execute"))
@@ -210,7 +226,7 @@ def cmd_serve(args) -> int:
                 depth_dir=args.depth_dir, prompt=args.prompt)
 
     try:
-        serve_workflows(server, model_dirs=tuple(args.model_dir or ()),
+        serve_workflows(server, model_dirs=_model_dirs(args),
                         engine_data_fn=ed_fn, max_prompts=args.max_prompts)
     except KeyboardInterrupt:
         pass
@@ -278,6 +294,9 @@ def main(argv=None) -> int:
     p.add_argument("--normal-dir", type=str, default=None)
     p.add_argument("--depth-dir", type=str, default=None)
     p.add_argument("--model-dir", action="append", default=[])
+    p.add_argument("--extra-model-paths", type=str, default=None,
+                   help="reference-format extra_model_paths.yaml (auto-loads "
+                        "./extra_model_paths.yaml when present)")
     p.set_defaults(fn=cmd_execute)
 
     p = sub.add_parser("serve", help="HTTP viewer + prompt server")
@@ -290,6 +309,9 @@ def main(argv=None) -> int:
     p.add_argument("--normal-dir", type=str, default=None)
     p.add_argument("--depth-dir", type=str, default=None)
     p.add_argument("--model-dir", action="append", default=[])
+    p.add_argument("--extra-model-paths", type=str, default=None,
+                   help="reference-format extra_model_paths.yaml (auto-loads "
+                        "./extra_model_paths.yaml when present)")
     p.add_argument("--max-prompts", type=int, default=None,
                    help="exit after N prompts (default: run forever)")
     p.set_defaults(fn=cmd_serve)
