@@ -99,6 +99,10 @@ class PromptQueue:
         with self.mutex:
             return list(self.history.values())
 
+    def get_history_item(self, prompt_id: int) -> Optional[dict]:
+        with self.mutex:
+            return self.history.get(prompt_id)
+
     def queue_info(self) -> dict:
         with self.mutex:
             return {
@@ -106,6 +110,47 @@ class PromptQueue:
                 "queue_running": len(self.currently_running),
                 "task_counter": self.task_counter,
             }
+
+    # --- queue/history management (reference server.py POST /queue and
+    # POST /history: {"clear": bool} wipes, {"delete": [ids]} removes items;
+    # GET /queue returns the running + pending entries) ---
+
+    def get_current_queue(self) -> dict:
+        with self.mutex:
+            running = [[t.priority, t.prompt_id, t.workflow]
+                       for t in self.currently_running.values()]
+            pending = [[t.priority, t.prompt_id, t.workflow]
+                       for t in sorted(self.queue)]
+            return {"queue_running": running, "queue_pending": pending}
+
+    def delete_queue_items(self, prompt_ids) -> int:
+        with self.mutex:
+            ids = {int(i) for i in prompt_ids}
+            keep = [t for t in self.queue if t.prompt_id not in ids]
+            removed = len(self.queue) - len(keep)
+            self.queue = keep
+            heapq.heapify(self.queue)
+            return removed
+
+    def wipe_queue(self) -> int:
+        with self.mutex:
+            n = len(self.queue)
+            self.queue = []
+            return n
+
+    def delete_history_items(self, prompt_ids) -> int:
+        with self.mutex:
+            n = 0
+            for pid in prompt_ids:
+                if self.history.pop(int(pid), None) is not None:
+                    n += 1
+            return n
+
+    def wipe_history(self) -> int:
+        with self.mutex:
+            n = len(self.history)
+            self.history = {}
+            return n
 
 
 _INDEX_HTML = b"""<!doctype html>
@@ -232,6 +277,13 @@ class FrameServer:
         # HTTP equivalent — every /events client gets its own queue)
         self._subscribers: list = []
         self._sub_lock = threading.Lock()
+        # model search dirs (set by serve_workflows / CLI) — used by
+        # /embeddings and /view_metadata
+        self.model_dirs: Tuple[str, ...] = ()
+        # cross-prompt executor cache (reference PromptExecutor keeps its
+        # output cache across prompts, execution.py:1013-1035 — identical
+        # workflow JSON resubmits reuse loader outputs + jit caches here)
+        self.executor_cache: Dict[str, Any] = {}
 
     # --- event bus (push) ---
 
@@ -380,6 +432,71 @@ class FrameServer:
             return
         finally:
             self._unsubscribe(q)
+
+    def embeddings(self) -> List[str]:
+        """Textual-inversion embedding names visible to CLIPTextEncode
+        (reference /embeddings, comfyUI/server.py:196-199: stem list of the
+        embeddings folders). Scans every model dir plus its ``embeddings/``
+        subdir for .pt/.bin/.safetensors files."""
+        names: List[str] = []
+        exts = {".pt", ".bin", ".safetensors"}
+        for d in self.model_dirs:
+            for root in (Path(d), Path(d) / "embeddings"):
+                if not root.is_dir():
+                    continue
+                for f in sorted(root.iterdir()):
+                    if f.is_file() and f.suffix.lower() in exts:
+                        names.append(f.stem)
+        return sorted(dict.fromkeys(names))
+
+    def view_metadata(self, folder: str, filename: str) -> Optional[dict]:
+        """safetensors __metadata__ of a model file (reference
+        /view_metadata/{folder_name}, comfyUI/server.py:432-453). The file is
+        resolved by name under the model dirs (optionally inside a ``folder``
+        subdir); only the 8-byte-length-prefixed JSON header is read."""
+        filename = os.path.basename(filename)
+        if not filename.endswith(".safetensors"):
+            return None
+        candidates: List[Path] = []
+        for d in self.model_dirs:
+            candidates += [Path(d) / folder / filename, Path(d) / filename]
+        for path in candidates:
+            if not path.is_file():
+                continue
+            try:
+                with open(path, "rb") as f:
+                    hlen = int.from_bytes(f.read(8), "little")
+                    if hlen <= 0 or hlen > 256 * 1024 * 1024:
+                        return None
+                    header = json.loads(f.read(hlen))
+                return header.get("__metadata__", {})
+            except (OSError, ValueError):
+                return None
+        return None
+
+    def free(self, unload_models: bool = False,
+             free_memory: bool = False) -> dict:
+        """POST /free semantics (reference server.py:637-646 + PromptQueue
+        set_flag): drop cached executors (loaded model params become
+        collectable) and/or clear jit executable caches + device buffers
+        owned by them."""
+        out = {"unloaded_executors": 0, "cleared_jit": False}
+        if unload_models:
+            out["unloaded_executors"] = len(self.executor_cache)
+            self.executor_cache.clear()
+        if free_memory:
+            import gc
+
+            self.executor_cache.clear()
+            gc.collect()
+            try:
+                import jax
+
+                jax.clear_caches()
+                out["cleared_jit"] = True
+            except Exception:
+                pass
+        return out
 
     @staticmethod
     def system_stats() -> Dict[str, Any]:
@@ -575,6 +692,24 @@ class FrameServer:
                             return
                         info = {name: info[name]}
                     self._json(info)
+                elif self.path.startswith("/view_metadata"):
+                    # safetensors header metadata of a model file
+                    # (reference /view_metadata/{folder}, server.py:432-453)
+                    from urllib.parse import parse_qs, unquote, urlparse
+
+                    parsed = urlparse(self.path)
+                    folder = unquote(
+                        parsed.path[len("/view_metadata"):].strip("/"))
+                    filename = (parse_qs(parsed.query).get("filename")
+                                or [""])[0]
+                    if not filename:
+                        self._json({"error": "filename required"}, 400)
+                        return
+                    meta = server.view_metadata(folder, filename)
+                    if meta is None:
+                        self._json({"error": "not found"}, 404)
+                    else:
+                        self._json(meta)
                 elif self.path.startswith("/view"):
                     # serve an output file (reference /view, server.py:391-455)
                     from urllib.parse import parse_qs, urlparse
@@ -634,9 +769,35 @@ class FrameServer:
                     self.end_headers()
                     self.wfile.write(HIERARCHY_HTML)
                 elif self.path.startswith("/history"):
-                    self._json(server.queue.get_history())
+                    # /history/{prompt_id} returns one item (reference
+                    # server.py:556-559); bare /history returns all
+                    rest = self.path[len("/history"):].strip("/").split("?")[0]
+                    if rest:
+                        try:
+                            item = server.queue.get_history_item(int(rest))
+                        except ValueError:
+                            item = None
+                        if item is None:
+                            self._json({"error": "not found"}, 404)
+                        else:
+                            self._json(item)
+                    else:
+                        self._json(server.queue.get_history())
                 elif self.path.startswith("/queue"):
-                    self._json(server.queue.queue_info())
+                    # running + pending entries (reference server.py:561-567)
+                    self._json(server.queue.get_current_queue())
+                elif self.path.startswith("/prompt"):
+                    # GET /prompt: queue size for frontends
+                    # (reference server.py:481-484)
+                    info = server.queue.queue_info()
+                    self._json({"exec_info": {"queue_remaining":
+                                info["queue_pending"] + info["queue_running"]}})
+                elif self.path.startswith("/embeddings"):
+                    self._json(server.embeddings())
+                elif self.path.startswith("/extensions"):
+                    # frontend JS extensions — none ship (the graph editor is
+                    # self-contained); reference server.py:201-209
+                    self._json([])
                 elif self.path.startswith("/system_stats"):
                     self._json(server.system_stats())
                 elif self.path.startswith("/status"):
@@ -669,9 +830,66 @@ class FrameServer:
                         return
                     out = server.scene_update(payload)
                     self._json(out, 200 if "error" not in out else 404)
-                elif self.path.startswith("/upload/image") or self.path.startswith("/upload"):
+                elif self.path.startswith("/interrupt"):
+                    # abort the running prompt at the next node boundary
+                    # (reference server.py:632-635 -> interrupt_current_processing)
+                    from stable_renderer_tpu.workflow.executor import (
+                        interrupt_processing,
+                    )
+
+                    interrupt_processing(True)
+                    server.post_event("interrupted", {})
+                    self._json({"ok": True})
+                elif self.path.startswith("/free"):
+                    # unload models / free device memory
+                    # (reference server.py:637-646)
+                    n = int(self.headers.get("Content-Length", 0))
+                    try:
+                        payload = json.loads(self.rfile.read(n) or b"{}")
+                    except json.JSONDecodeError as ex:
+                        self._json({"error": f"bad json: {ex}"}, 400)
+                        return
+                    self._json(server.free(
+                        unload_models=bool(payload.get("unload_models")),
+                        free_memory=bool(payload.get("free_memory"))))
+                elif self.path.startswith("/queue"):
+                    # {"clear": true} wipes pending; {"delete": [ids]} removes
+                    # (reference server.py:618-630)
+                    n = int(self.headers.get("Content-Length", 0))
+                    try:
+                        payload = json.loads(self.rfile.read(n) or b"{}")
+                    except json.JSONDecodeError as ex:
+                        self._json({"error": f"bad json: {ex}"}, 400)
+                        return
+                    out = {}
+                    if payload.get("clear"):
+                        out["cleared"] = server.queue.wipe_queue()
+                    if payload.get("delete"):
+                        out["deleted"] = server.queue.delete_queue_items(
+                            payload["delete"])
+                    self._json(out)
+                elif self.path.startswith("/history"):
+                    # {"clear": true} / {"delete": [ids]}
+                    # (reference server.py:648-659)
+                    n = int(self.headers.get("Content-Length", 0))
+                    try:
+                        payload = json.loads(self.rfile.read(n) or b"{}")
+                    except json.JSONDecodeError as ex:
+                        self._json({"error": f"bad json: {ex}"}, 400)
+                        return
+                    out = {}
+                    if payload.get("clear"):
+                        out["cleared"] = server.queue.wipe_history()
+                    if payload.get("delete"):
+                        out["deleted"] = server.queue.delete_history_items(
+                            payload["delete"])
+                    self._json(out)
+                elif (self.path.startswith("/upload/image")
+                      or self.path.startswith("/upload/mask")
+                      or self.path.startswith("/upload")):
                     # accept a raw image body (or simple multipart) into
-                    # OUTPUT_DIR/input (reference /upload/image, server.py:340)
+                    # OUTPUT_DIR/input (reference /upload/image + /upload/mask,
+                    # server.py:287-343; masks land in input/masks)
                     from stable_renderer_tpu.utils.paths import OUTPUT_DIR
 
                     n = int(self.headers.get("Content-Length", 0))
@@ -696,10 +914,12 @@ class FrameServer:
                         qs = parse_qs(urlparse(self.path).query)
                         filename = (qs.get("filename") or [filename])[0]
                     filename = os.path.basename(filename)
-                    d = Path(OUTPUT_DIR) / "input"
+                    sub = ("input/masks" if self.path.startswith("/upload/mask")
+                           else "input")
+                    d = Path(OUTPUT_DIR) / sub
                     d.mkdir(parents=True, exist_ok=True)
                     (d / filename).write_bytes(body)
-                    self._json({"name": filename, "subfolder": "input",
+                    self._json({"name": filename, "subfolder": sub,
                                 "type": "input"})
                 else:
                     self._json({"error": f"unknown path {self.path}"}, 404)
@@ -724,18 +944,33 @@ def serve_workflows(server: FrameServer, model_dirs: Tuple[str, ...] = (),
                     engine_data_fn=None, poll_timeout: float = 1.0,
                     max_prompts: Optional[int] = None) -> None:
     """Worker loop: drain the prompt queue with PromptExecutor (the reference
-    main.run() prompt_worker, main.py). Blocks; run on the main thread."""
-    from stable_renderer_tpu.workflow.executor import PromptExecutor
+    main.run() prompt_worker, main.py). Blocks; run on the main thread.
+
+    Executors are cached by the workflow JSON: resubmitting the same graph
+    reuses its loader outputs and jit caches (the reference's cross-prompt
+    (node_id, node_type) output cache, execution.py:1013-1035). POST /free
+    with unload_models drops the cache."""
+    from stable_renderer_tpu.workflow.executor import (
+        InterruptProcessingException,
+        PromptExecutor,
+        interrupt_processing,
+    )
     from stable_renderer_tpu.workflow.loader import Workflow
 
+    server.model_dirs = tuple(model_dirs) or server.model_dirs
     done = 0
     while max_prompts is None or done < max_prompts:
         task = server.queue.get(timeout=poll_timeout)
         if task is None:
             continue
         try:
-            wf = Workflow.from_dict(task.workflow)
-            ex = PromptExecutor(wf, model_dirs=model_dirs)
+            wf_key = json.dumps(task.workflow, sort_keys=True, default=str)
+            ex = server.executor_cache.get(wf_key)
+            if ex is None:
+                wf = Workflow.from_dict(task.workflow)
+                ex = PromptExecutor(wf, model_dirs=model_dirs)
+                server.executor_cache[wf_key] = ex
+            interrupt_processing(False)  # a stale flag must not kill this run
 
             def _progress(step: int, total: int, preview,
                           _pid=task.prompt_id) -> None:
@@ -770,6 +1005,11 @@ def serve_workflows(server: FrameServer, model_dirs: Tuple[str, ...] = (),
                                    ctx.status_messages)
             server.post_event("executed", {"prompt_id": task.prompt_id,
                                            "status": "success"})
+        except InterruptProcessingException:
+            logger.info(f"prompt {task.prompt_id} interrupted")
+            server.queue.task_done(task.prompt_id, "interrupted", [])
+            server.post_event("executed", {"prompt_id": task.prompt_id,
+                                           "status": "interrupted"})
         except Exception as ex:  # noqa: BLE001 — server must survive bad prompts
             logger.error(f"prompt {task.prompt_id} failed: {ex}")
             server.queue.task_done(task.prompt_id, "error", [str(ex)])

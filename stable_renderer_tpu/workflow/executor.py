@@ -36,6 +36,37 @@ logger = get_logger("sr_tpu.executor")
 NODE_REGISTRY: Dict[str, Callable] = {}
 
 
+class InterruptProcessingException(Exception):
+    """User interrupt between node executions (reference
+    comfyUI/nodes.py before_node_execution +
+    comfy/model_management.py InterruptProcessingException)."""
+
+
+_INTERRUPT = __import__("threading").Event()
+
+
+def interrupt_processing(value: bool = True) -> None:
+    """Request (or clear) an interrupt of the running prompt — set from any
+    thread (the server's POST /interrupt); honored at the next node boundary."""
+    if value:
+        _INTERRUPT.set()
+    else:
+        _INTERRUPT.clear()
+
+
+def processing_interrupted() -> bool:
+    return _INTERRUPT.is_set()
+
+
+def before_node_execution() -> None:
+    """Raise if an interrupt is pending (reference nodes.before_node_execution
+    -> throw_exception_if_processing_interrupted). The flag is consumed so the
+    next prompt starts clean."""
+    if _INTERRUPT.is_set():
+        _INTERRUPT.clear()
+        raise InterruptProcessingException("processing interrupted")
+
+
 def register_node(name: str, *aliases: str):
     def deco(fn: Callable) -> Callable:
         NODE_REGISTRY[name] = fn
@@ -171,6 +202,7 @@ class PromptExecutor:
     def _run_node(self, node: WorkflowNode, ctx: InferenceContext) -> tuple:
         if node.id in ctx.outputs:
             return ctx.outputs[node.id]
+        before_node_execution()
         impl = NODE_REGISTRY.get(node.type)
         if impl is None:
             raise NotImplementedError(

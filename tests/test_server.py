@@ -484,3 +484,171 @@ def test_system_stats_endpoint(server):
     assert stats["system"]["os"]
     for d in stats["devices"]:
         assert {"name", "type", "index", "vram_total", "vram_free"} <= set(d)
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req, timeout=5) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_queue_management_routes(server):
+    """GET /queue entries + POST /queue {delete}/{clear}
+    (reference server.py:561-567, 618-630)."""
+    base = f"http://127.0.0.1:{server.port}"
+    a = server.queue.put({"wf": "a"})
+    b = server.queue.put({"wf": "b"})
+    c = server.queue.put({"wf": "c"})
+    q = json.loads(_get(base + "/queue")[1])
+    assert [e[1] for e in q["queue_pending"]] == [a, b, c]
+    assert q["queue_running"] == []
+    # GET /prompt: remaining count (reference server.py:481-484)
+    p = json.loads(_get(base + "/prompt")[1])
+    assert p["exec_info"]["queue_remaining"] == 3
+    # delete one
+    _, out = _post(base + "/queue", {"delete": [b]})
+    assert out["deleted"] == 1
+    q = json.loads(_get(base + "/queue")[1])
+    assert [e[1] for e in q["queue_pending"]] == [a, c]
+    # clear the rest
+    _, out = _post(base + "/queue", {"clear": True})
+    assert out["cleared"] == 2
+    assert json.loads(_get(base + "/prompt")[1])["exec_info"]["queue_remaining"] == 0
+
+
+def test_history_item_and_management_routes(server):
+    """GET /history/{id} + POST /history {delete}/{clear}
+    (reference server.py:556-559, 648-659)."""
+    base = f"http://127.0.0.1:{server.port}"
+    a = server.queue.put({"wf": "a"})
+    b = server.queue.put({"wf": "b"})
+    for _ in range(2):
+        t = server.queue.get()
+        server.queue.task_done(t.prompt_id, "success")
+    item = json.loads(_get(base + f"/history/{a}")[1])
+    assert item["prompt_id"] == a and item["completed"]
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(base + "/history/9999")
+    assert ei.value.code == 404
+    _, out = _post(base + "/history", {"delete": [a]})
+    assert out["deleted"] == 1
+    assert {h["prompt_id"] for h in json.loads(_get(base + "/history")[1])} == {b}
+    _, out = _post(base + "/history", {"clear": True})
+    assert out["cleared"] == 1
+    assert json.loads(_get(base + "/history")[1]) == []
+
+
+def test_interrupt_route_and_executor_boundary(server):
+    """POST /interrupt sets the flag; the executor aborts at the next node
+    boundary with InterruptProcessingException (reference server.py:632-635,
+    nodes.before_node_execution)."""
+    from stable_renderer_tpu.workflow.executor import (
+        InterruptProcessingException,
+        PromptExecutor,
+        interrupt_processing,
+        processing_interrupted,
+    )
+    from stable_renderer_tpu.workflow.loader import Workflow
+
+    base = f"http://127.0.0.1:{server.port}"
+    assert not processing_interrupted()
+    _, out = _post(base + "/interrupt", {})
+    assert out["ok"] and processing_interrupted()
+
+    wf = Workflow.from_dict({
+        "nodes": [
+            {"id": 1, "type": "EmptyLatentImage", "widgets_values": [64, 64, 1]},
+            {"id": 2, "type": "InferenceOutput",
+             "inputs": [{"name": "value", "link": 10}]},
+        ],
+        "links": [[10, 1, 0, 2, 0, "LATENT"]],
+    })
+    ex = PromptExecutor(wf)
+    with pytest.raises(InterruptProcessingException):
+        ex.execute()
+    # flag is consumed: the next execute runs clean
+    assert not processing_interrupted()
+    ctx = ex.execute()
+    assert ctx.final_output is not None
+    interrupt_processing(False)
+
+
+def test_embeddings_route(server, tmp_path):
+    """/embeddings lists textual-inversion stems from the model dirs
+    (reference server.py:196-199)."""
+    base = f"http://127.0.0.1:{server.port}"
+    (tmp_path / "emb_a.safetensors").write_bytes(b"x")
+    sub = tmp_path / "embeddings"
+    sub.mkdir()
+    (sub / "emb_b.pt").write_bytes(b"x")
+    (sub / "not_an_embedding.txt").write_text("x")
+    server.model_dirs = (str(tmp_path),)
+    names = json.loads(_get(base + "/embeddings")[1])
+    assert names == ["emb_a", "emb_b"]
+
+
+def test_view_metadata_route(server, tmp_path):
+    """/view_metadata/{folder} returns the safetensors __metadata__ header
+    (reference server.py:432-453) without loading tensor data."""
+    base = f"http://127.0.0.1:{server.port}"
+    header = json.dumps({
+        "__metadata__": {"ss_base_model": "sd15", "format": "pt"},
+        "w": {"dtype": "F32", "shape": [1], "data_offsets": [0, 4]},
+    }).encode()
+    d = tmp_path / "loras"
+    d.mkdir()
+    (d / "tiny.safetensors").write_bytes(
+        len(header).to_bytes(8, "little") + header + b"\x00\x00\x00\x00")
+    server.model_dirs = (str(tmp_path),)
+    meta = json.loads(_get(base + "/view_metadata/loras?filename=tiny.safetensors")[1])
+    assert meta == {"ss_base_model": "sd15", "format": "pt"}
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(base + "/view_metadata/loras?filename=missing.safetensors")
+    assert ei.value.code == 404
+
+
+def test_free_route_unloads_executor_cache(server):
+    """POST /free with unload_models drops cached executors
+    (reference server.py:637-646)."""
+    base = f"http://127.0.0.1:{server.port}"
+    server.executor_cache["k"] = object()
+    _, out = _post(base + "/free", {"unload_models": True})
+    assert out["unloaded_executors"] == 1
+    assert server.executor_cache == {}
+
+
+def test_upload_mask_route(server, tmp_path, monkeypatch):
+    """/upload/mask stores into input/masks (reference server.py:301-343)."""
+    import stable_renderer_tpu.utils.paths as paths
+
+    monkeypatch.setattr(paths, "OUTPUT_DIR", tmp_path)
+    base = f"http://127.0.0.1:{server.port}"
+    req = urllib.request.Request(
+        base + "/upload/mask?filename=m.png", data=b"\x89PNG fake",
+        headers={"Content-Type": "image/png"}, method="POST")
+    with urllib.request.urlopen(req, timeout=5) as r:
+        out = json.loads(r.read())
+    assert out["subfolder"] == "input/masks"
+    assert (tmp_path / "input" / "masks" / "m.png").read_bytes() == b"\x89PNG fake"
+
+
+def test_worker_reuses_executor_across_identical_prompts(server):
+    """Identical workflow JSON resubmits reuse the cached executor (the
+    reference's cross-prompt output cache, execution.py:1013-1035)."""
+    base = f"http://127.0.0.1:{server.port}"
+    wf = {
+        "nodes": [
+            {"id": 1, "type": "EmptyLatentImage", "widgets_values": [64, 64, 1]},
+            {"id": 2, "type": "InferenceOutput",
+             "inputs": [{"name": "value", "link": 10}]},
+        ],
+        "links": [[10, 1, 0, 2, 0, "LATENT"]],
+    }
+    for _ in range(2):
+        _post(base + "/prompt", {"prompt": wf})
+    serve_workflows(server, max_prompts=2, poll_timeout=0.1)
+    assert len(server.executor_cache) == 1
+    hist = json.loads(_get(base + "/history")[1])
+    assert [h["status"] for h in hist] == ["success", "success"]
