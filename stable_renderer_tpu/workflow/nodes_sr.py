@@ -118,6 +118,104 @@ def id_sequence_loader(ctx: InferenceContext, node: WorkflowNode,
     return (load_id_sequence(directory, frame_start, num_frames),)
 
 
+def _legacy_paths(node, paths):
+    """Explicit file-list input for the legacy loaders: a list/tuple of path
+    strings (linked input) or a newline/comma-separated widget string. Sorted
+    by the filename frame index with position fallback, then filtered to
+    existing files — the reference's reorder-then-skip-missing behavior
+    (stable_rendering/_nodes/legacy/loaders.py:34-48)."""
+    from stable_renderer_tpu.utils.paths import extract_index
+
+    if paths is None:
+        raw = str(_widget(node, 0, ""))
+        paths = [p.strip() for p in raw.replace(",", "\n").splitlines()
+                 if p.strip()]
+    paths = [str(p) for p in paths]
+    order = {p: i for i, p in enumerate(paths)}
+    paths.sort(key=lambda p: extract_index(Path(p).name, order[p]))
+    return [p for p in paths if Path(p).exists()]
+
+
+@register_node("LegacyImageSequenceLoader")
+def legacy_image_sequence_loader(ctx: InferenceContext, node: WorkflowNode,
+                                 imgs=None):
+    """Explicit image-file list -> (IMAGE rgb, MASK = 1 - alpha)
+    (legacy/loaders.py:13-57 LegacyImageSequenceLoader). NHWC float32."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    files = _legacy_paths(node, imgs)
+    if not files:
+        raise ValueError("LegacyImageSequenceLoader: no existing image files")
+    rgbs, masks = [], []
+    for f in files:
+        arr = np.asarray(Image.open(f).convert("RGBA"), np.float32) / 255.0
+        rgbs.append(arr[..., :3])
+        masks.append(1.0 - arr[..., 3])
+    return jnp.asarray(np.stack(rgbs)), jnp.asarray(np.stack(masks))
+
+
+def _legacy_load_map(path: str) -> np.ndarray:
+    """One legacy npy/image map -> (H, W, 4) float32. CHW npy dumps are
+    transposed to the framework's NHWC layout (the reference keeps CHW;
+    legacy/loaders.py:87-98)."""
+    from PIL import Image
+
+    if path.endswith(".npy"):
+        t = np.squeeze(np.load(path)).astype(np.float32)
+        if t.ndim != 3:
+            raise ValueError(f"Invalid shape of legacy map tensor: {t.shape}.")
+        if t.shape[-1] != 4:
+            if t.shape[0] == 4:
+                t = np.transpose(t, (1, 2, 0))
+            else:
+                raise ValueError(f"Invalid legacy map tensor shape: {t.shape}.")
+        return t
+    return np.asarray(Image.open(path).convert("RGBA"), np.float32) / 255.0
+
+
+@register_node("LegacyNoiseSequenceLoader")
+def legacy_noise_sequence_loader(ctx: InferenceContext, node: WorkflowNode,
+                                 data_paths=None):
+    """Explicit noise npy/image file list -> LATENT(samples=zeros, noise=t)
+    (legacy/loaders.py:60-102 LegacyNoiseSequenceLoader). Full resolution —
+    no block-mean downsample, unlike NoiseSequenceLoader."""
+    import jax.numpy as jnp
+
+    files = _legacy_paths(node, data_paths)
+    if not files:
+        raise ValueError("LegacyNoiseSequenceLoader: no existing noise files")
+    maps = [_legacy_load_map(f) for f in files]
+    for t in maps:
+        if t.shape != maps[0].shape:
+            raise ValueError(
+                f"Tensor data has inconsistent shapes: {t.shape} and {maps[0].shape}.")
+    noise = jnp.asarray(np.stack(maps))
+    return ({"samples": jnp.zeros_like(noise), "noise": noise},)
+
+
+@register_node("LegacyIDSequenceLoader")
+def legacy_id_sequence_loader(ctx: InferenceContext, node: WorkflowNode,
+                              data_paths=None):
+    """Explicit id npy/image file list -> IDMap with filename-derived frame
+    indices (legacy/loaders.py:105-147 LegacyIDSequenceLoader)."""
+    from stable_renderer_tpu.data.idmap import IDMap
+    from stable_renderer_tpu.utils.paths import extract_index
+
+    files = _legacy_paths(node, data_paths)
+    if not files:
+        raise ValueError("LegacyIDSequenceLoader: no existing id files")
+    frame_indices = [extract_index(Path(f).name, i)
+                     for i, f in enumerate(files)]
+    maps = [_legacy_load_map(f) for f in files]
+    for t in maps:
+        if t.shape != maps[0].shape:
+            raise ValueError(
+                f"Tensor data has inconsistent shapes: {t.shape} and {maps[0].shape}.")
+    return (IDMap(tensor=np.stack(maps).astype(np.int32),
+                  frame_indices=frame_indices),)
+
+
 def _pool_latent(full, block: int, how: str):
     """(N, H, W, 4) -> (N, H/block, W/block, 4) by block reduce."""
     import jax.numpy as jnp

@@ -924,6 +924,18 @@ def _declare_default_specs() -> None:
                                       max=100000),
                            WidgetSpec("num_frames", "INT", min=1,
                                       max=100000)))
+    register_spec("LegacyImageSequenceLoader",
+                  input_types={"imgs": "STRING"},
+                  return_types=("IMAGE", "MASK"),
+                  widgets=(WidgetSpec("imgs", "STRING"),))
+    register_spec("LegacyNoiseSequenceLoader",
+                  input_types={"data_paths": "STRING"},
+                  return_types=("LATENT",),
+                  widgets=(WidgetSpec("data_paths", "STRING"),))
+    register_spec("LegacyIDSequenceLoader",
+                  input_types={"data_paths": "STRING"},
+                  return_types=("IDMAP",),
+                  widgets=(WidgetSpec("data_paths", "STRING"),))
     register_spec("CreateNoiseSequenceFromIdMap",
                   input_types={"id_map": "IDMAP"},
                   return_types=("LATENT",),

@@ -307,3 +307,60 @@ def test_simple_video_combine_gif(monkeypatch, tmp_path):
 
     im = Image.open(path)
     assert getattr(im, "n_frames", 1) == 2
+
+
+# --- legacy loaders (reference _nodes/legacy/loaders.py) ----------------------
+
+
+def test_legacy_image_sequence_loader(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    # shuffled write order; filenames carry the frame index
+    for i in (2, 0, 1):
+        arr = (rng.uniform(size=(16, 16, 4)) * 255).astype(np.uint8)
+        arr[..., 3] = 255 - i  # distinct alpha per frame
+        Image.fromarray(arr, "RGBA").save(tmp_path / f"color_{i}.png")
+    paths = [str(tmp_path / f"color_{i}.png") for i in (1, 2, 0)]
+    paths.append(str(tmp_path / "color_99.png"))  # missing -> skipped
+    rgb, mask = _run("LegacyImageSequenceLoader", imgs=paths)
+    assert rgb.shape == (3, 16, 16, 3) and mask.shape == (3, 16, 16)
+    # mask = 1 - alpha, in frame-index order
+    got = 1.0 - np.asarray(mask)[:, 0, 0]
+    assert np.allclose(got, [255 / 255, 254 / 255, 253 / 255], atol=1e-3)
+
+
+def test_legacy_noise_sequence_loader(tmp_path):
+    rng = np.random.default_rng(4)
+    full = rng.standard_normal((3, 8, 8, 4)).astype(np.float32)
+    np.save(tmp_path / "noise_1.npy", full[1])
+    np.save(tmp_path / "noise_0.npy", np.transpose(full[0], (2, 0, 1)))  # CHW
+    np.save(tmp_path / "noise_2.npy", full[2])
+    paths = [str(tmp_path / f"noise_{i}.npy") for i in (2, 1, 0)]
+    (lat,) = _run("LegacyNoiseSequenceLoader", data_paths=paths)
+    assert np.allclose(np.asarray(lat["noise"]), full, atol=1e-6)
+    assert not np.asarray(lat["samples"]).any()
+    assert lat["noise"].shape == lat["samples"].shape
+
+
+def test_legacy_id_sequence_loader(tmp_path):
+    ids = np.zeros((2, 8, 8, 4), np.int32)
+    ids[0, 2, 3] = (1, 0, 4, 7)
+    ids[1, 5, 5] = (2, 1, 0, 9)
+    np.save(tmp_path / "id_5.npy", ids[1])
+    np.save(tmp_path / "id_3.npy", ids[0])
+    paths = [str(tmp_path / "id_5.npy"), str(tmp_path / "id_3.npy")]
+    (idmap,) = _run("LegacyIDSequenceLoader", data_paths=paths)
+    assert idmap.frame_indices == [3, 5]
+    assert np.array_equal(np.asarray(idmap.tensor), ids)
+
+
+def test_legacy_loader_widget_string(tmp_path):
+    """Paths may also arrive as one newline-separated widget string."""
+    from PIL import Image
+
+    Image.fromarray(np.zeros((8, 8, 4), np.uint8), "RGBA").save(
+        tmp_path / "f_0.png")
+    rgb, mask = _run("LegacyImageSequenceLoader",
+                     [str(tmp_path / "f_0.png")])
+    assert rgb.shape == (1, 8, 8, 3)
