@@ -6,8 +6,16 @@ from stable_renderer_tpu.parallel.sharding import (
     replicate,
 )
 from stable_renderer_tpu.parallel.train import diffusion_train_step, make_train_state
+from stable_renderer_tpu.parallel.pipeline import (
+    pipeline_apply,
+    stack_stage_params,
+    clip_pipeline_encode,
+)
 
 __all__ = [
+    "pipeline_apply",
+    "stack_stage_params",
+    "clip_pipeline_encode",
     "create_mesh",
     "default_mesh_shape",
     "shard_engine_data",

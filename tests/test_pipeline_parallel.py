@@ -1,0 +1,140 @@
+"""Pipeline parallelism (parallel/pipeline.py): GPipe exactness on the
+8-device virtual mesh — generic stage chains, pytree activations, pp x dp
+grids, and the CLIP text tower demonstration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stable_renderer_tpu.parallel.mesh import create_mesh
+from stable_renderer_tpu.parallel.pipeline import (
+    clip_pipeline_encode,
+    pipeline_apply,
+    stack_stage_params,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device virtual mesh"
+)
+
+
+def _mlp_stage(p, x):
+    return jnp.tanh(x @ p["w"] + p["b"]) + x
+
+
+def _make_stages(n, dim, key):
+    keys = jax.random.split(key, n)
+    return [
+        {
+            "w": jax.random.normal(k, (dim, dim), jnp.float32) * 0.2,
+            "b": jax.random.normal(k, (dim,), jnp.float32) * 0.1,
+        }
+        for k in keys
+    ]
+
+
+def _sequential(stages, x):
+    for p in stages:
+        x = _mlp_stage(p, x)
+    return x
+
+
+def test_pipeline_exact_vs_sequential():
+    mesh = create_mesh({"pp": 8})
+    stages = _make_stages(8, 16, jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 16), jnp.float32)
+    got = pipeline_apply(_mlp_stage, stack_stage_params(stages), x, mesh)
+    want = _sequential(stages, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_pipeline_more_microbatches_than_stages():
+    mesh = create_mesh({"pp": 4}, devices=jax.devices()[:4])
+    stages = _make_stages(4, 8, jax.random.PRNGKey(2))
+    x = jax.random.normal(jax.random.PRNGKey(3), (24, 8), jnp.float32)
+    got = pipeline_apply(
+        _mlp_stage, stack_stage_params(stages), x, mesh, num_microbatches=12
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(_sequential(stages, x)), rtol=1e-6
+    )
+
+
+def test_pipeline_pytree_activations():
+    """Activation = (x, skip) tuple flowing through every stage boundary —
+    the shape the UNet's skip-threading would take."""
+    mesh = create_mesh({"pp": 4}, devices=jax.devices()[:4])
+
+    def stage(p, act):
+        x, skip = act
+        y = jnp.tanh(x @ p["w"] + p["b"])
+        return (y + skip, skip + 1.0)
+
+    stages = _make_stages(4, 8, jax.random.PRNGKey(4))
+    x = jax.random.normal(jax.random.PRNGKey(5), (8, 8), jnp.float32)
+    skip = jnp.zeros_like(x)
+    gx, gskip = pipeline_apply(
+        stage, stack_stage_params(stages), (x, skip), mesh
+    )
+    wx, wskip = (x, skip)
+    for p in stages:
+        wx, wskip = stage(p, (wx, wskip))
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(wx), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gskip), np.asarray(wskip), rtol=1e-6)
+
+
+def test_pipeline_pp_dp_grid():
+    """pp=4 x dp=2: microbatches additionally data-sharded over dp."""
+    mesh = create_mesh({"pp": 4, "dp": 2})
+    stages = _make_stages(4, 8, jax.random.PRNGKey(6))
+    x = jax.random.normal(jax.random.PRNGKey(7), (16, 8), jnp.float32)
+    got = pipeline_apply(
+        _mlp_stage, stack_stage_params(stages), x, mesh, batch_axis="dp"
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(_sequential(stages, x)), rtol=1e-6
+    )
+
+
+def test_pipeline_uneven_batch_raises():
+    mesh = create_mesh({"pp": 8})
+    stages = _make_stages(8, 8, jax.random.PRNGKey(8))
+    x = jnp.zeros((10, 8), jnp.float32)
+    with pytest.raises(ValueError, match="not divisible"):
+        pipeline_apply(
+            _mlp_stage, stack_stage_params(stages), x, mesh,
+            num_microbatches=8,
+        )
+
+
+def test_clip_pipeline_matches_replicated():
+    """CLIP text tower with encoder layers pipeline-sharded over pp=4 equals
+    the plain replicated apply."""
+    from stable_renderer_tpu.models.clip import CLIPConfig, CLIPTextModel
+
+    cfg = CLIPConfig(
+        vocab_size=101, hidden_size=32, num_layers=4, num_heads=2,
+        intermediate_size=64,
+    )
+    model = CLIPTextModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (8, 77), 0, 101)
+    mesh = create_mesh({"pp": 4}, devices=jax.devices()[:4])
+    got = clip_pipeline_encode(model, params, tokens, mesh)
+    want = model.apply(params, tokens)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_clip_pipeline_indivisible_raises():
+    from stable_renderer_tpu.models.clip import CLIPConfig, CLIPTextModel
+
+    cfg = CLIPConfig(vocab_size=11, hidden_size=16, num_layers=3, num_heads=2,
+                     intermediate_size=32)
+    model = CLIPTextModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    mesh = create_mesh({"pp": 4}, devices=jax.devices()[:4])
+    with pytest.raises(ValueError, match="not divisible"):
+        clip_pipeline_encode(model, params, jnp.zeros((4, 77), jnp.int32), mesh)
