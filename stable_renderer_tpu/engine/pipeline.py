@@ -129,8 +129,6 @@ class DiffusionPipeline:
             unet_p = merge_lora(unet_p, lora_flat, strength, prefix="lora_unet_")
             clip_p = merge_lora(clip_p, lora_flat, strength, prefix="lora_te_")
         config = config or RenderConfig()
-        pred = config.prediction or ("lcm" if config.sampler == "lcm" else "eps")
-        ms = ModelSampling(prediction=pred)
         clip_g = clip_g_params = None
         vcfg, ccfg = SD15_VAE_CONFIG, SD15_CLIP_CONFIG
         clip_model = None
@@ -141,21 +139,37 @@ class DiffusionPipeline:
             raise NotImplementedError(
                 "diffusers folders are supported for the SD1.x family; "
                 "convert SDXL/SD2 diffusers repos to a single .safetensors")
-        if ucfg.adm_in_channels is None and ucfg.context_dim >= 1024:
-            # SD2.x: OpenCLIP-H text tower at cond_stage_model.model.*
-            # (comfy sd2_clip.py SD2ClipHModel)
+        # family classification decides the text tower and the prediction type
+        # (comfy supported_models.py models list; see weights.detect_model_family)
+        from stable_renderer_tpu.models.weights import detect_model_family
+
+        flat = load_state_dict(path) if not _P(path).is_dir() else {}
+        fam = detect_model_family(flat, ucfg) if flat else {
+            "family": "sd1", "prediction": "eps", "noise_aug_dim": None}
+        pred = config.prediction or (
+            "lcm" if config.sampler == "lcm" else fam["prediction"])
+        ms = ModelSampling(prediction=pred)
+        if fam["family"] in ("sd2", "sd21-unclip", "sd-x4-upscaler"):
+            # SD2.x-family: OpenCLIP-H text tower at cond_stage_model.model.*
+            # (comfy sd2_clip.py SD2ClipHModel) — including the unclip variants,
+            # whose ADM comes from the CLIP-vision noise augmentor, not a
+            # pooled text tower
             from stable_renderer_tpu.models.clip import SD2ClipH
 
-            flat = load_state_dict(path)
             clip_model = SD2ClipH()
             clip_p = {"model": nest(flat, "cond_stage_model.model.")}
-        if ucfg.adm_in_channels is not None:
+        elif ucfg.adm_in_channels is not None:
             from stable_renderer_tpu.models.clip import OpenCLIPTextModel, SDXL_CLIP_G_CONFIG
             from stable_renderer_tpu.models.vae import SDXL_VAE_CONFIG
 
-            flat = load_state_dict(path)
+            # SDXL: dual towers at conditioner.embedders.{0: clip-l, 1: clip-g};
+            # the refiner carries ONLY the CLIP-G tower at embedders.0
+            # (comfy sdxl_clip.py SDXLRefinerClipModel)
+            g_prefix = ("conditioner.embedders.0.model."
+                        if fam["family"] == "sdxl-refiner"
+                        else "conditioner.embedders.1.model.")
             clip_p = nest(flat, "conditioner.embedders.0.transformer.")
-            clip_g_nested = nest(flat, "conditioner.embedders.1.model.")
+            clip_g_nested = nest(flat, g_prefix)
             clip_g = OpenCLIPTextModel(SDXL_CLIP_G_CONFIG)
             clip_g_params = to_device({"model": clip_g_nested}, jnp.float32)
             vcfg = SDXL_VAE_CONFIG
@@ -172,6 +186,10 @@ class DiffusionPipeline:
             clip_g=clip_g,
             clip_g_params=clip_g_params,
         )
+        # SD2.1-unclip: stash the noise-augmentor width so conditioning layers
+        # (executor unCLIPConditioning / user code) can build the ADM vector
+        pipe.noise_aug_dim = fam["noise_aug_dim"]
+        pipe.model_family = fam["family"]
         if config.int8_conv:
             pipe.quantize_convs()
         return pipe
@@ -218,21 +236,27 @@ class DiffusionPipeline:
         config = config or RenderConfig()
         ms = ModelSampling(prediction=config.prediction or (
             "lcm" if config.sampler == "lcm" else "eps"))
+        # pooled init: identical tree structure, ONE threefry draw — the
+        # per-tensor jitted init executables cost ~30 s/process to load even on
+        # persistent-cache hits (models/init_pool.py, PERF.md "Compile time")
+        from stable_renderer_tpu.models.init_pool import pooled_random_init
+
         pipe = cls(
             unet=unet,
             vae=vae,
             clip=clip,
             tokenizer=Tokenizer(ccfg),
-            unet_params=jax.jit(unet.init, static_argnames="dtype")(key, dtype=dtype),
-            vae_params=jax.jit(vae.init, static_argnames="dtype")(
-                jax.random.fold_in(key, 1), dtype=dtype
-            ),
-            clip_params=jax.jit(clip.init)(jax.random.fold_in(key, 2)),
+            unet_params=pooled_random_init(
+                lambda k: unet.init(k, dtype=dtype), key),
+            vae_params=pooled_random_init(
+                lambda k: vae.init(k, dtype=dtype), jax.random.fold_in(key, 1)),
+            clip_params=pooled_random_init(
+                clip.init, jax.random.fold_in(key, 2)),
             config=config,
             model_sampling=ms,
             clip_g=clip_g,
-            clip_g_params=None if clip_g is None else jax.jit(clip_g.init)(
-                jax.random.fold_in(key, 3)
+            clip_g_params=None if clip_g is None else pooled_random_init(
+                clip_g.init, jax.random.fold_in(key, 3)
             ),
         )
         if config.int8_conv:

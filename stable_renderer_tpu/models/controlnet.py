@@ -85,7 +85,7 @@ class ControlNet:
         h = x
         layer_idx = 0
         hooks = AttnHooks()
-        for i, (kind, _, level) in enumerate(plan_in):
+        for i, (kind, _, depth, dis) in enumerate(plan_in):
             p = params["input_blocks"][str(i)]
             if kind == "conv":
                 h = conv2d(p["0"], h, padding=1)
@@ -97,7 +97,7 @@ class ControlNet:
                 if kind == "res_attn":
                     h, layer_idx = spatial_transformer(
                         p["1"], h, context, cfg.heads_for(h.shape[-1]),
-                        cfg.depth_at(level), layer_idx, hooks,
+                        depth, layer_idx, hooks, disable_self_attn=dis,
                     )
             outs.append(conv2d(params["zero_convs"][str(i)]["0"], h))
 
@@ -105,7 +105,7 @@ class ControlNet:
         h = res_block(mp["0"], h, emb)
         h, layer_idx = spatial_transformer(
             mp["1"], h, context, cfg.heads_for(h.shape[-1]),
-            max(cfg.depth_at(len(cfg.channel_mult) - 1), 1), layer_idx, hooks
+            max(cfg.middle_depth(), 1), layer_idx, hooks
         )
         h = res_block(mp["2"], h, emb)
         mid = conv2d(params["middle_block_out"]["0"], h)
@@ -177,7 +177,7 @@ class ControlNet:
         zero_convs = {}
         chs = []
         cur = ch
-        for i, (kind, out_ch, _level) in enumerate(plan_in):
+        for i, (kind, out_ch, _depth, _dis) in enumerate(plan_in):
             if kind not in ("conv", "down") and out_ch is not None:
                 cur = out_ch
             zero_convs[str(i)] = {"0": conv(cur, cur, k=1, zero=True)}

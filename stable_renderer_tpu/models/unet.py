@@ -54,6 +54,23 @@ class UNetConfig:
     transformer_depth: int = 1
     # SDXL-style per-level transformer depth; None = uniform transformer_depth
     transformer_depth_per_level: Optional[Tuple[int, ...]] = None
+    # Per-res-block transformer depths (comfy model_detection layout: one int
+    # per res block, input_blocks order / output_blocks order). Distilled SDXL
+    # variants (SSD-1B, Segmind Vega, KOALA — supported_models.py:217-255) have
+    # non-uniform per-block depths that the per-level scheme can't express.
+    # None = use the per-level scheme above.
+    transformer_depth_blocks: Optional[Tuple[int, ...]] = None
+    transformer_depth_blocks_out: Optional[Tuple[int, ...]] = None
+    # Middle block layout (openaimodel.py:735-738): None = transformer at the
+    # last level's depth (legacy presets); >=0 = [res, transformer(d), res];
+    # -1 = [res] only (SSD-1B); <=-2 = no middle block at all.
+    transformer_depth_middle: Optional[int] = None
+    # Per-level res-block counts (KOALA prunes blocks); None = uniform
+    num_res_blocks_per_level: Optional[Tuple[int, ...]] = None
+    # Per-level disable_self_attentions (SD_X4Upscaler,
+    # supported_models.py:308-322): attn1 cross-attends the text context
+    # instead of self-attending
+    disable_self_attn_levels: Optional[Tuple[bool, ...]] = None
     num_heads: int = 8
     # SDXL uses fixed head_dim=64 instead of fixed head count; set to override
     head_dim: Optional[int] = None
@@ -70,6 +87,22 @@ class UNetConfig:
         if self.transformer_depth_per_level is not None:
             return self.transformer_depth_per_level[level]
         return self.transformer_depth
+
+    def res_blocks_at(self, level: int) -> int:
+        if self.num_res_blocks_per_level is not None:
+            return self.num_res_blocks_per_level[level]
+        return self.num_res_blocks
+
+    def middle_depth(self) -> int:
+        """Resolved middle-block transformer depth (see transformer_depth_middle)."""
+        if self.transformer_depth_middle is not None:
+            return self.transformer_depth_middle
+        return max(self.depth_at(len(self.channel_mult) - 1), 1)
+
+    def self_attn_disabled(self, level: int) -> bool:
+        if self.disable_self_attn_levels is None:
+            return False
+        return bool(self.disable_self_attn_levels[level])
 
     def heads_for(self, channels: int) -> int:
         if self.head_dim is not None:
@@ -203,10 +236,27 @@ def basic_transformer_block(
     heads: int,
     layer_idx: int,
     hooks: AttnHooks,
+    disable_self_attn: bool = False,
 ) -> jax.Array:
-    """attention.py BasicTransformerBlock._forward with the injection points."""
+    """attention.py BasicTransformerBlock._forward with the injection points.
+
+    ``disable_self_attn`` (SD_X4Upscaler levels) makes attn1 cross-attend the
+    text context instead of self-attending; the injection hooks (which patch
+    SELF-attention K/V streams) are bypassed for such blocks."""
     # self-attention (attn1): context for q/k/v is the normed x
     n = layer_norm(p["norm1"], x)
+    if disable_self_attn:
+        q = linear(p["attn1"]["to_q"], n)
+        k = linear(p["attn1"]["to_k"], context)
+        v = linear(p["attn1"]["to_v"], context)
+        x = x + linear(p["attn1"]["to_out"]["0"], attention(q, k, v, heads))
+        n = layer_norm(p["norm2"], x)
+        q = linear(p["attn2"]["to_q"], n)
+        k = linear(p["attn2"]["to_k"], context)
+        v = linear(p["attn2"]["to_v"], context)
+        x = x + linear(p["attn2"]["to_out"]["0"], attention(q, k, v, heads))
+        n = layer_norm(p["norm3"], x)
+        return x + linear(p["ff"]["net"]["2"], geglu(p["ff"]["net"]["0"], n))
     q_ctx, k_ctx, v_ctx = n, n, n
     if hooks.pre is not None:
         q_ctx, k_ctx, v_ctx = hooks.pre(q_ctx, k_ctx, v_ctx, layer_idx)
@@ -270,6 +320,7 @@ def spatial_transformer(
     depth: int,
     layer_idx: int,
     hooks: AttnHooks,
+    disable_self_attn: bool = False,
 ) -> Tuple[jax.Array, int]:
     """attention.py SpatialTransformer.forward (linear proj_in variant detection:
     conv 1x1 weights are (O, I, 1, 1); both layouts supported)."""
@@ -286,7 +337,8 @@ def spatial_transformer(
         n = linear(p["proj_in"], n)
     for d in range(depth):
         n = basic_transformer_block(
-            p["transformer_blocks"][str(d)], n, context, heads, layer_idx, hooks
+            p["transformer_blocks"][str(d)], n, context, heads, layer_idx, hooks,
+            disable_self_attn=disable_self_attn,
         )
     if use_conv_proj:
         n = n.reshape(b, h, w, c)
@@ -330,32 +382,49 @@ class UNetModel:
     def block_plan(self):
         """Static per-block plan: (kind tags for input/middle/output blocks).
 
-        input_blocks[0] = conv_in; then per level: num_res_blocks x
+        input_blocks[0] = conv_in; then per level: res_blocks_at(level) x
         (res [+ attn]) and a downsample between levels. Output mirrors with
-        num_res_blocks+1 blocks per level and upsample at level ends.
+        res_blocks_at(level)+1 blocks per level and upsample at level ends.
+
+        Entry layouts carry the RESOLVED transformer depth per block
+        (per-block lists when configured, else the per-level scheme):
+          plan_in:  (kind, out_ch, depth, disable_self_attn)
+          plan_out: (kind, out_ch, upsample, depth, disable_self_attn)
         """
         cfg = self.config
         ch = cfg.model_channels
         input_chs = [ch]
-        plan_in = [("conv", None, 0)]
+        plan_in = [("conv", None, 0, False)]
+        blk = 0
         for level, mult in enumerate(cfg.channel_mult):
             out_ch = cfg.model_channels * mult
-            has_attn = level in cfg.attention_levels and cfg.depth_at(level) > 0
-            for _ in range(cfg.num_res_blocks):
-                plan_in.append(("res_attn" if has_attn else "res", out_ch, level))
+            dis = cfg.self_attn_disabled(level)
+            for _ in range(cfg.res_blocks_at(level)):
+                if cfg.transformer_depth_blocks is not None:
+                    depth = cfg.transformer_depth_blocks[blk]
+                else:
+                    depth = cfg.depth_at(level) if level in cfg.attention_levels else 0
+                blk += 1
+                plan_in.append(("res_attn" if depth > 0 else "res", out_ch, depth, dis))
                 ch = out_ch
                 input_chs.append(ch)
             if level != len(cfg.channel_mult) - 1:
-                plan_in.append(("down", ch, level))
+                plan_in.append(("down", ch, 0, False))
                 input_chs.append(ch)
         plan_out = []
+        blk = 0
         for level in reversed(range(len(cfg.channel_mult))):
             out_ch = cfg.model_channels * cfg.channel_mult[level]
-            has_attn = level in cfg.attention_levels and cfg.depth_at(level) > 0
-            for i in range(cfg.num_res_blocks + 1):
-                tag = "res_attn" if has_attn else "res"
-                up = level != 0 and i == cfg.num_res_blocks
-                plan_out.append((tag, out_ch, up, level))
+            dis = cfg.self_attn_disabled(level)
+            for i in range(cfg.res_blocks_at(level) + 1):
+                if cfg.transformer_depth_blocks_out is not None:
+                    depth = cfg.transformer_depth_blocks_out[blk]
+                else:
+                    depth = cfg.depth_at(level) if level in cfg.attention_levels else 0
+                blk += 1
+                tag = "res_attn" if depth > 0 else "res"
+                up = level != 0 and i == cfg.res_blocks_at(level)
+                plan_out.append((tag, out_ch, up, depth, dis))
         return plan_in, plan_out, input_chs
 
     def apply(
@@ -385,7 +454,7 @@ class UNetModel:
         # added to h after the block (apply_control(h, control, 'input'),
         # openaimodel.py:891)
         ctrl_in = control.get("input") if control is not None else None
-        for i, (kind, _, level) in enumerate(plan_in):
+        for i, (kind, _, depth, dis) in enumerate(plan_in):
             p = params["input_blocks"][str(i)]
             if kind == "conv":
                 h = conv2d(p["0"], h, padding=1)
@@ -396,7 +465,7 @@ class UNetModel:
                 if kind == "res_attn":
                     h, layer_idx = spatial_transformer(
                         p["1"], h, context, cfg.heads_for(h.shape[-1]),
-                        cfg.depth_at(level), layer_idx, hooks,
+                        depth, layer_idx, hooks, disable_self_attn=dis,
                     )
             if ctrl_in is not None and i < len(ctrl_in) and ctrl_in[i] is not None:
                 h = h + ctrl_in[i].astype(h.dtype)
@@ -406,19 +475,21 @@ class UNetModel:
             if hooks.in_block_after is not None:
                 h = hooks.in_block_after(h, i, timesteps)
 
-        mp = params["middle_block"]
-        mid_level = len(cfg.channel_mult) - 1
-        h = res_block(mp["0"], h, emb)
-        h, layer_idx = spatial_transformer(
-            mp["1"], h, context, cfg.heads_for(h.shape[-1]),
-            max(cfg.depth_at(mid_level), 1), layer_idx, hooks
-        )
-        h = res_block(mp["2"], h, emb)
+        md = cfg.middle_depth()
+        if md >= -1:
+            mp = params["middle_block"]
+            h = res_block(mp["0"], h, emb)
+            if md >= 0:
+                h, layer_idx = spatial_transformer(
+                    mp["1"], h, context, cfg.heads_for(h.shape[-1]),
+                    md, layer_idx, hooks
+                )
+                h = res_block(mp["2"], h, emb)
         if control is not None and control.get("middle"):
             h = h + control["middle"][0].astype(h.dtype)
 
         ctrl_out = list(control.get("output", [])) if control is not None else []
-        for i, (kind, _, up, level) in enumerate(plan_out):
+        for i, (kind, _, up, depth, dis) in enumerate(plan_out):
             p = params["output_blocks"][str(i)]
             skip = hs.pop()
             if ctrl_out:
@@ -430,7 +501,7 @@ class UNetModel:
             if kind == "res_attn":
                 h, layer_idx = spatial_transformer(
                     p["1"], h, context, cfg.heads_for(h.shape[-1]),
-                    cfg.depth_at(level), layer_idx, hooks,
+                    depth, layer_idx, hooks, disable_self_attn=dis,
                 )
             if up:
                 key = "2" if kind == "res_attn" else "1"
@@ -472,16 +543,17 @@ class UNetModel:
                 p["skip_connection"] = conv(i, o, k=1)
             return p
 
-        def btb(c):
+        def btb(c, self_ctx=None):
             d_ff = c * 4
+            k_in = c if self_ctx is None else self_ctx
             return {
                 "norm1": norm(c),
                 "norm2": norm(c),
                 "norm3": norm(c),
                 "attn1": {
                     "to_q": {"weight": lin(c, c)["weight"]},
-                    "to_k": {"weight": lin(c, c)["weight"]},
-                    "to_v": {"weight": lin(c, c)["weight"]},
+                    "to_k": {"weight": lin(k_in, c)["weight"]},
+                    "to_v": {"weight": lin(k_in, c)["weight"]},
                     "to_out": {"0": lin(c, c)},
                 },
                 "attn2": {
@@ -493,11 +565,12 @@ class UNetModel:
                 "ff": {"net": {"0": {"proj": lin(c, d_ff * 2)}, "2": lin(d_ff, c)}},
             }
 
-        def st(c, depth):
+        def st(c, depth, dis=False):
+            self_ctx = cfg.context_dim if dis else None
             return {
                 "norm": norm(c),
                 "proj_in": lin(c, c),
-                "transformer_blocks": {str(d): btb(c) for d in range(depth)},
+                "transformer_blocks": {str(d): btb(c, self_ctx) for d in range(depth)},
                 "proj_out": lin(c, c),
             }
 
@@ -521,7 +594,7 @@ class UNetModel:
             }
         ch = cfg.model_channels
         chs = [ch]
-        for i, (kind, out_ch, level) in enumerate(plan_in):
+        for i, (kind, out_ch, depth, dis) in enumerate(plan_in):
             if kind == "conv":
                 params["input_blocks"][str(i)] = {"0": conv(cfg.in_channels, ch)}
             elif kind == "down":
@@ -530,19 +603,24 @@ class UNetModel:
                 blk = {"0": resb(ch, out_ch)}
                 ch = out_ch
                 if kind == "res_attn":
-                    blk["1"] = st(ch, cfg.depth_at(level))
+                    blk["1"] = st(ch, depth, dis)
                 params["input_blocks"][str(i)] = blk
             chs.append(ch)
-        mid_depth = max(cfg.depth_at(len(cfg.channel_mult) - 1), 1)
-        params["middle_block"] = {
-            "0": resb(ch, ch), "1": st(ch, mid_depth), "2": resb(ch, ch)
-        }
-        for i, (kind, out_ch, up, level) in enumerate(plan_out):
+        md = cfg.middle_depth()
+        if md >= 0:
+            params["middle_block"] = {
+                "0": resb(ch, ch), "1": st(ch, md), "2": resb(ch, ch)
+            }
+        elif md == -1:
+            params["middle_block"] = {"0": resb(ch, ch)}
+        else:
+            params.pop("middle_block")
+        for i, (kind, out_ch, up, depth, dis) in enumerate(plan_out):
             skip_ch = chs.pop()
             blk = {"0": resb(ch + skip_ch, out_ch)}
             ch = out_ch
             if kind == "res_attn":
-                blk["1"] = st(ch, cfg.depth_at(level))
+                blk["1"] = st(ch, depth, dis)
             if up:
                 key_name = "2" if kind == "res_attn" else "1"
                 blk[key_name] = {"conv": conv(ch, ch)}
@@ -557,7 +635,8 @@ class UNetModel:
         plan_in, plan_out, _ = self.block_plan()
         down = sum(1 for k in plan_in if k[0] == "res_attn")
         up = sum(1 for k in plan_out if k[0] == "res_attn")
-        return down + 1 + up
+        mid = 1 if self.config.middle_depth() >= 0 else 0
+        return down + mid + up
 
 
 class _KeyGen:

@@ -246,7 +246,7 @@ class VideoUNetModel(UNetModel):
         kernel = cfg.video_kernel_size
         nf = self.num_frames or x.shape[0]
         ctrl_in = control.get("input") if control is not None else None
-        for i, (kind, _, level) in enumerate(plan_in):
+        for i, (kind, _, depth, _dis) in enumerate(plan_in):
             p = params["input_blocks"][str(i)]
             if kind == "conv":
                 h = conv2d(p["0"], h, padding=1)
@@ -257,7 +257,7 @@ class VideoUNetModel(UNetModel):
                 if kind == "res_attn":
                     h, layer_idx = spatial_video_transformer(
                         p["1"], h, context, cfg.heads_for(h.shape[-1]),
-                        cfg.depth_at(level), layer_idx, hooks,
+                        depth, layer_idx, hooks,
                         cfg.max_time_embed_period, nf,
                     )
             if ctrl_in is not None and i < len(ctrl_in) and ctrl_in[i] is not None:
@@ -265,11 +265,10 @@ class VideoUNetModel(UNetModel):
             hs.append(h)
 
         mp = params["middle_block"]
-        mid_level = len(cfg.channel_mult) - 1
         h = video_res_block(mp["0"], h, emb, kernel, nf)
         h, layer_idx = spatial_video_transformer(
             mp["1"], h, context, cfg.heads_for(h.shape[-1]),
-            max(cfg.depth_at(mid_level), 1), layer_idx, hooks,
+            max(cfg.middle_depth(), 1), layer_idx, hooks,
             cfg.max_time_embed_period, nf,
         )
         h = video_res_block(mp["2"], h, emb, kernel, nf)
@@ -277,7 +276,7 @@ class VideoUNetModel(UNetModel):
             h = h + control["middle"][0].astype(h.dtype)
 
         ctrl_out = list(control.get("output", [])) if control is not None else []
-        for i, (kind, _, up, level) in enumerate(plan_out):
+        for i, (kind, _, up, depth, _dis) in enumerate(plan_out):
             p = params["output_blocks"][str(i)]
             skip = hs.pop()
             if ctrl_out:
@@ -289,7 +288,7 @@ class VideoUNetModel(UNetModel):
             if kind == "res_attn":
                 h, layer_idx = spatial_video_transformer(
                     p["1"], h, context, cfg.heads_for(h.shape[-1]),
-                    cfg.depth_at(level), layer_idx, hooks,
+                    depth, layer_idx, hooks,
                     cfg.max_time_embed_period, nf,
                 )
             if up:

@@ -76,9 +76,25 @@ def flatten(tree: dict, prefix: str = "") -> Dict[str, Any]:
     return out
 
 
+def _st_depth(flat: Dict[str, np.ndarray], prefix: str, block: str) -> int:
+    """Transformer depth of a SpatialTransformer param subtree (0 = absent)."""
+    if prefix + block + ".proj_in.weight" not in flat:
+        return 0
+    d = 0
+    while f"{prefix}{block}.transformer_blocks.{d}.attn1.to_q.weight" in flat:
+        d += 1
+    return d
+
+
 def detect_unet_config(flat: Dict[str, np.ndarray]) -> UNetConfig:
-    """Minimal model detection (comfy/model_detection.py capability): reads widths
-    from the state dict. Currently recognizes the SD1.x family."""
+    """Architecture detection from the state dict alone (the capability of
+    comfy/model_detection.py detect_unet_config): walks the input/middle/output
+    block keys and derives channel_mult, per-level res-block counts, per-block
+    transformer depths, context width, ADM width, and head layout. This is what
+    makes the whole reference model zoo load without presets — SD1.x/2.x, SDXL
+    (+ refiner), the distilled SDXL family (SSD-1B / Segmind Vega / KOALA,
+    supported_models.py:217-255, non-uniform per-block depths + missing middle
+    transformer), SD2.1-unclip, SD_X4Upscaler, SVD."""
     prefix = "model.diffusion_model."
     w = flat.get(prefix + "input_blocks.0.0.weight")
     if w is None:
@@ -86,6 +102,7 @@ def detect_unet_config(flat: Dict[str, np.ndarray]) -> UNetConfig:
     model_channels = w.shape[0]
     in_channels = w.shape[1]
     label_w = flat.get(prefix + "label_emb.0.0.weight")
+    adm = None if label_w is None else label_w.shape[1]
     if any(".time_stack." in k for k in flat if k.startswith(prefix)):
         # SVD img2vid temporal UNet (comfy supported_models.py:257
         # use_temporal_attention/use_temporal_resblock)
@@ -97,35 +114,115 @@ def detect_unet_config(flat: Dict[str, np.ndarray]) -> UNetConfig:
             SVD_UNET_CONFIG,
             in_channels=in_channels,
             model_channels=model_channels,
-            adm_in_channels=None if label_w is None else label_w.shape[1],
+            adm_in_channels=adm,
         )
-    if label_w is not None:
-        # SDXL family: ADM conditioning present; context dim from any attn2.to_k
-        from stable_renderer_tpu.models.unet import SDXL_UNET_CONFIG
-        import dataclasses
-
-        ctx_dim = 2048
-        for k, v in flat.items():
-            if k.startswith(prefix) and k.endswith("attn2.to_k.weight"):
-                ctx_dim = v.shape[1]
-                break
-        return dataclasses.replace(
-            SDXL_UNET_CONFIG,
-            in_channels=in_channels,
-            model_channels=model_channels,
-            context_dim=ctx_dim,
-            adm_in_channels=label_w.shape[1],
-        )
-    ctx = flat.get(prefix + "input_blocks.1.1.transformer_blocks.0.attn2.to_k.weight")
-    context_dim = ctx.shape[1] if ctx is not None else 768
+    # context dim from any cross-attention K projection
+    context_dim = 768
+    for k, v in flat.items():
+        if k.startswith(prefix) and k.endswith("attn2.to_k.weight"):
+            context_dim = v.shape[1]
+            break
+    # --- walk input blocks: levels end at downsample ops ---------------------
+    channel_mult = []
+    num_res_blocks = []
+    depth_in = []
+    disable_self = []
+    cur_res = 0
+    cur_dis = False
+    last_ch = model_channels
+    i = 1
+    while True:
+        b = f"input_blocks.{i}"
+        if prefix + b + ".0.op.weight" in flat:  # downsample closes a level
+            channel_mult.append(last_ch // model_channels)
+            num_res_blocks.append(cur_res)
+            disable_self.append(cur_dis)
+            cur_res, cur_dis = 0, False
+            i += 1
+            continue
+        rw = flat.get(prefix + b + ".0.out_layers.3.weight")
+        if rw is None:
+            break
+        last_ch = rw.shape[0]
+        cur_res += 1
+        depth_in.append(_st_depth(flat, prefix, b + ".1"))
+        # disable_self_attn (SD_X4Upscaler): attn1 K projects from the text
+        # context, so its input width differs from the block channels
+        k1 = flat.get(prefix + b + ".1.transformer_blocks.0.attn1.to_k.weight")
+        if k1 is not None and k1.shape[1] != last_ch:
+            cur_dis = True
+        i += 1
+    channel_mult.append(last_ch // model_channels)
+    num_res_blocks.append(cur_res)
+    disable_self.append(cur_dis)
+    # --- middle block (openaimodel.py:735-738 layouts) ------------------------
+    if prefix + "middle_block.1.proj_in.weight" in flat:
+        depth_middle = _st_depth(flat, prefix, "middle_block.1")
+    elif prefix + "middle_block.0.in_layers.0.weight" in flat:
+        depth_middle = -1
+    else:
+        depth_middle = -2
+    # --- output blocks ---------------------------------------------------------
+    depth_out = []
+    n_out = sum(r + 1 for r in num_res_blocks)
+    for i in range(n_out):
+        depth_out.append(_st_depth(flat, prefix, f"output_blocks.{i}.1"))
+    # head layout heuristic (comfy model_detection.py unet_config defaults):
+    # SD1.x (768-ctx) uses 8 fixed heads; everything newer uses 64-wide heads
+    head_dim = None if context_dim == 768 else 64
     return UNetConfig(
         in_channels=in_channels,
         model_channels=model_channels,
+        channel_mult=tuple(channel_mult),
+        num_res_blocks=max(num_res_blocks) if num_res_blocks else 2,
+        num_res_blocks_per_level=tuple(num_res_blocks),
+        transformer_depth_blocks=tuple(depth_in),
+        transformer_depth_blocks_out=tuple(depth_out),
+        transformer_depth_middle=depth_middle,
+        disable_self_attn_levels=(
+            tuple(disable_self) if any(disable_self) else None
+        ),
         context_dim=context_dim,
-        # SD2.x (OpenCLIP-H context) uses fixed 64-wide heads instead of 8
-        # heads (comfy model_detection.py num_head_channels=64)
-        head_dim=64 if context_dim >= 1024 else None,
+        head_dim=head_dim,
+        adm_in_channels=adm,
     )
+
+
+def detect_model_family(flat: Dict[str, np.ndarray], cfg: UNetConfig) -> dict:
+    """Classify the checkpoint into the reference's model families and return
+    sampling metadata (comfy/supported_models.py models list +
+    supported_models_base.BASE.model_type):
+
+    Returns {"family", "prediction", "noise_aug_dim"}. prediction is
+    "eps" | "v"; noise_aug_dim is the CLIP-embed width for SD2.1-unclip
+    checkpoints (feeds models/noise_aug.NoiseAugmentor), else None.
+    """
+    family, prediction, noise_aug_dim = "sd1", "eps", None
+    if any(".time_stack." in k for k in flat):
+        return {"family": "svd", "prediction": "v", "noise_aug_dim": None}
+    if cfg.context_dim == 1024:
+        if cfg.adm_in_channels in (1536, 2048):
+            # SD21UnclipL/H (supported_models.py:91-115): always v-prediction,
+            # ADM = noise-augmented CLIP embed + level embedding (2 * D)
+            return {"family": "sd21-unclip", "prediction": "v",
+                    "noise_aug_dim": cfg.adm_in_channels // 2}
+        if cfg.in_channels == 7:
+            # SD_X4Upscaler (supported_models.py:308): v-prediction latent
+            # upscaler, [latent, lowres image] concat input
+            return {"family": "sd-x4-upscaler", "prediction": "v",
+                    "noise_aug_dim": None}
+        family = "sd2"
+        # SD2.x eps-vs-v heuristic (comfy supported_models.py SD20.model_type):
+        # the 768-v checkpoints have out-layer statistics with std > 0.09
+        k = "model.diffusion_model.output_blocks.11.1.transformer_blocks.0.norm1.bias"
+        t = flat.get(k)
+        if t is not None and float(np.std(np.asarray(t, np.float64))) > 0.09:
+            prediction = "v"
+    elif cfg.context_dim == 1280:
+        family = "sdxl-refiner"
+    elif cfg.context_dim == 2048:
+        family = "sdxl"
+    return {"family": family, "prediction": prediction, "noise_aug_dim": noise_aug_dim}
 
 
 def split_checkpoint(

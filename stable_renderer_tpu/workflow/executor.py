@@ -284,17 +284,67 @@ def checkpoint_loader(ctx: InferenceContext, node: WorkflowNode):
     name = str(node.widgets[0]) if node.widgets else ""
     path = _find_model_file(ctx, name)
     if path:
-        from stable_renderer_tpu.models.weights import load_checkpoint, to_device
+        from stable_renderer_tpu.models.weights import (
+            detect_model_family, load_checkpoint, load_state_dict, to_device,
+        )
         import jax.numpy as jnp
+        from pathlib import Path as _P
 
         unet_p, vae_p, clip_p, ucfg = load_checkpoint(path)
         unet = UNetModel(ucfg)
+        # family classification (comfy supported_models.py): picks v-vs-eps
+        # prediction and carries the unCLIP noise-augmentor width so
+        # unCLIPConditioning can build the ADM vector
+        fam = {"family": "sd1", "prediction": "eps", "noise_aug_dim": None}
+        if not _P(path).is_dir():
+            fam = detect_model_family(load_state_dict(path), ucfg)
+        if fam["family"] == "sd-x4-upscaler":
+            # SD_X4Upscaler sampling_settings (supported_models.py:326):
+            # linear_start 1e-4, linear_end 2e-2 (same sqrt-linear beta
+            # formula, different endpoints)
+            ms = ModelSampling(beta_start=0.0001, beta_end=0.02,
+                               prediction=fam["prediction"])
+        else:
+            ms = ModelSampling(prediction=fam["prediction"])
         model = {"unet": unet, "params": to_device(unet_p, jnp.bfloat16),
-                 "sampling": ModelSampling()}
+                 "sampling": ms,
+                 "family": fam["family"],
+                 "noise_aug_dim": fam["noise_aug_dim"]}
         vae = {"vae": VAE(SD15_VAE_CONFIG), "params": to_device(vae_p, jnp.bfloat16)}
-        clip = {"clip": CLIPTextModel(SD15_CLIP_CONFIG),
-                "params": to_device(clip_p, jnp.float32),
-                "tokenizer": Tokenizer(SD15_CLIP_CONFIG)}
+        # text tower by family (comfy sd.py load_checkpoint_guess_config
+        # clip_target dispatch): SD2.x -> OpenCLIP-H at cond_stage_model.model;
+        # SDXL -> dual towers at conditioner.embedders.{0,1}; refiner -> only
+        # the G tower at embedders.0 (sdxl_clip.py SDXLRefinerClipModel)
+        clip = None
+        if fam["family"] in ("sd2", "sd21-unclip", "sd-x4-upscaler"):
+            from stable_renderer_tpu.models.clip import SD2ClipH
+            from stable_renderer_tpu.models.weights import nest
+
+            flat = load_state_dict(path)
+            clip = {"clip": SD2ClipH(),
+                    "params": {"model": nest(flat, "cond_stage_model.model.")},
+                    "tokenizer": Tokenizer(SD15_CLIP_CONFIG)}
+        elif fam["family"] in ("sdxl", "sdxl-refiner"):
+            from stable_renderer_tpu.models.clip import (
+                OpenCLIPTextModel, SDXL_CLIP_G_CONFIG,
+            )
+            from stable_renderer_tpu.models.weights import nest
+
+            flat = load_state_dict(path)
+            g_prefix = ("conditioner.embedders.0.model."
+                        if fam["family"] == "sdxl-refiner"
+                        else "conditioner.embedders.1.model.")
+            clip_l_p = nest(flat, "conditioner.embedders.0.transformer.")
+            clip = {"clip": CLIPTextModel(SD15_CLIP_CONFIG),
+                    "params": to_device(clip_l_p, jnp.float32),
+                    "clip_g": OpenCLIPTextModel(SDXL_CLIP_G_CONFIG),
+                    "params_g": to_device(
+                        {"model": nest(flat, g_prefix)}, jnp.float32),
+                    "tokenizer": Tokenizer(SD15_CLIP_CONFIG)}
+        if clip is None:
+            clip = {"clip": CLIPTextModel(SD15_CLIP_CONFIG),
+                    "params": to_device(clip_p, jnp.float32),
+                    "tokenizer": Tokenizer(SD15_CLIP_CONFIG)}
         return model, clip, vae
     logger.warning(f"checkpoint '{name}' not found in {ctx.model_dirs}; using tiny random models")
     key = jax.random.PRNGKey(0)
@@ -846,6 +896,20 @@ def ksampler(
     # ADM conditioning vector attached to conds (SDXL pooled / SVD fps+motion)
     y_pos = positive.get("y") if isinstance(positive, dict) else None
     y_neg = negative.get("y") if isinstance(negative, dict) else None
+    # SD2.1-unclip: fold unCLIPConditioning entries into the ADM vector via the
+    # CLIP-embed noise augmentor (model_base.py:271-295 unclip_adm +
+    # SD21UNCLIP.encode_adm; zeros when no image conditioning is attached)
+    if model.get("noise_aug_dim"):
+        from stable_renderer_tpu.models.noise_aug import NoiseAugmentor, unclip_adm
+
+        aug = NoiseAugmentor(timestep_dim=int(model["noise_aug_dim"]))
+        ukey = jax.random.PRNGKey(abs(seed - 10))
+        entries = positive.get("unclip") if isinstance(positive, dict) else None
+        y_pos = (unclip_adm(entries, aug, ukey) if entries
+                 else jnp.zeros((1, 2 * aug.timestep_dim)))
+        nentries = negative.get("unclip") if isinstance(negative, dict) else None
+        y_neg = (unclip_adm(nentries, aug, ukey) if nentries
+                 else jnp.zeros((1, 2 * aug.timestep_dim)))
     # Stable Cascade Stage B: the Stage-C latent prior feeds the effnet mapper
     # (model_base.py StableCascade_B.extra_conds; uncond rows get zeros)
     cascade_prior = (positive.get("stable_cascade_prior")
