@@ -46,28 +46,56 @@ def betas_squaredcos_cap_v2(timesteps: int = 1000, max_beta: float = 0.999) -> n
     return np.asarray(betas, np.float64)
 
 
+def betas_linear(
+    timesteps: int = 1000, linear_start: float = 1e-4, linear_end: float = 2e-2
+) -> np.ndarray:
+    """The ldm "linear" schedule (sqrt-space linspace, make_beta_schedule)."""
+    return (
+        np.linspace(linear_start**0.5, linear_end**0.5, timesteps, dtype=np.float64)
+        ** 2
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class NoiseAugmentor:
     """q_sample over an embedding vector + a timestep embedding of the level.
 
     ``timestep_dim`` is the embedding width D (768 for SD21UnclipL, 1024 for
-    SD21UnclipH); the resulting ADM vector is 2*D wide.
+    SD21UnclipH); the resulting ADM vector is 2*D wide. ``schedule`` picks the
+    beta schedule: "squaredcos_cap_v2" (unCLIP) or "linear" (SD_X4Upscaler's
+    ImageConcatWithNoiseAugmentation, model_base.py:452: linear_start 1e-4,
+    linear_end 2e-2, max_noise_level 350 over a 1000-step table).
     """
 
     timestep_dim: int
     max_noise_level: int = 1000
+    schedule: str = "squaredcos_cap_v2"
+    num_timesteps: int = 1000
+    linear_start: float = 1e-4
+    linear_end: float = 2e-2
+
+    def _alphas_cumprod(self) -> np.ndarray:
+        if self.schedule == "linear":
+            betas = betas_linear(self.num_timesteps, self.linear_start, self.linear_end)
+        else:
+            betas = betas_squaredcos_cap_v2(self.num_timesteps)
+        return np.cumprod(1.0 - betas)
 
     @property
     def sqrt_alphas_cumprod(self) -> np.ndarray:
-        betas = betas_squaredcos_cap_v2(self.max_noise_level)
-        ac = np.cumprod(1.0 - betas)
-        return np.sqrt(ac).astype(np.float32)
+        return np.sqrt(self._alphas_cumprod()).astype(np.float32)
 
     @property
     def sqrt_one_minus_alphas_cumprod(self) -> np.ndarray:
-        betas = betas_squaredcos_cap_v2(self.max_noise_level)
-        ac = np.cumprod(1.0 - betas)
-        return np.sqrt(1.0 - ac).astype(np.float32)
+        return np.sqrt(1.0 - self._alphas_cumprod()).astype(np.float32)
+
+    def q_sample(self, x: jax.Array, noise_level: int, key: jax.Array) -> jax.Array:
+        """Forward-diffuse ``x`` (any shape) to ``noise_level``
+        (upscaling.py:44-52): z = sqrt(ac[t]) x + sqrt(1-ac[t]) noise."""
+        t = int(np.clip(noise_level, 0, self.num_timesteps - 1))
+        a = float(self.sqrt_alphas_cumprod[t])
+        s = float(self.sqrt_one_minus_alphas_cumprod[t])
+        return a * x + s * jax.random.normal(key, x.shape, x.dtype)
 
     def augment(
         self, embed: jax.Array, noise_level: int, key: jax.Array
@@ -81,10 +109,7 @@ class NoiseAugmentor:
         if embed.ndim == 1:
             embed = embed[None]
         t = int(np.clip(noise_level, 0, self.max_noise_level - 1))
-        a = float(self.sqrt_alphas_cumprod[t])
-        s = float(self.sqrt_one_minus_alphas_cumprod[t])
-        noise = jax.random.normal(key, embed.shape, embed.dtype)
-        z = a * embed + s * noise
+        z = self.q_sample(embed, t, key)
         lvl = jnp.full((embed.shape[0],), float(t), jnp.float32)
         emb = timestep_embedding(lvl, self.timestep_dim)
         return z, emb

@@ -71,6 +71,11 @@ class UNetConfig:
     # supported_models.py:308-322): attn1 cross-attends the text context
     # instead of self-attending
     disable_self_attn_levels: Optional[Tuple[bool, ...]] = None
+    # Class-conditional label embedding (openaimodel num_classes=int path,
+    # SD_X4Upscaler's noise-level conditioning): label_emb is an embedding
+    # TABLE (num_classes, time_embed_dim) indexed by integer y, not the
+    # SDXL-style ADM MLP
+    num_classes: Optional[int] = None
     num_heads: int = 8
     # SDXL uses fixed head_dim=64 instead of fixed head count; set to override
     head_dim: Optional[int] = None
@@ -441,7 +446,13 @@ class UNetModel:
         t_emb = timestep_embedding(timesteps, cfg.model_channels).astype(x.dtype)
         emb = linear(params["time_embed"]["0"], t_emb)
         emb = linear(params["time_embed"]["2"], silu(emb))
-        if cfg.adm_in_channels is not None and y is not None:
+        if cfg.num_classes is not None and y is not None:
+            # class-label embedding table (openaimodel num_classes path —
+            # SD_X4Upscaler noise-level conditioning, model_base.py:478)
+            emb = emb + params["label_emb"]["weight"][
+                jnp.asarray(y, jnp.int32).reshape(-1)
+            ].astype(emb.dtype)
+        elif cfg.adm_in_channels is not None and y is not None:
             # SDXL label_emb: pooled-conditioning MLP added to the time embedding
             y_emb = linear(params["label_emb"]["0"]["0"], y.astype(x.dtype))
             emb = emb + linear(params["label_emb"]["0"]["2"], silu(y_emb))
@@ -585,7 +596,13 @@ class UNetModel:
             "output_blocks": {},
             "out": {},
         }
-        if cfg.adm_in_channels is not None:
+        if cfg.num_classes is not None:
+            params["label_emb"] = {
+                "weight": jax.random.normal(
+                    keys(), (cfg.num_classes, cfg.time_embed_dim), dtype
+                )
+            }
+        elif cfg.adm_in_channels is not None:
             params["label_emb"] = {
                 "0": {
                     "0": lin(cfg.adm_in_channels, cfg.time_embed_dim),

@@ -103,6 +103,10 @@ def detect_unet_config(flat: Dict[str, np.ndarray]) -> UNetConfig:
     in_channels = w.shape[1]
     label_w = flat.get(prefix + "label_emb.0.0.weight")
     adm = None if label_w is None else label_w.shape[1]
+    # class-embedding TABLE (openaimodel num_classes path, SD_X4Upscaler):
+    # label_emb.weight (num_classes, time_embed_dim) instead of the ADM MLP
+    class_w = flat.get(prefix + "label_emb.weight")
+    num_classes = None if class_w is None else class_w.shape[0]
     if any(".time_stack." in k for k in flat if k.startswith(prefix)):
         # SVD img2vid temporal UNet (comfy supported_models.py:257
         # use_temporal_attention/use_temporal_resblock)
@@ -185,6 +189,7 @@ def detect_unet_config(flat: Dict[str, np.ndarray]) -> UNetConfig:
         context_dim=context_dim,
         head_dim=head_dim,
         adm_in_channels=adm,
+        num_classes=num_classes,
     )
 
 

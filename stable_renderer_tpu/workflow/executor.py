@@ -910,6 +910,27 @@ def ksampler(
         nentries = negative.get("unclip") if isinstance(negative, dict) else None
         y_neg = (unclip_adm(nentries, aug, ukey) if nentries
                  else jnp.zeros((1, 2 * aug.timestep_dim)))
+    # SD_X4Upscaler (model_base.py:454-479): c_concat is the low-res image,
+    # noise-augmented at round(350 * noise_augmentation) with the LINEAR
+    # schedule; the augmentation level feeds the class-embedding table as y
+    if (isinstance(positive, dict) and positive.get("concat_image") is not None
+            and getattr(model["unet"].config, "num_classes", None)):
+        from stable_renderer_tpu.models.noise_aug import NoiseAugmentor
+
+        img = jnp.asarray(positive["concat_image"])
+        if img.shape[1:3] != latent.shape[1:3]:
+            img = jax.image.resize(
+                img, (img.shape[0], latent.shape[1], latent.shape[2],
+                      img.shape[3]), "bilinear")
+        aug_amt = float(positive.get("noise_augmentation", 0.0))
+        x4_aug = NoiseAugmentor(timestep_dim=1, max_noise_level=350,
+                                schedule="linear")
+        level = round(350 * aug_amt)
+        if aug_amt > 0:
+            img = x4_aug.q_sample(img, level, jax.random.PRNGKey(abs(seed - 10)))
+        concat_zm = img
+        neg_concat = img  # the reference attaches the same pixels to both conds
+        y_pos = y_neg = jnp.full((1, 1), float(level))
     # Stable Cascade Stage B: the Stage-C latent prior feeds the effnet mapper
     # (model_base.py StableCascade_B.extra_conds; uncond rows get zeros)
     cascade_prior = (positive.get("stable_cascade_prior")

@@ -349,3 +349,101 @@ def test_checkpoint_loader_family_towers(tmp_path):
     from stable_renderer_tpu.models.clip import SD2ClipH
 
     assert isinstance(clip["clip"], SD2ClipH)
+
+
+def test_x4_class_embedding_detection_round_trip():
+    """SD_X4Upscaler's label_emb is an embedding TABLE indexed by the noise
+    level (openaimodel num_classes path) — detected from label_emb.weight."""
+    cfg_in = UNetConfig(
+        in_channels=7, model_channels=32, channel_mult=(1, 2), num_res_blocks=1,
+        attention_levels=(0, 1), transformer_depth=1, context_dim=64,
+        head_dim=16, num_classes=351, disable_self_attn_levels=(True, False),
+    )
+    flat, _, params = _flat_from_config(cfg_in)
+    cfg = detect_unet_config(flat)
+    assert cfg.num_classes == 351 and cfg.adm_in_channels is None
+    re_params = UNetModel(cfg).init(jax.random.PRNGKey(1))
+    assert _tree_shapes(re_params) == _tree_shapes(params)
+    # integer y indexes the table and conditions the output
+    model = UNetModel(cfg)
+    x = jnp.ones((1, 8, 8, 7))
+    ctx = jnp.zeros((1, 5, 64))
+    o0 = model.apply(params, x, jnp.array([1.0]), ctx, y=jnp.array([0]))
+    o1 = model.apply(params, x, jnp.array([1.0]), ctx, y=jnp.array([350]))
+    assert not np.allclose(np.asarray(o0), np.asarray(o1), atol=1e-4)
+
+
+def test_x4_linear_q_sample_oracle():
+    from stable_renderer_tpu.models.noise_aug import NoiseAugmentor, betas_linear
+
+    betas = betas_linear(1000, 1e-4, 2e-2)
+    ac = np.cumprod(1.0 - betas)
+    aug = NoiseAugmentor(timestep_dim=1, max_noise_level=350, schedule="linear")
+    x = jnp.ones((1, 4, 4, 3))
+    key = jax.random.PRNGKey(7)
+    z = aug.q_sample(x, 300, key)
+    noise = jax.random.normal(key, x.shape, x.dtype)
+    expect = np.sqrt(ac[300]) * np.asarray(x) + np.sqrt(1 - ac[300]) * np.asarray(noise)
+    np.testing.assert_allclose(np.asarray(z), expect, rtol=1e-4)
+
+
+def test_x4_upscaler_executor_e2e(tmp_path):
+    """Full SD_X4Upscaler flow: checkpoint -> family detection (v-pred,
+    linear_start 1e-4) -> SD_4XUpscale_Conditioning -> KSampler consuming
+    concat_image as c_concat + the augmentation level as class-label y
+    (nodes_sdupscale.py + model_base.py:449-479)."""
+    from safetensors.numpy import save_file
+
+    from stable_renderer_tpu.workflow.executor import (
+        InferenceContext,
+        NODE_REGISTRY,
+        WorkflowNode,
+    )
+
+    cfg = UNetConfig(
+        in_channels=7, model_channels=64, channel_mult=(1, 2), num_res_blocks=1,
+        attention_levels=(0, 1), transformer_depth=1, context_dim=1024,
+        head_dim=16, num_classes=351, disable_self_attn_levels=(True, False),
+    )
+    unet = UNetModel(cfg)
+    flat = {f"model.diffusion_model.{k}": np.asarray(v)
+            for k, v in flatten(unet.init(jax.random.PRNGKey(0))).items()}
+    flat["first_stage_model.decoder.conv_in.weight"] = np.zeros(
+        (4, 4, 3, 3), np.float32)
+    flat["cond_stage_model.model.ln_final.weight"] = np.ones((16,), np.float32)
+    save_file(flat, str(tmp_path / "x4.safetensors"))
+
+    ctx = InferenceContext(model_dirs=(str(tmp_path),))
+    model, clip, vae = NODE_REGISTRY["CheckpointLoaderSimple"](
+        ctx, WorkflowNode(id="1", type="CheckpointLoaderSimple",
+                          widgets=["x4.safetensors"]))
+    assert model["family"] == "sd-x4-upscaler"
+    assert model["sampling"].prediction == "v"
+    assert model["sampling"].beta_start == pytest.approx(0.0001)
+
+    images = jnp.ones((1, 8, 8, 3)) * 0.5
+    pos = {"context": jnp.zeros((1, 5, 1024)), "controls": []}
+    neg = {"context": jnp.zeros((1, 5, 1024)), "controls": []}
+    pos4, neg4, latent = NODE_REGISTRY["SD_4XUpscale_Conditioning"](
+        ctx, WorkflowNode(id="2", type="SD_4XUpscale_Conditioning",
+                          widgets=[4.0, 0.2]),
+        images=images, positive=pos, negative=neg)
+    assert latent["samples"].shape == (1, 8, 8, 4)
+    assert pos4["concat_image"].shape[-1] == 3
+
+    node = WorkflowNode(id="3", type="KSampler",
+                        widgets=[0, "fixed", 2, 2.0, "euler", "normal", 1.0])
+    out = NODE_REGISTRY["KSampler"](
+        ctx, node, model=model, positive=pos4, negative=neg4,
+        latent_image=latent)[0]["samples"]
+    assert out.shape == (1, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
+    # the augmentation level (class label) + noised image change the output
+    pos0, neg0, latent0 = NODE_REGISTRY["SD_4XUpscale_Conditioning"](
+        ctx, WorkflowNode(id="4", type="SD_4XUpscale_Conditioning",
+                          widgets=[4.0, 0.0]),
+        images=images, positive=pos, negative=neg)
+    out0 = NODE_REGISTRY["KSampler"](
+        ctx, node, model=model, positive=pos0, negative=neg0,
+        latent_image=latent0)[0]["samples"]
+    assert not np.allclose(np.asarray(out), np.asarray(out0), atol=1e-5)
