@@ -452,11 +452,23 @@ class DiffusionPipeline:
             ctx, nctx, pooled, npooled = self._encode_prompts_full(prompts, negatives)
         y_cond = y_uncond = None
         if self.is_sdxl and pooled is not None:
-            from stable_renderer_tpu.models.sdxl import sdxl_adm_vector
+            from stable_renderer_tpu.models.sdxl import (
+                sdxl_adm_vector,
+                sdxl_refiner_adm_vector,
+            )
 
             size = image_size or (1024, 1024)
-            y_cond = sdxl_adm_vector(pooled, original_size=size, target_size=size)
-            y_uncond = sdxl_adm_vector(npooled, original_size=size, target_size=size)
+            if (getattr(self, "model_family", None) == "sdxl-refiner"
+                    or self.unet.config.adm_in_channels == 2560):
+                # SDXLRefiner ADM: aesthetic score instead of target size
+                # (6.0 positive / 2.5 negative, nodes_clip_sdxl.py defaults)
+                y_cond = sdxl_refiner_adm_vector(
+                    pooled, original_size=size, aesthetic_score=6.0)
+                y_uncond = sdxl_refiner_adm_vector(
+                    npooled, original_size=size, aesthetic_score=2.5)
+            else:
+                y_cond = sdxl_adm_vector(pooled, original_size=size, target_size=size)
+                y_uncond = sdxl_adm_vector(npooled, original_size=size, target_size=size)
         result = (sprite_ids, ctx, nctx, y_cond, y_uncond)
         if len(pc_cache) > 64:  # bounded; prompt-animation scripts churn keys
             pc_cache.clear()

@@ -38,3 +38,23 @@ def sdxl_adm_vector(
     emb = timestep_embedding(vals, 256)  # (6, 256)
     emb = jnp.broadcast_to(emb.reshape(1, -1), (b, 6 * 256))
     return jnp.concatenate([pooled.astype(jnp.float32), emb], axis=-1)
+
+
+def sdxl_refiner_adm_vector(
+    pooled: jax.Array,  # (B, 1280) CLIP-G pooled embedding
+    original_size: Tuple[int, int] = (1024, 1024),
+    crop: Tuple[int, int] = (0, 0),
+    aesthetic_score: float = 6.0,
+) -> jax.Array:
+    """(B, 2560) refiner ADM (model_base.py:319-344 SDXLRefiner.encode_adm):
+    Fourier embeddings of [h, w, crop_h, crop_w, aesthetic_score] after the
+    pooled embedding. The reference defaults the score to 6.0 for positive and
+    2.5 for negative conds (nodes_clip_sdxl.py)."""
+    b = pooled.shape[0]
+    vals = jnp.asarray(
+        [original_size[0], original_size[1], crop[0], crop[1], aesthetic_score],
+        jnp.float32,
+    )
+    emb = timestep_embedding(vals, 256)  # (5, 256)
+    emb = jnp.broadcast_to(emb.reshape(1, -1), (b, 5 * 256))
+    return jnp.concatenate([pooled.astype(jnp.float32), emb], axis=-1)

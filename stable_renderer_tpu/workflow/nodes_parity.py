@@ -621,9 +621,7 @@ def clip_text_encode_sdxl_refiner(ctx: InferenceContext, node: WorkflowNode,
     """Refiner encode: pooled + Fourier[h, w, crop_h, crop_w, aesthetic]
     (nodes_clip_sdxl.py CLIPTextEncodeSDXLRefiner +
     model_base.py:319-344 SDXLRefiner.encode_adm)."""
-    import jax.numpy as jnp
-
-    from stable_renderer_tpu.models.layers import timestep_embedding
+    from stable_renderer_tpu.models.sdxl import sdxl_refiner_adm_vector
 
     ascore = _widget(node, 0, 6.0, float)
     width = _widget(node, 1, 1024, int)
@@ -633,11 +631,8 @@ def clip_text_encode_sdxl_refiner(ctx: InferenceContext, node: WorkflowNode,
     cond = {"context": context, "pooled": pooled, "controls": [],
             "prompt": text}
     if pooled is not None:
-        vals = jnp.asarray([height, width, 0.0, 0.0, ascore], jnp.float32)
-        emb = timestep_embedding(vals, 256).reshape(1, -1)
-        emb = jnp.broadcast_to(emb, (pooled.shape[0], 5 * 256))
-        cond["y"] = jnp.concatenate(
-            [pooled.astype(jnp.float32), emb], axis=-1)
+        cond["y"] = sdxl_refiner_adm_vector(
+            pooled, original_size=(height, width), aesthetic_score=ascore)
     return (cond,)
 
 

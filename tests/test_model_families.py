@@ -447,3 +447,18 @@ def test_x4_upscaler_executor_e2e(tmp_path):
         ctx, node, model=model, positive=pos0, negative=neg0,
         latent_image=latent0)[0]["samples"]
     assert not np.allclose(np.asarray(out), np.asarray(out0), atol=1e-5)
+
+
+def test_refiner_adm_vector_layout():
+    """SDXLRefiner ADM = pooled(1280) + Fourier[h, w, crop, aesthetic] = 2560
+    (model_base.py:319-344); positive/negative differ via the aesthetic score."""
+    from stable_renderer_tpu.models.sdxl import sdxl_refiner_adm_vector
+
+    pooled = jnp.ones((2, 1280))
+    y_pos = sdxl_refiner_adm_vector(pooled, aesthetic_score=6.0)
+    y_neg = sdxl_refiner_adm_vector(pooled, aesthetic_score=2.5)
+    assert y_pos.shape == (2, 2560)
+    # only the aesthetic-score quarter of the Fourier block differs
+    assert not np.allclose(np.asarray(y_pos), np.asarray(y_neg))
+    np.testing.assert_allclose(np.asarray(y_pos[:, :1280]),
+                               np.asarray(y_neg[:, :1280]))
