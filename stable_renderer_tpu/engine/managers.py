@@ -266,17 +266,38 @@ class RenderManager(Manager):
         ``task(color) -> color | None`` with the same replace/side-effect rule."""
         self.post_tasks.add_task(task, order)
 
-    @staticmethod
-    def _apply_tasks(queue: AutoSortTask, *args):
-        """Run user defer/post tasks: each may return a replacement color."""
+    _TASK_ARITY_CACHE: dict = {}
+
+    @classmethod
+    def _task_arity(cls, fn) -> int:
+        """Parameter count of a task callable, memoized — inspect.signature is
+        ~10 µs and _apply_tasks runs per task per frame."""
+        try:
+            hit = cls._TASK_ARITY_CACHE.get(fn)
+        except TypeError:  # unhashable callable
+            hit = None
+        if hit is not None:
+            return hit
         import inspect
 
+        try:
+            n = len(inspect.signature(fn).parameters)
+        except (TypeError, ValueError):
+            n = 0
+        try:
+            if len(cls._TASK_ARITY_CACHE) > 512:
+                cls._TASK_ARITY_CACHE.clear()
+            cls._TASK_ARITY_CACHE[fn] = n
+        except TypeError:
+            pass
+        return n
+
+    @classmethod
+    def _apply_tasks(cls, queue: AutoSortTask, *args):
+        """Run user defer/post tasks: each may return a replacement color."""
         color = args[0]
         for t in sorted(queue._tasks):
-            try:
-                n_params = len(inspect.signature(t.fn).parameters) - len(t.args) - len(t.kwargs)
-            except (TypeError, ValueError):
-                n_params = 0
+            n_params = cls._task_arity(t.fn) - len(t.args) - len(t.kwargs)
             out = t.fn(*args[: max(n_params, 0)], *t.args, **t.kwargs)
             if out is not None:
                 color = out

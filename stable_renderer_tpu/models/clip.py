@@ -479,6 +479,32 @@ def clip_g_pad_ids(ids: jax.Array, eos: int = 49407) -> jax.Array:
     return jnp.where(after, 0, ids)
 
 
+def encode_token_weights_batch_g(
+    clip_g: "OpenCLIPTextModel",
+    params_g: dict,
+    ids: jax.Array,       # (B, C, L) int32 (L-tower padding; G ids derived)
+    weights: jax.Array,   # (B, C, L) f32
+    clip_skip: int = -2,
+) -> tuple[jax.Array, jax.Array]:
+    """SDXL-Refiner single-tower encoding (comfy sdxl_clip.py
+    SDXLRefinerClipModel): the refiner checkpoint carries ONLY the CLIP-G
+    tower, so context is the 1280-wide G penultimate hidden state and pooled
+    is the G text projection — no CLIP-L concat."""
+    b, c, length = ids.shape
+    eos = 49407 % clip_g.config.vocab_size
+    bos = 49406 % clip_g.config.vocab_size
+    ids_g = clip_g_pad_ids(ids.reshape(b * c, length), eos)
+    empty = jnp.zeros((1, length), ids.dtype)
+    empty = empty.at[0, 0].set(bos)
+    empty = empty.at[0, 1].set(eos)
+    hidden, pooled = clip_g.apply(
+        params_g, jnp.concatenate([ids_g, empty], axis=0), clip_skip=clip_skip
+    )
+    zg, zg_empty = hidden[: b * c], hidden[b * c]
+    zg = (zg - zg_empty[None]) * weights.reshape(b * c, length)[..., None] + zg_empty[None]
+    return zg.reshape(b, c * length, -1), pooled[: b * c : c]
+
+
 def encode_token_weights_batch_xl(
     clip_l: CLIPTextModel,
     clip_g: "OpenCLIPTextModel",

@@ -218,11 +218,14 @@ def detect_model_family(flat: Dict[str, np.ndarray], cfg: UNetConfig) -> dict:
                     "noise_aug_dim": None}
         family = "sd2"
         # SD2.x eps-vs-v heuristic (comfy supported_models.py SD20.model_type):
-        # the 768-v checkpoints have out-layer statistics with std > 0.09
-        k = "model.diffusion_model.output_blocks.11.1.transformer_blocks.0.norm1.bias"
-        t = flat.get(k)
-        if t is not None and float(np.std(np.asarray(t, np.float64))) > 0.09:
-            prediction = "v"
+        # the 768-v checkpoints have out-layer statistics with std > 0.09.
+        # Only for in_channels == 4 — "SD2.0 inpainting models are not
+        # v prediction" (9-channel SD2 inpaint checkpoints stay eps)
+        if cfg.in_channels == 4:
+            k = "model.diffusion_model.output_blocks.11.1.transformer_blocks.0.norm1.bias"
+            t = flat.get(k)
+            if t is not None and float(np.std(np.asarray(t, np.float64))) > 0.09:
+                prediction = "v"
     elif cfg.context_dim == 1280:
         family = "sdxl-refiner"
     elif cfg.context_dim == 2048:

@@ -285,19 +285,27 @@ def checkpoint_loader(ctx: InferenceContext, node: WorkflowNode):
     path = _find_model_file(ctx, name)
     if path:
         from stable_renderer_tpu.models.weights import (
-            detect_model_family, load_checkpoint, load_state_dict, to_device,
+            detect_model_family, load_checkpoint_flat, load_state_dict, to_device,
         )
         import jax.numpy as jnp
         from pathlib import Path as _P
 
-        unet_p, vae_p, clip_p, ucfg = load_checkpoint(path)
+        # one flat read serves split + family detection + tower nesting
+        # (multi-GB checkpoints must not be re-read per consumer)
+        if _P(path).is_dir():
+            from stable_renderer_tpu.models.diffusers_convert import (
+                load_diffusers_folder,
+            )
+
+            flat = load_diffusers_folder(path)
+        else:
+            flat = load_state_dict(path)
+        unet_p, vae_p, clip_p, ucfg = load_checkpoint_flat(flat, path)
         unet = UNetModel(ucfg)
         # family classification (comfy supported_models.py): picks v-vs-eps
         # prediction and carries the unCLIP noise-augmentor width so
         # unCLIPConditioning can build the ADM vector
-        fam = {"family": "sd1", "prediction": "eps", "noise_aug_dim": None}
-        if not _P(path).is_dir():
-            fam = detect_model_family(load_state_dict(path), ucfg)
+        fam = detect_model_family(flat, ucfg)
         if fam["family"] == "sd-x4-upscaler":
             # SD_X4Upscaler sampling_settings (supported_models.py:326):
             # linear_start 1e-4, linear_end 2e-2 (same sqrt-linear beta
@@ -320,26 +328,40 @@ def checkpoint_loader(ctx: InferenceContext, node: WorkflowNode):
             from stable_renderer_tpu.models.clip import SD2ClipH
             from stable_renderer_tpu.models.weights import nest
 
-            flat = load_state_dict(path)
             clip = {"clip": SD2ClipH(),
                     "params": {"model": nest(flat, "cond_stage_model.model.")},
                     "tokenizer": Tokenizer(SD15_CLIP_CONFIG)}
-        elif fam["family"] in ("sdxl", "sdxl-refiner"):
+        elif fam["family"] == "sdxl-refiner":
+            # SDXLRefinerClipModel (comfy sdxl_clip.py): refiner files carry
+            # ONLY the G tower at embedders.0 (no '.transformer.' L tower) and
+            # its UNet expects the 1280-wide G hidden as context — G-only
+            # encoding, never the L+G concat
             from stable_renderer_tpu.models.clip import (
                 OpenCLIPTextModel, SDXL_CLIP_G_CONFIG,
             )
             from stable_renderer_tpu.models.weights import nest
 
-            flat = load_state_dict(path)
-            g_prefix = ("conditioner.embedders.0.model."
-                        if fam["family"] == "sdxl-refiner"
-                        else "conditioner.embedders.1.model.")
+            clip = {"clip": CLIPTextModel(SD15_CLIP_CONFIG),
+                    "params": {},
+                    "g_only": True,
+                    "clip_g": OpenCLIPTextModel(SDXL_CLIP_G_CONFIG),
+                    "params_g": to_device(
+                        {"model": nest(flat, "conditioner.embedders.0.model.")},
+                        jnp.float32),
+                    "tokenizer": Tokenizer(SD15_CLIP_CONFIG)}
+        elif fam["family"] == "sdxl":
+            from stable_renderer_tpu.models.clip import (
+                OpenCLIPTextModel, SDXL_CLIP_G_CONFIG,
+            )
+            from stable_renderer_tpu.models.weights import nest
+
             clip_l_p = nest(flat, "conditioner.embedders.0.transformer.")
             clip = {"clip": CLIPTextModel(SD15_CLIP_CONFIG),
                     "params": to_device(clip_l_p, jnp.float32),
                     "clip_g": OpenCLIPTextModel(SDXL_CLIP_G_CONFIG),
                     "params_g": to_device(
-                        {"model": nest(flat, g_prefix)}, jnp.float32),
+                        {"model": nest(flat, "conditioner.embedders.1.model.")},
+                        jnp.float32),
                     "tokenizer": Tokenizer(SD15_CLIP_CONFIG)}
         if clip is None:
             clip = {"clip": CLIPTextModel(SD15_CLIP_CONFIG),
@@ -384,9 +406,19 @@ def _encode_weighted(clip: dict, prompts: list):
     (sd1_clip.py encode_token_weights + CLIPTextEncode semantics)."""
     import jax.numpy as jnp
 
-    from stable_renderer_tpu.models.clip import encode_token_weights_batch
+    from stable_renderer_tpu.models.clip import (
+        encode_token_weights_batch,
+        encode_token_weights_batch_g,
+    )
 
     ids, w, custom = clip["tokenizer"].tokenize_weighted_batch(prompts)
+    if clip.get("g_only"):
+        # SDXL-Refiner: G tower only (sdxl_clip.py SDXLRefinerClipModel)
+        ctx_, _ = encode_token_weights_batch_g(
+            clip["clip_g"], clip["params_g"], jnp.asarray(ids), jnp.asarray(w),
+            clip_skip=int(clip.get("clip_skip", -2)),
+        )
+        return ctx_
     skip = int(clip.get("clip_skip", -1))
     ctx_, _ = encode_token_weights_batch(
         clip["clip"], clip["params"], jnp.asarray(ids), jnp.asarray(w),

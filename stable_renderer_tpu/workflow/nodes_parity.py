@@ -553,9 +553,19 @@ def _encode_tower(clip: dict, text_l: str, text_g: str | None = None):
 
     from stable_renderer_tpu.models.clip import (
         encode_token_weights_batch,
+        encode_token_weights_batch_g,
         encode_token_weights_batch_xl,
     )
 
+    if clip.get("g_only"):
+        # SDXL-Refiner: single G tower, 1280-wide context + G text projection
+        # pooled (sdxl_clip.py SDXLRefinerClipModel) — text_g drives it
+        ids, w, _ = clip["tokenizer"].tokenize_weighted_batch(
+            [text_g if text_g is not None else text_l])
+        return encode_token_weights_batch_g(
+            clip["clip_g"], clip["params_g"], jnp.asarray(ids), jnp.asarray(w),
+            clip_skip=int(clip.get("clip_skip", -2)),
+        )
     if clip.get("clip_g") is not None:
         def enc(text):
             ids, w, custom = clip["tokenizer"].tokenize_weighted_batch([text])
