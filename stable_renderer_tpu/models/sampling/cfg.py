@@ -22,16 +22,17 @@ from stable_renderer_tpu.models.unet import AttnHooks, UNetModel
 
 
 def timestep_from_sigma(log_sigmas: jax.Array, sigma: jax.Array) -> jax.Array:
-    """Jittable ModelSamplingDiscrete.timestep (log-sigma interpolation)."""
+    """Jittable ModelSamplingDiscrete.timestep.
+
+    NEAREST log-sigma table index (model_sampling.py:125-128
+    ``dists.abs().argmin(dim=0)``) — the reference feeds INTEGER timesteps to
+    the UNet; fractional interpolation here measurably shifts the timestep
+    embedding vs the reference (caught by tests/test_torch_parity.py).
+    """
     log_sigma = jnp.log(jnp.maximum(sigma, 1e-10))
-    dists = log_sigma - log_sigmas
-    low_idx = jnp.clip(
-        jnp.argmax(jnp.cumsum((dists >= 0).astype(jnp.int32))), 0, log_sigmas.shape[0] - 2
-    )
-    high_idx = low_idx + 1
-    low, high = log_sigmas[low_idx], log_sigmas[high_idx]
-    w = jnp.clip((low - log_sigma) / (low - high), 0.0, 1.0)
-    return (1.0 - w) * low_idx + w * high_idx
+    dists = jnp.abs(log_sigma[..., None] - log_sigmas)
+    idx = jnp.argmin(dists, axis=-1).astype(jnp.float32)
+    return idx.reshape(jnp.shape(sigma))
 
 
 def calculate_denoised(

@@ -230,12 +230,23 @@ def sample(
         bt_hi = sigmas[0]
         bt_lo = sigmas[jnp.maximum(sigmas.shape[0] - 2, 0)]  # smallest positive
 
+    zero_noise = sde_noise == "zero"
+
     def _sde_noise(s_from, s_to, fallback_key, x):
+        if zero_noise:
+            return jnp.zeros_like(x)
         if not use_brownian:
             return jax.random.normal(fallback_key, x.shape, x.dtype)
         return brownian_increment(
             bt_root, s_from, s_to, bt_lo, bt_hi, x.shape, x.dtype
         )
+
+    def _step_noise(k, x):
+        """Per-step gaussian for ancestral/ddpm/lcm renoising; ``sde_noise=
+        'zero'`` statically silences it (deterministic replay / parity)."""
+        if zero_noise:
+            return jnp.zeros_like(x)
+        return jax.random.normal(k, x.shape, x.dtype)
 
     def step(state: dict, i):
         sigma = sigmas[i]
@@ -253,7 +264,7 @@ def sample(
             sigma_down, sigma_up = _ancestral_step(sigma, sigma_next, eta)
             d = _to_d(x, sigma, denoised)
             x_new = x + d * (sigma_down - sigma)
-            x_new = x_new + jax.random.normal(sub, x.shape, x.dtype) * sigma_up
+            x_new = x_new + _step_noise(sub, x) * sigma_up
 
         elif sampler == "heun":
             d = _to_d(x, sigma, denoised)
@@ -330,7 +341,7 @@ def sample(
                 denoised_2 = denoise_model(x_2, sigma_mid)
                 d_2 = _to_d(x_2, sigma_mid, denoised_2)
                 x_o = x + d_2 * (sigma_down - sigma)
-                return x_o + jax.random.normal(sub, x.shape, x.dtype) * sigma_up
+                return x_o + _step_noise(sub, x) * sigma_up
 
             x_new = jax.lax.cond(sigma_down > 0, solver2_br, euler_br, None)
 
@@ -357,7 +368,7 @@ def sample(
                 x_2 = (jnp.exp(-s) / jnp.exp(-t)) * x - jnp.expm1(-h * 0.5) * denoised
                 denoised_2 = denoise_model(x_2, jnp.exp(-s))
                 x_o = (jnp.exp(-t_next) / jnp.exp(-t)) * x - jnp.expm1(-h) * denoised_2
-                return x_o + jax.random.normal(sub, x.shape, x.dtype) * sigma_up
+                return x_o + _step_noise(sub, x) * sigma_up
 
             x_new = jax.lax.cond(sigma_down > 0, solver_br, euler_br, None)
 
@@ -458,7 +469,7 @@ def sample(
             x_new = denoised
             x_new = jnp.where(
                 sigma_next > 0,
-                x_new + sigma_next * jax.random.normal(sub, x.shape, x.dtype),
+                x_new + sigma_next * _step_noise(sub, x),
                 x_new,
             )
         else:  # pragma: no cover

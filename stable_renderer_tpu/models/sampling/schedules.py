@@ -64,17 +64,13 @@ class ModelSampling:
         return float(self.sigmas[-1])
 
     def timestep(self, sigma: np.ndarray) -> np.ndarray:
-        """sigma -> fractional timestep by log-sigma interpolation
-        (ModelSamplingDiscrete.timestep)."""
+        """sigma -> NEAREST table timestep (ModelSamplingDiscrete.timestep,
+        model_sampling.py:125-128: ``dists.abs().argmin(dim=0)``). The
+        reference feeds integer timesteps to the UNet — parity-checked in
+        tests/test_torch_parity.py."""
         log_sigma = np.log(np.maximum(sigma, 1e-10))
-        dists = log_sigma[..., None] - self.log_sigmas[None]
-        low_idx = np.clip(
-            (dists >= 0).cumsum(-1).argmax(-1), 0, self.num_timesteps - 2
-        )
-        high_idx = low_idx + 1
-        low, high = self.log_sigmas[low_idx], self.log_sigmas[high_idx]
-        w = np.clip((low - log_sigma) / (low - high), 0, 1)
-        return ((1 - w) * low_idx + w * high_idx).astype(np.float32)
+        dists = np.abs(log_sigma[..., None] - self.log_sigmas[None])
+        return dists.argmin(-1).astype(np.float32)
 
     def percent_to_sigma(self, percent: float) -> float:
         """Sampling-progress percent -> sigma threshold

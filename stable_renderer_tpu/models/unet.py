@@ -222,12 +222,17 @@ def res_block(p: dict, x: jax.Array, emb: jax.Array) -> jax.Array:
     """openaimodel ResBlock: GN-SiLU-conv + time-emb add + GN-SiLU-conv + skip.
 
     GN+SiLU run as one fused op (Pallas kernel on TPU — one HBM read/write
-    instead of the XLA lowering's f32 double-materialization)."""
-    h = group_norm(p["in_layers"]["0"], x, act="silu")
+    instead of the XLA lowering's f32 double-materialization).
+
+    eps=1e-5: ResBlock norms are plain ``operations.GroupNorm(32, ch)`` (torch
+    default eps), unlike the transformer/VAE Normalize's explicit 1e-6 —
+    numeric parity vs the reference is asserted in tests/test_torch_parity.py.
+    """
+    h = group_norm(p["in_layers"]["0"], x, eps=1e-5, act="silu")
     h = conv2d(p["in_layers"]["2"], h, padding=1)
     emb_out = linear(p["emb_layers"]["1"], silu(emb))
     h = h + emb_out[:, None, None, :].astype(h.dtype)
-    h = group_norm(p["out_layers"]["0"], h, act="silu")
+    h = group_norm(p["out_layers"]["0"], h, eps=1e-5, act="silu")
     h = conv2d(p["out_layers"]["3"], h, padding=1)
     if "skip_connection" in p:
         x = conv2d(p["skip_connection"], x)
@@ -518,7 +523,9 @@ class UNetModel:
                 key = "2" if kind == "res_attn" else "1"
                 h = upsample(p[key], h)
 
-        h = group_norm(params["out"]["0"], h, act="silu")
+        # out.0 is openaimodel normalization() = GroupNorm(32, ch), torch
+        # default eps 1e-5 (vs the transformer Normalize's 1e-6)
+        h = group_norm(params["out"]["0"], h, eps=1e-5, act="silu")
         h = conv2d(params["out"]["2"], h, padding=1)
         return h
 
