@@ -82,6 +82,7 @@ def main() -> int:
         cmd += [str(p.relative_to(ROOT)) for p in batch]
         names = " ".join(p.stem for p in batch)
         print(f"[batch {bi + 1}/{len(batches)}] {names}", flush=True)
+        bt0 = time.time()
         try:
             r = subprocess.run(
                 cmd, cwd=ROOT, capture_output=True, text=True,
@@ -107,7 +108,11 @@ def main() -> int:
         totals["passed"] += passed
         totals["skipped"] += skipped
         status = "ok" if failed == 0 else f"{failed} FAILED"
-        print(f"  {passed} passed, {skipped} skipped [{status}]", flush=True)
+        print(
+            f"  {passed} passed, {skipped} skipped [{status}] "
+            f"({time.time() - bt0:.0f}s)",
+            flush=True,
+        )
         if failed:
             tail = "\n".join(
                 ln for ln in out.splitlines() if ln.startswith("FAILED")

@@ -75,6 +75,11 @@ class DiffusionPipeline:
         if name in ("clip_params", "clip_g_params"):
             object.__setattr__(
                 self, "_cond_version", getattr(self, "_cond_version", 0) + 1)
+        if name == "unet_params":
+            # invalidates the TP-sharded param cache (same id-recycling
+            # rationale as _cond_version)
+            object.__setattr__(
+                self, "_unet_version", getattr(self, "_unet_version", 0) + 1)
         object.__setattr__(self, name, value)
 
     @property
@@ -573,6 +578,27 @@ class DiffusionPipeline:
 
         return control_fn
 
+    def _tp_params(self, mesh, tp_axis: str):
+        """TP-sharded (unet_params, cn_params) for ``mesh`` — cached so the
+        device_put (and any resharding collective) happens once per param
+        swap, not once per frame. SURVEY §2.6 'TP for UNet': Megatron-style
+        specs from parallel/sharding.py applied to the INFERENCE program."""
+        from stable_renderer_tpu.parallel.sharding import apply_param_sharding
+
+        cache_key = (
+            getattr(self, "_unet_version", 0), id(mesh), tp_axis,
+            len(self.controlnets),
+        )
+        cached = getattr(self, "_tp_param_cache", None)
+        if cached is not None and cached[0] == cache_key:
+            return cached[1], cached[2]
+        unet_p = apply_param_sharding(self.unet_params, mesh, tp_axis)
+        cn_p = tuple(
+            apply_param_sharding(p, mesh, tp_axis) for _, p, _ in self.controlnets
+        )
+        object.__setattr__(self, "_tp_param_cache", (cache_key, unet_p, cn_p))
+        return unet_p, cn_p
+
     def render(
         self,
         engine_data: EngineData,
@@ -582,6 +608,7 @@ class DiffusionPipeline:
         negatives: Optional[List[str]] = None,
         mesh=None,
         dp_axis: str = "dp",
+        tp_axis: str = "tp",
     ) -> jax.Array:
         """EngineData -> decoded frames (N, H, W, 3) in [0, 1].
 
@@ -623,6 +650,14 @@ class DiffusionPipeline:
         color = engine_data.color_maps
         noise_maps = engine_data.noise_maps
         id_maps = engine_data.id_maps
+        unet_params = self.unet_params
+        cn_params = tuple(p for _, p, _ in self.controlnets)
+        if mesh is not None and tp_axis in mesh.axis_names and mesh.shape[tp_axis] > 1:
+            # tensor-parallel UNet: attention/MLP weights shard over tp_axis;
+            # GSPMD inserts the Megatron all_reduces after the row-parallel
+            # matmuls. Exactness vs replicated params is asserted in
+            # tests/test_parallel.py::test_render_tp_matches_replicated.
+            unet_params, cn_params = self._tp_params(mesh, tp_axis)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -644,9 +679,9 @@ class DiffusionPipeline:
         images = self._jit_render(
             corresponder,
             sprite_ids,
-            self.unet_params,
+            unet_params,
             self.vae_params,
-            tuple(p for _, p, _ in self.controlnets),
+            cn_params,
             color,
             noise_maps,
             id_maps,

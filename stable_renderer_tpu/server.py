@@ -952,6 +952,7 @@ def serve_workflows(server: FrameServer, model_dirs: Tuple[str, ...] = (),
     with unload_models drops the cache."""
     from stable_renderer_tpu.workflow.executor import (
         InterruptProcessingException,
+        NodeExecutionError,
         PromptExecutor,
         interrupt_processing,
     )
@@ -1010,6 +1011,21 @@ def serve_workflows(server: FrameServer, model_dirs: Tuple[str, ...] = (),
             server.queue.task_done(task.prompt_id, "interrupted", [])
             server.post_event("executed", {"prompt_id": task.prompt_id,
                                            "status": "interrupted"})
+        except NodeExecutionError as ex:
+            # structured per-node failure (reference execution.py:969-982
+            # "execution_error" message: node id/type, exception, inputs,
+            # traceback, executed set) — rides history + SSE/websocket so the
+            # editor highlights the failing node
+            logger.error(
+                f"prompt {task.prompt_id} failed at node "
+                f"{ex.details.get('node_id')} ({ex.details.get('node_type')}): "
+                f"{ex.details.get('exception_message')}")
+            server.queue.task_done(task.prompt_id, "error", [ex.details])
+            server.post_event("execution_error",
+                              dict(ex.details, prompt_id=task.prompt_id))
+            server.post_event("executed", {"prompt_id": task.prompt_id,
+                                           "status": "error",
+                                           "error": ex.details})
         except Exception as ex:  # noqa: BLE001 — server must survive bad prompts
             logger.error(f"prompt {task.prompt_id} failed: {ex}")
             server.queue.task_done(task.prompt_id, "error", [str(ex)])

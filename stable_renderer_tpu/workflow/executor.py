@@ -42,6 +42,28 @@ class InterruptProcessingException(Exception):
     comfy/model_management.py InterruptProcessingException)."""
 
 
+class NodeExecutionError(Exception):
+    """A node implementation raised: carries the reference's structured
+    error_details shape (execution.py:950-993 handle_execution_error —
+    node id/type, exception, input summary, executed set, traceback) so the
+    server/editor can show WHICH node failed instead of a bare 500."""
+
+    def __init__(self, details: dict):
+        super().__init__(
+            f"node {details.get('node_id')} ({details.get('node_type')}): "
+            f"{details.get('exception_message')}"
+        )
+        self.details = details
+
+
+def _summarize_value(v) -> str:
+    """Compact input repr for error_details (arrays become shape/dtype)."""
+    if hasattr(v, "shape") and hasattr(v, "dtype"):
+        return f"<array shape={tuple(v.shape)} dtype={v.dtype}>"
+    r = repr(v)
+    return r if len(r) <= 120 else r[:117] + "..."
+
+
 _INTERRUPT = __import__("threading").Event()
 
 
@@ -191,8 +213,18 @@ class PromptExecutor:
             n for n in self.workflow.nodes.values()
             if n.type == "InferenceOutput" or n.id not in consumed
         ]
-        for sink in sinks:
-            self._run_node(sink, ctx)
+        try:
+            for sink in sinks:
+                self._run_node(sink, ctx)
+        except NodeExecutionError as err:
+            # prune cached outputs that were never (re)computed this run —
+            # they may depend on the failed node's stale state (reference
+            # execution.py:984-993 removes not-executed downstream outputs)
+            executed = set(ctx.outputs)
+            for nid in [n for n in self._cache if n not in executed]:
+                del self._cache[nid]
+            ctx.error_details = err.details
+            raise
         # persist loader outputs
         for nid, out in ctx.outputs.items():
             if nid not in self._frame_tainted:
@@ -205,10 +237,20 @@ class PromptExecutor:
         before_node_execution()
         impl = NODE_REGISTRY.get(node.type)
         if impl is None:
-            raise NotImplementedError(
-                f"workflow node type '{node.type}' has no implementation "
-                f"(registered: {sorted(NODE_REGISTRY)})"
-            )
+            import difflib
+
+            close = difflib.get_close_matches(node.type, NODE_REGISTRY, n=3)
+            hint = f" (did you mean: {', '.join(close)}?)" if close else ""
+            raise NodeExecutionError({
+                "node_id": node.id,
+                "node_type": node.type,
+                "exception_type": "NotImplementedError",
+                "exception_message": f"node type '{node.type}' has no "
+                                     f"implementation{hint}",
+                "traceback": [],
+                "current_inputs": {},
+                "executed": sorted(ctx.outputs, key=str),
+            })
         from stable_renderer_tpu.workflow.validation import (
             NODE_SPECS,
             Lazy,
@@ -236,17 +278,34 @@ class PromptExecutor:
                 if adapter is not None:
                     val = adapter(val)
             inputs[name] = val
-        if isinstance(impl, type):
-            # class-based node: one persistent instance per (node_id, type)
-            # (reference AdvancedNodeBase + NodePool, types/node_base.py +
-            # types/runtime.py) — instance attributes carry node-local state
-            key = (node.id, node.type)
-            inst = self.node_pool.get(key)
-            if inst is None:
-                inst = self.node_pool[key] = impl()
-            result = inst(ctx, node, **inputs)
-        else:
-            result = impl(ctx, node, **inputs)
+        try:
+            if isinstance(impl, type):
+                # class-based node: one persistent instance per (node_id, type)
+                # (reference AdvancedNodeBase + NodePool, types/node_base.py +
+                # types/runtime.py) — instance attributes carry node-local state
+                key = (node.id, node.type)
+                inst = self.node_pool.get(key)
+                if inst is None:
+                    inst = self.node_pool[key] = impl()
+                result = inst(ctx, node, **inputs)
+            else:
+                result = impl(ctx, node, **inputs)
+        except (InterruptProcessingException, NodeExecutionError):
+            raise  # innermost failing node wins; interrupts pass through
+        except Exception as exc:
+            import traceback as _tb
+
+            raise NodeExecutionError({
+                "node_id": node.id,
+                "node_type": node.type,
+                "exception_type": type(exc).__name__,
+                "exception_message": str(exc),
+                "traceback": _tb.format_exception(type(exc), exc, exc.__traceback__),
+                "current_inputs": {
+                    name: _summarize_value(v) for name, v in inputs.items()
+                },
+                "executed": sorted(ctx.outputs, key=str),
+            }) from exc
         if not isinstance(result, tuple):
             result = (result,)
         ctx.outputs[node.id] = result

@@ -80,10 +80,16 @@ def test_unknown_node_type_raises(tmp_path):
 
     with pytest.raises(WorkflowValidationError):
         PromptExecutor(wf)
-    # with validation off, execution still raises at the unknown node
+    # with validation off, execution still raises at the unknown node — as a
+    # STRUCTURED NodeExecutionError naming the node (execution.py:950-993)
+    from stable_renderer_tpu.workflow.executor import NodeExecutionError
+
     ex = PromptExecutor(wf, validate=False)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(NodeExecutionError) as ei:
         ex.execute(engine_data=_engine_data())
+    assert ei.value.details["node_id"] == 1
+    assert ei.value.details["node_type"] == "TotallyUnknownNode"
+    assert ei.value.details["exception_type"] == "NotImplementedError"
 
 
 def test_class_node_instances_persist_across_executes():
