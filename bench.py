@@ -57,10 +57,15 @@ def main() -> None:
     taesd_mode = os.environ.get("SR_BENCH_TAESD") == "1"
     stream_mode = os.environ.get("SR_BENCH_STREAM") == "1"
     int8_mode = os.environ.get("SR_BENCH_INT8") == "1"
+    # lag-1 broadcast-KV correspondence in the stream pipeline (the signature
+    # cross-frame feature, kept on in the fastest realtime mode); default
+    # transformer index 6 = the DefaultCorresponder layer gate
+    stream_kv = os.environ.get("SR_BENCH_STREAM_KV") == "1"
     cfg = RenderConfig(
         prompt="a ball", steps=4, cfg_scale=2.0, sampler="lcm",
         scheduler="sgm_uniform", denoise=1.0, realtime_taesd=taesd_mode,
         stream_pipeline=stream_mode, int8_conv=int8_mode,
+        stream_kv_layers=(6,) if (stream_mode and stream_kv) else None,
     )
     pipe = DiffusionPipeline.from_random(cfg, tiny=quick)
     if taesd_mode:
@@ -196,6 +201,7 @@ def main() -> None:
         "metric": f"engine-loop img2img fps @ {size}x{size}, 4-step LCM cfg2"
                   + (" taesd" if taesd_mode else "")
                   + (" stream" if stream_mode else "")
+                  + (" stream-kv" if stream_kv and stream_mode else "")
                   + (" int8" if int8_mode else "") + f" ({platform})",
         "value": round(fps, 3),
         "unit": "fps",

