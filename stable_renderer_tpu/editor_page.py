@@ -31,8 +31,14 @@ progress{width:140px}
 .del{float:right;color:#f66;cursor:pointer;padding:0 4px}
 </style></head><body>
 <div id="bar">
- <select id="palette"></select>
+ <input id="search" list="nodenames" placeholder="search nodes…" style="width:180px;background:#161a20;color:#ccc;border:1px solid #444;padding:3px"/>
+ <datalist id="nodenames"></datalist>
  <button onclick="addNode()">add node</button>
+ <select id="wfsel" title="open a saved or reference example workflow"></select>
+ <button onclick="openWorkflow()">open</button>
+ <button onclick="saveWorkflow()">save ⬇</button>
+ <input id="wfile" type="file" accept=".json" style="display:none" onchange="loadFile(this)"/>
+ <button onclick="document.getElementById('wfile').click()">load ⬆</button>
  <button onclick="submit()">run ▶</button>
  <button onclick="clearAll()">clear</button>
  <progress id="p" value="0" max="1"></progress><span id="pt"></span>
@@ -44,12 +50,70 @@ progress{width:140px}
 let INFO={},nodes=[],links=[],nid=1,lid=1,selPort=null;
 const canvas=document.getElementById('canvas');
 fetch('/object_info').then(r=>r.json()).then(d=>{INFO=d;
- const pal=document.getElementById('palette');
- Object.keys(d).sort().forEach(n=>{const o=document.createElement('option');o.value=o.textContent=n;pal.appendChild(o);});
+ const dl=document.getElementById('nodenames');
+ Object.keys(d).sort().forEach(n=>{const o=document.createElement('option');o.value=n;dl.appendChild(o);});
  // seed a starter graph
  ['CheckpointLoaderSimple','CLIPTextEncode','EmptyLatentImage','KSampler','VAEDecode','InferenceOutput']
   .forEach((t,i)=>addNode(t,30+i*190,60+(i%2)*230));
 });
+fetch('/workflows').then(r=>r.json()).then(d=>{
+ const sel=document.getElementById('wfsel');
+ (d.saved||[]).forEach(n=>{const o=document.createElement('option');o.value=o.textContent=n;sel.appendChild(o);});
+ (d.examples||[]).forEach(n=>{const o=document.createElement('option');o.value=n;o.textContent='[ref] '+n;sel.appendChild(o);});
+}).catch(()=>{});
+function searchType(){
+ const q=document.getElementById('search').value;
+ if(INFO[q])return q;
+ const ks=Object.keys(INFO),ql=q.toLowerCase();
+ return ks.find(k=>k.toLowerCase()===ql)||ks.find(k=>k.toLowerCase().includes(ql));}
+async function openWorkflow(){
+ const name=document.getElementById('wfsel').value;if(!name)return;
+ const r=await fetch('/workflows/'+encodeURIComponent(name));
+ if(r.ok)importGraph(await r.json());
+ else document.getElementById('status').textContent='load failed';}
+async function saveWorkflow(){
+ const wf=buildWorkflow();
+ // include editor positions so a reload restores the layout
+ wf.nodes.forEach(w=>{const n=nodes.find(x=>x.id===w.id);if(n)w.pos=[n.x,n.y];});
+ const name=prompt('save as (server name, empty = download only)','my-workflow');
+ if(name){
+  const r=await fetch('/workflows/save',{method:'POST',
+   body:JSON.stringify({name,workflow:wf})});
+  document.getElementById('status').textContent=r.ok?'saved '+name:'save failed';
+  if(r.ok)return;}
+ const blob=new Blob([JSON.stringify(wf,null,1)],{type:'application/json'});
+ const a=document.createElement('a');a.href=URL.createObjectURL(blob);
+ a.download='workflow.json';a.click();}
+function loadFile(inp){const f=inp.files[0];if(!f)return;
+ f.text().then(t=>importGraph(JSON.parse(t)));inp.value='';}
+function importGraph(wf){
+ // UI-format JSON (the reference's saved graphs + our own): nodes with
+ // pos/widgets_values/inputs[{name,link}], links [[id,src,srcSlot,dst,dstSlot,ty]]
+ nodes=[];links=[];
+ const ws=wf.nodes||[];
+ let maxId=0;
+ for(let i=0;i<ws.length;i++){const w=ws[i];
+  const id=+w.id;maxId=Math.max(maxId,id);
+  const n={id,type:w.type,x:(w.pos&&w.pos[0]!=null)?+w.pos[0]:30+ (i%5)*200,
+           y:(w.pos&&w.pos[1]!=null)?+w.pos[1]:60+Math.floor(i/5)*240,widgets:{}};
+  const keys=widgetsOf(w.type).map(([k])=>k);
+  (w.widgets_values||[]).forEach((v,j)=>{if(keys[j]!=null)n.widgets[keys[j]]=v;});
+  nodes.push(n);}
+ const byLink={};
+ for(const w of ws)for(const inp of (w.inputs||[]))
+  if(inp.link!=null)byLink[inp.link]={dst:+w.id,dstName:inp.name};
+ let maxL=0;
+ for(const l of (wf.links||[])){
+  const [id,src,srcSlot,dst,dstSlot]=l;maxL=Math.max(maxL,+id);
+  const meta=byLink[id]||{};
+  const dstNode=nodes.find(n=>n.id===+dst);
+  let dstName=meta.dstName;
+  if(dstName==null&&dstNode){const li=linkInputsOf(dstNode.type);
+   if(li[dstSlot])dstName=li[dstSlot][0];}
+  links.push({id:+id,src:+src,srcSlot:+srcSlot,dst:+dst,dstSlot:+dstSlot,
+              dstName:dstName||('in'+dstSlot)});}
+ nid=maxId+1;lid=maxL+1;render();
+ document.getElementById('status').textContent='loaded '+nodes.length+' nodes';}
 function widgetsOf(t){const inf=INFO[t];if(!inf)return[];const req=inf.input.required||{};
  return Object.entries(req).filter(([k,v])=>{
   const ty=Array.isArray(v[0])?'COMBO':v[0];
@@ -58,9 +122,12 @@ function linkInputsOf(t){const inf=INFO[t];if(!inf)return[];const req=inf.input.
  return Object.entries(req).filter(([k,v])=>{
   const ty=Array.isArray(v[0])?'COMBO':v[0];
   return !['INT','FLOAT','STRING','BOOLEAN','COMBO'].includes(ty)&&!Array.isArray(v[0]);});}
-function addNode(type,x,y){type=type||document.getElementById('palette').value;
+function addNode(type,x,y){type=type||searchType();
+ if(!type||!INFO[type]){document.getElementById('status').textContent='no such node';return;}
  const n={id:nid++,type,x:x??(60+Math.random()*500),y:y??(80+Math.random()*300),widgets:{}};
  nodes.push(n);render();}
+document.addEventListener('keydown',e=>{
+ if(e.key==='Enter'&&document.activeElement===document.getElementById('search'))addNode();});
 function removeNode(id){nodes=nodes.filter(n=>n.id!==id);
  links=links.filter(l=>l.src!==id&&l.dst!==id);render();}
 function render(){
@@ -126,7 +193,12 @@ es.onmessage=m=>{const e=JSON.parse(m.data);const st=document.getElementById('st
   if(d.preview){const im=document.getElementById('preview');
    im.src='data:image/jpeg;base64,'+d.preview;im.style.display='block';}}
  if(e.type==='executed')st.textContent='done: '+e.data.status;
- if(e.type==='execution_start')st.textContent='running #'+e.data.prompt_id;};
+ if(e.type==='execution_start'){st.textContent='running #'+e.data.prompt_id;
+  document.querySelectorAll('.node').forEach(d=>d.style.borderColor='');}
+ if(e.type==='execution_error'){const d=e.data;
+  st.textContent='error @ '+d.node_type+' #'+d.node_id+': '+d.exception_message;
+  const el=canvas.querySelector(`.node[data-id="${d.node_id}"]`);
+  if(el)el.style.borderColor='#f7768e';}};
 </script></body></html>""".encode("utf-8")
 
 

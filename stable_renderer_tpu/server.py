@@ -40,6 +40,12 @@ logger = get_logger("sr_tpu.server")
 
 MAX_HISTORY = 10000  # execution.py PromptQueue history bound
 
+# the reference's bundled example graphs (resources/example-workflows) — served
+# read-only through GET /workflows so the editor can open them directly
+EXAMPLE_WORKFLOWS_DIR = os.environ.get(
+    "SR_EXAMPLE_WORKFLOWS", "/root/reference/resources/example-workflows"
+)
+
 
 @dataclass(order=True)
 class QueueTask:
@@ -280,6 +286,8 @@ class FrameServer:
         # model search dirs (set by serve_workflows / CLI) — used by
         # /embeddings and /view_metadata
         self.model_dirs: Tuple[str, ...] = ()
+        # browser-saved workflow JSONs (GET/POST /workflows)
+        self.workflow_save_dir: str = os.path.join("outputs", "workflows")
         # cross-prompt executor cache (reference PromptExecutor keeps its
         # output cache across prompts, execution.py:1013-1035 — identical
         # workflow JSON resubmits reuse loader outputs + jit caches here)
@@ -692,6 +700,36 @@ class FrameServer:
                             return
                         info = {name: info[name]}
                     self._json(info)
+                elif self.path.startswith("/workflows"):
+                    # browser save/load of workflow JSONs (reference: the
+                    # litegraph frontend's save/load + resources/
+                    # example-workflows). GET /workflows lists example +
+                    # saved graphs; GET /workflows/<name> returns one.
+                    from urllib.parse import unquote
+
+                    rest = unquote(self.path[len("/workflows"):].strip("/"))
+                    ex_dir = Path(EXAMPLE_WORKFLOWS_DIR)
+                    saved_dir = Path(server.workflow_save_dir)
+                    if not rest:
+                        self._json({
+                            "examples": sorted(
+                                p.name for p in ex_dir.glob("*.json")
+                            ) if ex_dir.is_dir() else [],
+                            "saved": sorted(
+                                p.name for p in saved_dir.glob("*.json")
+                            ) if saved_dir.is_dir() else [],
+                        })
+                        return
+                    name = Path(rest.split("?")[0]).name  # no traversal
+                    for d in (saved_dir, ex_dir):
+                        cand = d / name
+                        if cand.is_file():
+                            try:
+                                self._json(json.loads(cand.read_text()))
+                            except ValueError:
+                                self._json({"error": f"bad JSON in {name}"}, 500)
+                            return
+                    self._json({"error": f"no workflow named {name}"}, 404)
                 elif self.path.startswith("/view_metadata"):
                     # safetensors header metadata of a model file
                     # (reference /view_metadata/{folder}, server.py:432-453)
@@ -821,6 +859,25 @@ class FrameServer:
                                            priority=payload.get("priority", 0.0))
                     server.post_event("queued", {"prompt_id": pid})
                     self._json({"prompt_id": pid})
+                elif self.path.startswith("/workflows/save"):
+                    # persist a browser-built graph (reference frontend save)
+                    n = int(self.headers.get("Content-Length", 0))
+                    try:
+                        payload = json.loads(self.rfile.read(n) or b"{}")
+                    except json.JSONDecodeError as ex:
+                        self._json({"error": f"bad json: {ex}"}, 400)
+                        return
+                    name = Path(str(payload.get("name") or "workflow")).name
+                    if not name.endswith(".json"):
+                        name += ".json"
+                    wf = payload.get("workflow")
+                    if not isinstance(wf, dict) or "nodes" not in wf:
+                        self._json({"error": "workflow must be a graph dict"}, 400)
+                        return
+                    d = Path(server.workflow_save_dir)
+                    d.mkdir(parents=True, exist_ok=True)
+                    (d / name).write_text(json.dumps(wf, indent=1))
+                    self._json({"saved": name})
                 elif self.path.startswith("/scene/update") or self.path.startswith("/scene"):
                     n = int(self.headers.get("Content-Length", 0))
                     try:
