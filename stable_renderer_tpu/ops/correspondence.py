@@ -84,7 +84,7 @@ def latent_vertex_ids(
     return small[..., 3], valid
 
 
-@partial(jax.jit, static_argnames=("num_segments", "weighting"))
+@partial(jax.jit, static_argnames=("num_segments", "weighting", "adain_mode"))
 def vertex_average_injection(
     latent: jax.Array,    # (B, h, w, C)
     id_maps: jax.Array,   # (B, H, W, 4)
@@ -92,6 +92,7 @@ def vertex_average_injection(
     num_segments: int = 262144,
     weighting: str = "average",
     normal_maps: Optional[jax.Array] = None,  # (B, H, W, >=3) encoded normals
+    adain_mode: str = "content",
 ) -> jax.Array:
     """Blend each latent pixel toward the (weighted) mean of all pixels
     (across frames) sharing its 3D vertex, then AdaIN back to the original
@@ -149,7 +150,19 @@ def vertex_average_injection(
     blended = (1.0 - ratio) * flat + ratio * per_row
     blended = jnp.where(valid.reshape(-1, 1), blended, flat)
     modified = blended.reshape(b, h, w, c)
-    return adain(latent, modified)
+    if adain_mode == "reference":
+        # Bug-compatible with the reference's step_finished: it calls
+        # adaptive_instance_normalization(noise.clone(), noise_copy)
+        # (corresponder.py:360-363) with CONTENT = the ORIGINAL noise — so
+        # only the averaged copy's per-(frame, channel) statistics survive
+        # and the averaged CONTENT is discarded (the commented-out masking
+        # right below that call suggests an abandoned fight with this).
+        return adain(latent, modified)
+    # "content" (default, deliberate deviation): keep the vertex-averaged
+    # content and renormalize it back to the ORIGINAL latent's statistics —
+    # the intended cross-frame-consistency semantics; A/B evidence in
+    # PARITY.json diffusion_ab (scripts/diffusion_ab.py).
+    return adain(modified, latent)
 
 
 @partial(jax.jit, static_argnames=("num_segments", "height", "width", "channels"))
@@ -292,6 +305,12 @@ class OverlapCorresponder(DefaultCorresponder):
     # (algorithms.py:6-121): average | frame_distance | pixel_distance |
     # view_normal (view_normal needs normal maps at the callback)
     weighting: str = "average"
+    # adain handling of the step_finished injection: "content" (default —
+    # vertex-averaged content renormalized to the original statistics, the
+    # intended consistency semantics) | "reference" (bug-compatible with
+    # corresponder.py:360-363, which keeps the ORIGINAL content and applies
+    # only the averaged copy's statistics — see vertex_average_injection)
+    step_finished_adain: str = "content"
     all_frames: bool = False
     mesh: Optional[object] = None  # jax Mesh: ring-attention routing when set
     mesh_axis: str = "dp"
@@ -350,11 +369,13 @@ class OverlapCorresponder(DefaultCorresponder):
         stop_t = self.step_finished_stop_inject_timestep
         segs = self.vertex_segments
         weighting = self.weighting
+        adain_mode = self.step_finished_adain
 
         def cb(x, denoised, sigma, i):
             injected = vertex_average_injection(
                 x, id_maps, ratio, num_segments=segs,
-                weighting=weighting, normal_maps=normal_maps)
+                weighting=weighting, normal_maps=normal_maps,
+                adain_mode=adain_mode)
             if log_sigmas is None:
                 return injected
             from stable_renderer_tpu.models.sampling.cfg import timestep_from_sigma
