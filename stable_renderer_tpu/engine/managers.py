@@ -394,8 +394,8 @@ class RenderManager(Manager):
                         k: jnp.stack([p[k] for p in self._pending]) for k in _PACK_KEYS
                     }
                 cn_sources = tuple(spec.source for _, _, spec in pipe.controlnets)
-                cn_params = tuple(p for _, p, _ in pipe.controlnets)
-                unet_params, vae_params = pipe.unet_params, pipe.vae_params
+                # HWIO compute view (cached per params version in the pipeline)
+                unet_params, vae_params, cn_params = pipe.compute_params()
 
             pp = self.post_process_params or PostProcessParams()
             have_tasks = bool(len(self.defer_tasks) or len(self.post_tasks))

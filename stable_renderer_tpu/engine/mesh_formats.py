@@ -5,8 +5,9 @@ Capability match for the reference's assimp-backed format support
 assimp). assimp is a CUDA-era C++ dependency this build replaces with small
 numpy readers for the interchange formats that matter in practice: glTF 2.0
 (the modern standard, binary + JSON flavors, node-hierarchy flattened), STL
-(binary + ascii) and PLY (ascii + binary_little_endian). FBX/DAE remain
-unsupported — export to glTF (every DCC tool does) for those assets.
+(binary + ascii), PLY (ascii + binary_little_endian), COLLADA (.dae, XML)
+and binary FBX (Kaydara node records, zlib arrays). ASCII FBX is the one
+assimp format not covered — re-save as binary or export glTF.
 
 All parsing is host-side numpy; the arrays then upload once to HBM via the
 render executor's per-mesh device cache.
@@ -368,9 +369,310 @@ def load_ply(path: str | Path) -> ParsedMesh:
             np.full((tri.shape[0],), -1, np.int32), [])
 
 
+# ---------------------------------------------------------------------------
+# COLLADA (.dae) — XML interchange (reference loads it through assimp,
+# engine/static/mesh/mesh.py:155-318)
+
+def load_dae(path: str | Path) -> ParsedMesh:
+    """COLLADA 1.4/1.5 mesh import: library_geometries sources + <triangles>/
+    <polylist> (fan-triangulated), per-primitive materials, Z_UP -> Y_UP
+    conversion per the asset tag. Node transforms from the first
+    instance_geometry's <matrix> are baked into positions/normals."""
+    import xml.etree.ElementTree as ET
+
+    text = Path(path).read_text(encoding="utf-8", errors="ignore")
+    # strip the default namespace so tags are addressable by local name
+    import re as _re
+
+    text = _re.sub(r'xmlns="[^"]+"', "", text, count=1)
+    root = ET.fromstring(text)
+
+    up = (root.findtext("asset/up_axis") or "Y_UP").strip()
+
+    # geometry id -> baked node matrix (first instance wins)
+    xforms: Dict[str, np.ndarray] = {}
+    for node in root.iter("node"):
+        m = np.eye(4, dtype=np.float32)
+        mt = node.find("matrix")
+        if mt is not None:
+            m = np.array(mt.text.split(), np.float32).astype(np.float32).reshape(4, 4)
+        for ig in node.findall("instance_geometry"):
+            gid = (ig.get("url") or "").lstrip("#")
+            xforms.setdefault(gid, m)
+
+    all_pos: List[np.ndarray] = []
+    all_uv: List[np.ndarray] = []
+    all_nrm: List[np.ndarray] = []
+    all_tris: List[np.ndarray] = []
+    all_mat: List[np.ndarray] = []
+    mat_names: List[str] = []
+    base = 0
+
+    for geom in root.iter("geometry"):
+        mesh = geom.find("mesh")
+        if mesh is None:
+            continue
+        sources = {}
+        for src in mesh.findall("source"):
+            arr = src.find("float_array")
+            if arr is None or not arr.text:
+                continue
+            stride = 3
+            acc = src.find("technique_common/accessor")
+            if acc is not None:
+                stride = int(acc.get("stride", 3))
+            data = np.array(arr.text.split(), np.float32).astype(np.float32)
+            sources[src.get("id")] = data.reshape(-1, stride)
+        # <vertices> indirection: VERTEX input points here, which points at
+        # the POSITION source
+        vert_src = {}
+        verts_el = mesh.find("vertices")
+        if verts_el is not None:
+            for inp in verts_el.findall("input"):
+                if inp.get("semantic") == "POSITION":
+                    vert_src[verts_el.get("id")] = inp.get("source", "").lstrip("#")
+
+        xf = xforms.get(geom.get("id"), np.eye(4, dtype=np.float32))
+        nrm_xf = xf[:3, :3]
+
+        for prim in list(mesh.findall("triangles")) + list(mesh.findall("polylist")):
+            inputs = []  # (offset, semantic, source_id)
+            max_off = 0
+            for inp in prim.findall("input"):
+                off = int(inp.get("offset", 0))
+                sid = inp.get("source", "").lstrip("#")
+                sid = vert_src.get(sid, sid)
+                inputs.append((off, inp.get("semantic"), sid))
+                max_off = max(max_off, off)
+            p_el = prim.find("p")
+            if p_el is None or not p_el.text:
+                continue
+            idx = np.array(p_el.text.split(), np.int64).astype(np.int64)
+            idx = idx.reshape(-1, max_off + 1)
+
+            if prim.tag == "polylist":
+                vcount = np.array((prim.findtext("vcount") or "").split(),
+                                      np.int64).astype(np.int64)
+                # fan-triangulate: corner rows per polygon -> triangle rows
+                tri_rows = []
+                row = 0
+                for n in vcount:
+                    for k in range(1, int(n) - 1):
+                        tri_rows += [row, row + k, row + k + 1]
+                    row += int(n)
+                idx = idx[tri_rows]
+
+            n_corner = idx.shape[0]
+            pos_src = nrm_src = uv_src = None
+            pos_col = nrm_col = uv_col = None
+            for off, sem, sid in inputs:
+                if sem == "VERTEX" or sem == "POSITION":
+                    pos_src, pos_col = sources.get(sid), off
+                elif sem == "NORMAL":
+                    nrm_src, nrm_col = sources.get(sid), off
+                elif sem == "TEXCOORD" and uv_src is None:
+                    uv_src, uv_col = sources.get(sid), off
+            if pos_src is None:
+                continue
+            pos = pos_src[idx[:, pos_col]][:, :3]
+            pos = pos @ xf[:3, :3].T + xf[:3, 3]
+            nrm = (nrm_src[idx[:, nrm_col]][:, :3] @ nrm_xf.T
+                   if nrm_src is not None else None)
+            uv = uv_src[idx[:, uv_col]][:, :2] if uv_src is not None else None
+
+            if up == "Z_UP":  # to Y-up: (x, y, z) -> (x, z, -y)
+                pos = np.stack([pos[:, 0], pos[:, 2], -pos[:, 1]], -1)
+                if nrm is not None:
+                    nrm = np.stack([nrm[:, 0], nrm[:, 2], -nrm[:, 1]], -1)
+
+            mat = prim.get("material") or ""
+            if mat not in mat_names:
+                mat_names.append(mat)
+            mid = mat_names.index(mat)
+
+            all_pos.append(pos.astype(np.float32))
+            all_nrm.append(nrm.astype(np.float32) if nrm is not None
+                           else np.zeros_like(pos, dtype=np.float32))
+            all_uv.append(uv.astype(np.float32) if uv is not None
+                          else np.zeros((n_corner, 2), np.float32))
+            tris = np.arange(n_corner, dtype=np.int32).reshape(-1, 3) + base
+            all_tris.append(tris)
+            all_mat.append(np.full((tris.shape[0],), mid, np.int32))
+            base += n_corner
+
+    if not all_pos:
+        raise ValueError(f"no triangle geometry found in {path}")
+    pos = np.concatenate(all_pos)
+    nrm = np.concatenate(all_nrm)
+    if not np.any(nrm):
+        from stable_renderer_tpu.engine.mesh import _face_normals_to_vertices
+
+        nrm = _face_normals_to_vertices(pos, np.concatenate(all_tris))
+    return (pos, np.concatenate(all_uv), nrm,
+            np.ones((pos.shape[0], 3), np.float32),
+            np.concatenate(all_tris), np.concatenate(all_mat), mat_names)
+
+
+# ---------------------------------------------------------------------------
+# binary FBX (.fbx) — Kaydara binary node records (reference via assimp)
+
+def _fbx_read_node(buf: bytes, off: int, version: int):
+    """One FBX node record; returns (node_dict | None, next_offset)."""
+    if version >= 7500:
+        end, n_props, _plen = struct.unpack_from("<QQQ", buf, off)
+        name_len = buf[off + 24]
+        off2 = off + 25
+    else:
+        end, n_props, _plen = struct.unpack_from("<III", buf, off)
+        name_len = buf[off + 12]
+        off2 = off + 13
+    if end == 0:
+        return None, off2 + name_len
+    name = buf[off2 : off2 + name_len].decode("ascii", "ignore")
+    off2 += name_len
+    props = []
+    import zlib
+
+    for _ in range(n_props):
+        code = chr(buf[off2]); off2 += 1
+        if code in "CB":
+            props.append(bool(buf[off2])); off2 += 1
+        elif code == "Y":
+            props.append(struct.unpack_from("<h", buf, off2)[0]); off2 += 2
+        elif code == "I":
+            props.append(struct.unpack_from("<i", buf, off2)[0]); off2 += 4
+        elif code == "L":
+            props.append(struct.unpack_from("<q", buf, off2)[0]); off2 += 8
+        elif code == "F":
+            props.append(struct.unpack_from("<f", buf, off2)[0]); off2 += 4
+        elif code == "D":
+            props.append(struct.unpack_from("<d", buf, off2)[0]); off2 += 8
+        elif code in "SR":
+            ln = struct.unpack_from("<I", buf, off2)[0]; off2 += 4
+            raw = buf[off2 : off2 + ln]; off2 += ln
+            props.append(raw.decode("utf-8", "ignore") if code == "S" else raw)
+        elif code in "fdilb":
+            n, enc, clen = struct.unpack_from("<III", buf, off2); off2 += 12
+            dt = {"f": "<f4", "d": "<f8", "i": "<i4", "l": "<i8", "b": "u1"}[code]
+            if enc:
+                raw = zlib.decompress(buf[off2 : off2 + clen]); off2 += clen
+            else:
+                size = n * np.dtype(dt).itemsize
+                raw = buf[off2 : off2 + size]; off2 += size
+            props.append(np.frombuffer(raw, dt).copy())
+        else:
+            raise ValueError(f"unknown FBX property code {code!r}")
+    children = []
+    while off2 < end:
+        child, off2 = _fbx_read_node(buf, off2, version)
+        if child is None:
+            break
+        children.append(child)
+    return {"name": name, "props": props, "children": children}, end
+
+
+def load_fbx(path: str | Path) -> ParsedMesh:
+    """Binary FBX: Objects/Geometry Vertices + PolygonVertexIndex (negative-
+    terminated polygons, fan-triangulated) + LayerElementNormal/UV
+    (ByDirect / ByPolygonVertex / IndexToDirect mappings)."""
+    buf = Path(path).read_bytes()
+    if not buf.startswith(b"Kaydara FBX Binary"):
+        raise ValueError(
+            f"{path}: only binary FBX is supported (ascii FBX: export to "
+            "glTF/dae, or re-save as binary)")
+    version = struct.unpack_from("<I", buf, 23)[0]
+    off = 27
+    top = []
+    while off < len(buf):
+        node, off = _fbx_read_node(buf, off, version)
+        if node is None:
+            break
+        top.append(node)
+
+    def find(nodes, name):
+        return [n for n in nodes if n["name"] == name]
+
+    geoms = []
+    for objects in find(top, "Objects"):
+        geoms += find(objects["children"], "Geometry")
+        # FBX 6.x stores meshes under Model nodes
+        geoms += [m for m in find(objects["children"], "Model")
+                  if find(m["children"], "Vertices")]
+
+    all_pos, all_uv, all_nrm, all_tris = [], [], [], []
+    base = 0
+    for g in geoms:
+        ch = g["children"]
+        verts = find(ch, "Vertices")
+        pvi = find(ch, "PolygonVertexIndex")
+        if not verts or not pvi:
+            continue
+        pos_flat = np.asarray(verts[0]["props"][0], np.float64).reshape(-1, 3)
+        poly_idx = np.asarray(pvi[0]["props"][0], np.int64)
+
+        # fan-triangulate: polygons end at (negative) index ~x
+        corners = np.where(poly_idx < 0, -poly_idx - 1, poly_idx)
+        tri_corner_rows = []
+        start = 0
+        for i, v in enumerate(poly_idx):
+            if v < 0:  # polygon end
+                for k in range(1, i - start):
+                    tri_corner_rows += [start, start + k, start + k + 1]
+                start = i + 1
+
+        def layer_values(kind, value_name, index_name):
+            els = find(ch, kind)
+            if not els:
+                return None
+            el = els[0]["children"]
+            vals = find(el, value_name)
+            if not vals:
+                return None
+            ncomp = 3 if value_name == "Normals" else 2
+            data = np.asarray(vals[0]["props"][0], np.float64).reshape(-1, ncomp)
+            mapping = (find(el, "MappingInformationType") or [{"props": [""]}])[0]["props"][0]
+            ref = (find(el, "ReferenceInformationType") or [{"props": [""]}])[0]["props"][0]
+            if ref == "IndexToDirect":
+                iname = find(el, index_name)
+                if iname:
+                    data = data[np.asarray(iname[0]["props"][0], np.int64)]
+            if mapping == "ByControlPoint" or mapping == "ByVertice" or mapping == "ByVertex":
+                data = data[corners]
+            # ByPolygonVertex: already one row per corner
+            return data
+
+        nrm_c = layer_values("LayerElementNormal", "Normals", "NormalsIndex")
+        uv_c = layer_values("LayerElementUV", "UV", "UVIndex")
+
+        pos_c = pos_flat[corners]
+        rows = np.asarray(tri_corner_rows, np.int64)
+        all_pos.append(pos_c[rows].astype(np.float32))
+        all_nrm.append(nrm_c[rows].astype(np.float32) if nrm_c is not None
+                       else np.zeros((rows.size, 3), np.float32))
+        all_uv.append(uv_c[rows].astype(np.float32) if uv_c is not None
+                      else np.zeros((rows.size, 2), np.float32))
+        all_tris.append(np.arange(rows.size, dtype=np.int32).reshape(-1, 3) + base)
+        base += rows.size
+
+    if not all_pos:
+        raise ValueError(f"no mesh geometry found in {path}")
+    pos = np.concatenate(all_pos)
+    tris = np.concatenate(all_tris)
+    nrm = np.concatenate(all_nrm)
+    if not np.any(nrm):
+        from stable_renderer_tpu.engine.mesh import _face_normals_to_vertices
+
+        nrm = _face_normals_to_vertices(pos, tris)
+    return (pos, np.concatenate(all_uv), nrm,
+            np.ones((pos.shape[0], 3), np.float32), tris,
+            np.full((tris.shape[0],), -1, np.int32), [])
+
+
 LOADERS = {
     ".gltf": load_gltf,
     ".glb": load_gltf,
     ".stl": load_stl,
     ".ply": load_ply,
+    ".dae": load_dae,
+    ".fbx": load_fbx,
 }

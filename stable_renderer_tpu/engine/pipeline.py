@@ -75,12 +75,18 @@ class DiffusionPipeline:
         if name in ("clip_params", "clip_g_params"):
             object.__setattr__(
                 self, "_cond_version", getattr(self, "_cond_version", 0) + 1)
-        if name == "unet_params":
-            # invalidates the TP-sharded param cache (same id-recycling
-            # rationale as _cond_version)
+        if name in ("unet_params", "vae_params"):
+            # invalidates the compute-param caches (HWIO view, TP sharding) —
+            # same id-recycling rationale as _cond_version
             object.__setattr__(
-                self, "_unet_version", getattr(self, "_unet_version", 0) + 1)
+                self, "_model_version", getattr(self, "_model_version", 0) + 1)
         object.__setattr__(self, name, value)
+
+    def _bump_models(self) -> None:
+        """Invalidate compute-param caches after in-place model mutations
+        (controlnet list appends, quantization)."""
+        object.__setattr__(
+            self, "_model_version", getattr(self, "_model_version", 0) + 1)
 
     @property
     def is_sdxl(self) -> bool:
@@ -305,24 +311,24 @@ class DiffusionPipeline:
 
     def add_controlnet(self, params: dict, spec: ControlNetSpec) -> None:
         cn = ControlNet(ControlNetConfig(unet=self.unet.config))
-        self.controlnets.append((cn, params, spec))
+        self._bump_models(); self.controlnets.append((cn, params, spec))
 
     def add_random_controlnet(self, spec: ControlNetSpec, seed: int = 5) -> None:
         cn = ControlNet(ControlNetConfig(unet=self.unet.config))
-        self.controlnets.append((cn, cn.init(jax.random.PRNGKey(seed)), spec))
+        self._bump_models(); self.controlnets.append((cn, cn.init(jax.random.PRNGKey(seed)), spec))
 
     def add_control_lora(self, control_weights: dict, spec: ControlNetSpec) -> None:
         """ControlLora file (comfy controlnet.py:303): UNet trunk + low-rank
         control deltas composed into full ControlNet params at load time."""
         cn = ControlNet(ControlNetConfig(unet=self.unet.config))
         params = cn.init_control_lora(self.unet_params, control_weights)
-        self.controlnets.append((cn, params, spec))
+        self._bump_models(); self.controlnets.append((cn, params, spec))
 
     def add_t2i_adapter(self, params: dict, spec: ControlNetSpec, config=None) -> None:
         from stable_renderer_tpu.models.t2i_adapter import T2IAdapter, T2IAdapterConfig
 
         ad = T2IAdapter(config or T2IAdapterConfig())
-        self.controlnets.append((ad, params, spec))
+        self._bump_models(); self.controlnets.append((ad, params, spec))
 
     def add_control_from_state_dict(self, flat: dict, spec: ControlNetSpec) -> None:
         """Format-sniffing control loader (comfy load_controlnet/load_t2i_adapter,
@@ -338,7 +344,7 @@ class DiffusionPipeline:
             from stable_renderer_tpu.models.t2i_adapter import load_t2i_adapter
 
             ad, params = load_t2i_adapter(flat)
-            self.controlnets.append((ad, params, spec))
+            self._bump_models(); self.controlnets.append((ad, params, spec))
             return
         if any(k.startswith("control_model.") for k in flat):
             flat = {k[len("control_model."):]: v for k, v in flat.items()
@@ -578,26 +584,51 @@ class DiffusionPipeline:
 
         return control_fn
 
-    def _tp_params(self, mesh, tp_axis: str):
-        """TP-sharded (unet_params, cn_params) for ``mesh`` — cached so the
-        device_put (and any resharding collective) happens once per param
-        swap, not once per frame. SURVEY §2.6 'TP for UNet': Megatron-style
-        specs from parallel/sharding.py applied to the INFERENCE program."""
+    def compute_params(self, mesh=None, tp_axis: str = "tp"):
+        """(unet_params, vae_params, cn_params) as fed to the jitted compute
+        programs — CACHED per model version so the work happens once per
+        param swap, not once per frame:
+
+          * conv weights pre-transposed to the TPU-native HWIO layout
+            (weights.tree_to_hwio; measured 1.1-1.65x over torch's OIHW at
+            the SD hot shapes, scripts/sweep_conv.py) — the canonical trees
+            stay checkpoint-format OIHW for LoRA merges / saving;
+          * when ``mesh`` has a tp axis > 1, UNet + ControlNet weights are
+            device_put with the Megatron-style specs (SURVEY §2.6 'TP for
+            UNet'; parallel/sharding.py).
+        """
+        from stable_renderer_tpu.models.weights import tree_to_hwio
         from stable_renderer_tpu.parallel.sharding import apply_param_sharding
 
+        use_tp = (mesh is not None and tp_axis in mesh.axis_names
+                  and mesh.shape[tp_axis] > 1)
         cache_key = (
-            getattr(self, "_unet_version", 0), id(mesh), tp_axis,
+            getattr(self, "_model_version", 0),
+            id(mesh) if use_tp else None, tp_axis if use_tp else None,
             len(self.controlnets),
         )
-        cached = getattr(self, "_tp_param_cache", None)
-        if cached is not None and cached[0] == cache_key:
-            return cached[1], cached[2]
-        unet_p = apply_param_sharding(self.unet_params, mesh, tp_axis)
-        cn_p = tuple(
-            apply_param_sharding(p, mesh, tp_axis) for _, p, _ in self.controlnets
-        )
-        object.__setattr__(self, "_tp_param_cache", (cache_key, unet_p, cn_p))
-        return unet_p, cn_p
+        cache = getattr(self, "_compute_param_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_compute_param_cache", cache)
+        hit = cache.get(cache_key)
+        if hit is not None:
+            return hit
+        unet_p = tree_to_hwio(self.unet_params)
+        vae_p = tree_to_hwio(self.vae_params)
+        cn_p = tuple(tree_to_hwio(p) for _, p, _ in self.controlnets)
+        if use_tp:
+            unet_p = apply_param_sharding(unet_p, mesh, tp_axis)
+            cn_p = tuple(apply_param_sharding(p, mesh, tp_axis) for p in cn_p)
+        out = (unet_p, vae_p, cn_p)
+        cache.clear()  # keep at most one live view (weights are GBs)
+        cache[cache_key] = out
+        return out
+
+    def _tp_params(self, mesh, tp_axis: str):
+        """Back-compat wrapper: (unet_params, cn_params) TP view."""
+        u, _, c = self.compute_params(mesh, tp_axis)
+        return u, c
 
     def render(
         self,
@@ -650,14 +681,9 @@ class DiffusionPipeline:
         color = engine_data.color_maps
         noise_maps = engine_data.noise_maps
         id_maps = engine_data.id_maps
-        unet_params = self.unet_params
-        cn_params = tuple(p for _, p, _ in self.controlnets)
-        if mesh is not None and tp_axis in mesh.axis_names and mesh.shape[tp_axis] > 1:
-            # tensor-parallel UNet: attention/MLP weights shard over tp_axis;
-            # GSPMD inserts the Megatron all_reduces after the row-parallel
-            # matmuls. Exactness vs replicated params is asserted in
-            # tests/test_parallel.py::test_render_tp_matches_replicated.
-            unet_params, cn_params = self._tp_params(mesh, tp_axis)
+        # HWIO conv view (+ Megatron TP sharding when the mesh has tp>1;
+        # exactness vs replicated asserted in tests/test_parallel.py)
+        unet_params, vae_params, cn_params = self.compute_params(mesh, tp_axis)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -680,7 +706,7 @@ class DiffusionPipeline:
             corresponder,
             sprite_ids,
             unet_params,
-            self.vae_params,
+            vae_params,
             cn_params,
             color,
             noise_maps,
@@ -710,7 +736,7 @@ class DiffusionPipeline:
         use_taesd = cfg.realtime_taesd and self.taesd is not None
         _qc = vae_params["quant_conv"]
         # int8-quantized trees keep the fp bias; use it for the compute dtype
-        vae_dtype = (_qc["weight"] if "weight" in _qc else _qc["bias"]).dtype
+        vae_dtype = _qc.get("weight", _qc.get("w_hwio", _qc["bias"])).dtype
         if use_taesd:
             # realtime mode: TAESD encode (~13x cheaper than the full VAE).
             # taesd params are tiny (~5 MB) so the closure constant is fine.
@@ -810,13 +836,12 @@ class DiffusionPipeline:
         return self
 
     def stream_params(self):
-        """(unet_params, cn_params) for the stream program: TP-sharded when a
-        stream mesh with a tp axis is enabled, plain otherwise."""
+        """(unet_params, cn_params) for the stream program: the HWIO compute
+        view, TP-sharded when a stream mesh with a tp axis is enabled."""
         mesh = getattr(self, "stream_mesh", None)
         tp_axis = getattr(self, "stream_tp_axis", "tp")
-        if mesh is not None and tp_axis in mesh.axis_names and mesh.shape[tp_axis] > 1:
-            return self._tp_params(mesh, tp_axis)
-        return self.unet_params, tuple(p for _, p, _ in self.controlnets)
+        u, _, c = self.compute_params(mesh, tp_axis)
+        return u, c
 
     @partial(jax.jit, static_argnames=("self", "stream_init"))
     def _jit_render_stream(
@@ -842,7 +867,7 @@ class DiffusionPipeline:
         use_taesd = cfg.realtime_taesd and self.taesd is not None
         _qc = vae_params["quant_conv"]
         # int8-quantized trees keep the fp bias; use it for the compute dtype
-        vae_dtype = (_qc["weight"] if "weight" in _qc else _qc["bias"]).dtype
+        vae_dtype = _qc.get("weight", _qc.get("w_hwio", _qc["bias"])).dtype
         if use_taesd:
             latent = self.taesd.encode(
                 self.taesd_params, color.astype(vae_dtype)).astype(jnp.float32)

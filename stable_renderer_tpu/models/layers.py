@@ -29,19 +29,30 @@ def linear(p: dict, x: jax.Array) -> jax.Array:
 def conv2d(p: dict, x: jax.Array, stride: int = 1, padding: int = 0) -> jax.Array:
     """torch nn.Conv2d on NHWC activations; weight (O, I, kH, kW).
 
+    Trees transformed by ``weights.tree_to_hwio`` carry ``w_hwio``
+    ((kH, kW, I, O)) instead — the TPU-native layout, measured 1.1-1.65x
+    faster than OIHW at the SD hot shapes (scripts/sweep_conv.py on v5e;
+    OIHW pays a relayout inside the conv lowering). Checkpoint-format trees
+    keep torch's OIHW and still work.
+
     Params quantized by models.quant.quantize_tree carry ``weight_q``
     (int8 HWIO) instead and take the int8 MXU path."""
     if "weight_q" in p:
         from stable_renderer_tpu.models.quant import conv2d_q
 
         return conv2d_q(p, x, stride=stride, padding=padding)
-    w = p["weight"].astype(x.dtype)
+    if "w_hwio" in p:
+        w = p["w_hwio"].astype(x.dtype)
+        dn = ("NHWC", "HWIO", "NHWC")
+    else:
+        w = p["weight"].astype(x.dtype)
+        dn = ("NHWC", "OIHW", "NHWC")
     out = jax.lax.conv_general_dilated(
         x,
         w,
         window_strides=(stride, stride),
         padding=[(padding, padding), (padding, padding)],
-        dimension_numbers=("NHWC", "OIHW", "NHWC"),
+        dimension_numbers=dn,
     )
     if "bias" in p and p["bias"] is not None:
         out = out + p["bias"].astype(x.dtype)

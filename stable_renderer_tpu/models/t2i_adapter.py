@@ -60,6 +60,13 @@ def pixel_unshuffle(x: jax.Array, r: int) -> jax.Array:
     return x.reshape(b, h // r, w // r, c * r * r)
 
 
+def _kw(p: dict) -> int:
+    """Conv kernel width from either layout (OIHW weight / HWIO w_hwio)."""
+    if "weight" in p:
+        return p["weight"].shape[-1]
+    return p["w_hwio"].shape[1]
+
+
 class T2IAdapter:
     def __init__(self, config: T2IAdapterConfig = T2IAdapterConfig()):
         self.config = config
@@ -76,12 +83,12 @@ class T2IAdapter:
                     x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
                 ) / 4.0
         if "in_conv" in p:
-            x = conv2d(p["in_conv"], x, padding=p["in_conv"]["weight"].shape[-1] // 2)
+            x = conv2d(p["in_conv"], x, padding=_kw(p["in_conv"]) // 2)
         h = conv2d(p["block1"], x, padding=1)
         h = jax.nn.relu(h)
-        h = conv2d(p["block2"], h, padding=p["block2"]["weight"].shape[-1] // 2)
+        h = conv2d(p["block2"], h, padding=_kw(p["block2"]) // 2)
         if "skep" in p:
-            return h + conv2d(p["skep"], x, padding=p["skep"]["weight"].shape[-1] // 2)
+            return h + conv2d(p["skep"], x, padding=_kw(p["skep"]) // 2)
         return h + x
 
     def _extractor(self, p: dict, x: jax.Array, down: bool) -> jax.Array:

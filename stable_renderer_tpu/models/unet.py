@@ -337,8 +337,9 @@ def spatial_transformer(
     b, h, w, c = x.shape
     x_in = x
     n = group_norm(p["norm"], x)
-    proj_in_w = p["proj_in"]["weight"]
-    use_conv_proj = proj_in_w.ndim == 4
+    # HWIO compute views store conv weights under w_hwio (weights.tree_to_hwio)
+    use_conv_proj = ("w_hwio" in p["proj_in"]
+                     or p["proj_in"]["weight"].ndim == 4)
     if use_conv_proj:
         n = conv2d(p["proj_in"], n)
         n = n.reshape(b, h * w, c)

@@ -270,6 +270,35 @@ def load_checkpoint(path: str | Path):
     return load_checkpoint_flat(load_state_dict(path), str(path))
 
 
+def tree_to_hwio(tree: dict) -> dict:
+    """Compute-layout view of a param tree: every conv weight (4-D ``weight``)
+    transposed OIHW -> HWIO under the key ``w_hwio`` (layers.conv2d detects
+    it). TPU-native conv layout — measured 1.1-1.65x over OIHW at the SD
+    UNet/VAE hot shapes (scripts/sweep_conv.py, v5e). The CANONICAL trees
+    (checkpoint format, LoRA merge targets, save paths) stay OIHW; this view
+    is cached per params version by DiffusionPipeline.compute_params.
+    int8-quantized convs (``weight_q``, already HWIO) pass through."""
+    import jax.numpy as jnp
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        is_conv = (
+            "weight" in node
+            and getattr(node["weight"], "ndim", 0) == 4
+            and "weight_q" not in node
+        )
+        out = {}
+        for k, v in node.items():
+            if is_conv and k == "weight":
+                out["w_hwio"] = jnp.transpose(jnp.asarray(v), (2, 3, 1, 0))
+            else:
+                out[k] = walk(v)
+        return out
+
+    return walk(tree)
+
+
 def to_device(tree: dict, dtype=None) -> dict:
     """Move a nested numpy tree onto the default device (optionally casting)."""
     import jax

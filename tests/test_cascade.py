@@ -162,3 +162,6 @@ def test_cascade_sampling_schedule():
     ms1 = ModelSamplingCascade(shift=1.0)
     t = np.asarray([0.9, 0.5, 0.1])
     np.testing.assert_allclose(ms1.t_of_sigma(ms1.sigma_of_t(t)), t, atol=1e-4)
+
+# heavy model forwards / long compiles — the smoke tier (-m 'not slow') skips these
+pytestmark = pytest.mark.slow

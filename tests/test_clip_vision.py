@@ -68,3 +68,7 @@ def test_unclip_conditioning_node():
     assert out["unclip"][0]["strength"] == 0.8
     assert out["unclip"][0]["noise_augmentation"] == 0.1
     assert out["context"] is cond["context"]
+
+import pytest  # noqa: E402
+# heavy model forwards / long compiles — the smoke tier (-m 'not slow') skips these
+pytestmark = pytest.mark.slow

@@ -101,3 +101,6 @@ def test_multihead_attention_matches_torch():
             torch.from_numpy(l2w), torch.from_numpy(l2b))
         theirs = (t + ff).permute(1, 0, 2).numpy()
     np.testing.assert_allclose(ours, theirs, atol=3e-5)
+
+# heavy model forwards / long compiles — the smoke tier (-m 'not slow') skips these
+pytestmark = pytest.mark.slow

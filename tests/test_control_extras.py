@@ -162,3 +162,7 @@ def test_pipeline_t2i_adapter_render():
     images = pipe.render(ed, key=jax.random.PRNGKey(2))
     assert images.shape == (1, 32, 32, 3)
     assert np.isfinite(np.asarray(images)).all()
+
+import pytest  # noqa: E402
+# heavy model forwards / long compiles — the smoke tier (-m 'not slow') skips these
+pytestmark = pytest.mark.slow

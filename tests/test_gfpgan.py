@@ -76,3 +76,6 @@ def test_gfpgan_detection_roundtrip():
     assert det is not None
     assert det.out_size == 32 and det.num_style_feat == 16
     assert det.base_channels == 32
+
+# heavy model forwards / long compiles — the smoke tier (-m 'not slow') skips these
+pytestmark = pytest.mark.slow

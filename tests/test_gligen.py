@@ -109,3 +109,7 @@ def test_gligen_textbox_node_appends_position():
     emb, bh, bw, by, bx = params[0]
     assert (bh, bw, by, bx) == (16, 32, 4, 8)  # /8 latent cells
     assert emb.shape[-1] == 64
+
+import pytest  # noqa: E402
+# heavy model forwards / long compiles — the smoke tier (-m 'not slow') skips these
+pytestmark = pytest.mark.slow

@@ -81,3 +81,6 @@ def test_unified_loader_prefers_hat_over_swinir(tmp_path):
     assert type(loaded).__name__ == "HAT"
     out = loaded.apply(params, jnp.zeros((1, 8, 8, 3)))
     assert out.shape == (1, 16, 16, 3)
+
+# heavy model forwards / long compiles — the smoke tier (-m 'not slow') skips these
+pytestmark = pytest.mark.slow

@@ -82,3 +82,6 @@ def test_lama_detection():
             for k, v in flatten(model.init(jax.random.PRNGKey(0))).items()}
     det = detect_lama_config(flat)
     assert det is not None and det.ngf == 8 and det.in_nc == 4
+
+# heavy model forwards / long compiles — the smoke tier (-m 'not slow') skips these
+pytestmark = pytest.mark.slow

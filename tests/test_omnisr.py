@@ -63,3 +63,6 @@ def test_omnisr_detection_and_loader(tmp_path):
     assert type(loaded).__name__ == "OmniSR"
     out = loaded.apply(params, jnp.zeros((1, 16, 16, 3)))
     assert out.shape == (1, 32, 32, 3)
+
+# heavy model forwards / long compiles — the smoke tier (-m 'not slow') skips these
+pytestmark = pytest.mark.slow

@@ -34,3 +34,7 @@ def test_restoreformer_detection():
     assert det.ch == 8 and det.ch_mult == (1, 2)
     assert det.codebook_size == 32 and det.embed_dim == 16
     assert det.num_res_blocks == 1
+
+import pytest  # noqa: E402
+# heavy model forwards / long compiles — the smoke tier (-m 'not slow') skips these
+pytestmark = pytest.mark.slow

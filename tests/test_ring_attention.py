@@ -124,3 +124,6 @@ def test_overlap_layer_range_gating_and_random_pick():
     o2 = pipe.render(ed, corresponder=rand, key=jax.random.PRNGKey(11))
     # different runs pick different frames -> different outputs, same program
     assert not np.allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+
+# heavy model forwards / long compiles — the smoke tier (-m 'not slow') skips these
+pytestmark = pytest.mark.slow

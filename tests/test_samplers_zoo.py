@@ -396,3 +396,6 @@ def test_sde_sampler_brownian_vs_iid_modes_differ_but_both_converge():
     assert np.abs(np.asarray(out_bt)).max() < 2.0
     assert np.abs(np.asarray(out_iid)).max() < 2.0
     assert np.abs(np.asarray(out_bt) - np.asarray(out_iid)).max() > 1e-6
+
+# heavy model forwards / long compiles — the smoke tier (-m 'not slow') skips these
+pytestmark = pytest.mark.slow

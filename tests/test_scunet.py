@@ -67,3 +67,6 @@ def test_unified_loader_dispatches_scunet(tmp_path):
     assert type(loaded).__name__ == "SCUNet"
     out = loaded.apply(params, jnp.zeros((1, 32, 32, 3)))
     assert out.shape == (1, 32, 32, 3)
+
+# heavy model forwards / long compiles — the smoke tier (-m 'not slow') skips these
+pytestmark = pytest.mark.slow

@@ -73,3 +73,7 @@ def test_v_prediction_render():
         outs[pred] = np.asarray(pipe.render(ed, key=jax.random.PRNGKey(3)))
         assert np.isfinite(outs[pred]).all()
     assert not np.allclose(outs["eps"], outs["v"], atol=1e-4)
+
+import pytest  # noqa: E402
+# heavy model forwards / long compiles — the smoke tier (-m 'not slow') skips these
+pytestmark = pytest.mark.slow

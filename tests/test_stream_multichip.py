@@ -19,6 +19,9 @@ from stable_renderer_tpu.engine.pipeline import DiffusionPipeline
 from stable_renderer_tpu.parallel import create_mesh
 from stable_renderer_tpu.workflow.config import RenderConfig
 
+# heavy model forwards / long compiles — smoke tier skips these
+pytestmark = pytest.mark.slow
+
 
 def _pipe(**cfg_kwargs):
     cfg = RenderConfig(prompt="x", steps=4, cfg_scale=2.0, sampler="lcm",

@@ -167,3 +167,6 @@ def test_swift_srgan_forward_and_detection():
     flat = {k: np.asarray(v) for k, v in flatten(params).items()}
     det = detect_swift_srgan_config(flat)
     assert det == cfg
+
+# heavy model forwards / long compiles — the smoke tier (-m 'not slow') skips these
+pytestmark = pytest.mark.slow

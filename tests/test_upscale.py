@@ -49,3 +49,7 @@ def test_old_arch_key_conversion():
     # new-arch passes through untouched
     again = convert_esrgan_state_dict(new)
     assert set(again) == set(new)
+
+import pytest  # noqa: E402
+# heavy model forwards / long compiles — the smoke tier (-m 'not slow') skips these
+pytestmark = pytest.mark.slow

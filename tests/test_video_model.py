@@ -156,3 +156,6 @@ def test_stable_zero123_conditioning_and_sample():
     z = np.asarray(out["samples"])
     assert z.shape == (2, *latent["samples"].shape[1:])
     assert np.isfinite(z).all()
+
+# heavy model forwards / long compiles — the smoke tier (-m 'not slow') skips these
+pytestmark = pytest.mark.slow
