@@ -37,9 +37,11 @@ def parse_counts(output: str) -> tuple[int, int, int, bool]:
     ok = False
     for line in output.strip().splitlines()[::-1]:
         line = line.strip().strip("=").strip()
-        if not any(w in line for w in ("passed", "failed", "skipped", "no tests ran")):
+        if not any(w in line for w in ("passed", "failed", "skipped",
+                                       "deselected", "no tests ran")):
             continue
-        if "no tests ran" in line:
+        if "no tests ran" in line or re.fullmatch(
+                r"\d+ deselected in .*", line):
             return 0, 0, 0, True
         for part in line.split(" in ")[0].split(","):
             part = part.strip()
@@ -75,7 +77,9 @@ def main() -> int:
     bad_batches: list[str] = []
     t0 = time.time()
     for bi, batch in enumerate(batches):
-        cmd = [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider"]
+        # NOTE: no "-q" here — pyproject addopts already passes -q, and a
+        # second one (-qq) suppresses the summary line parse_counts needs
+        cmd = [sys.executable, "-m", "pytest", "-p", "no:cacheprovider"]
         if args.fast:
             cmd += ["-m", "not slow"]
         cmd += passthrough
@@ -95,7 +99,20 @@ def main() -> int:
             continue
         out = r.stdout + r.stderr
         failed, passed, skipped, ok = parse_counts(out)
-        if not ok or r.returncode not in (0, 1, 5) or (r.returncode and not failed):
+        if not ok and r.returncode == 0:
+            # -qq style output (no summary line): fall back to counting the
+            # progress characters on the dot lines
+            chars = "".join(
+                ln.split("[")[0].replace(" ", "")
+                for ln in out.splitlines()
+                if ln.rstrip().endswith("%]")
+            )
+            if chars and set(chars) <= set(".sxX"):
+                passed = chars.count(".") + chars.count("x") + chars.count("X")
+                skipped = chars.count("s")
+                ok = True
+        if not ok or r.returncode not in (0, 1, 5) or (
+                r.returncode == 1 and not failed):
             # crashed process (segfault etc.) — report, count as failure
             tail = "\n".join(out.strip().splitlines()[-15:])
             print(f"  CRASH (rc={r.returncode}):\n{tail}", flush=True)

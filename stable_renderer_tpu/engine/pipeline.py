@@ -115,17 +115,68 @@ class DiffusionPipeline:
         self.taesd_params = params
         return self
 
-    def quantize_convs(self, vae: bool = True) -> "DiffusionPipeline":
+    def quantize_convs(self, vae: bool = True, calibrate: bool = True,
+                       key: Optional[jax.Array] = None) -> "DiffusionPipeline":
         """Apply the int8 conv path (models/quant.py) to the UNet (and VAE)
         param trees — RenderConfig(int8_conv=True). Per-output-channel int8
-        weights + dynamic activation quant on the MXU's 2x int8 rate; the
-        TPU analogue of the reference's fp8 precision flags
-        (comfy/cli_args.py:40-130)."""
-        from stable_renderer_tpu.models.quant import quantize_tree
+        weights on the MXU's 2x int8 rate; the TPU analogue of the
+        reference's fp8 precision flags (comfy/cli_args.py:40-130).
 
-        self.unet_params = quantize_tree(self.unet_params)
+        ``calibrate=True`` (default) measures STATIC per-conv activation
+        scales with one jitted eval per model over a representative batch —
+        a latent at each of the configured schedule's sigmas x the cfg pair
+        for the UNet (the denoiser pre-scales inputs by c_in so they are
+        ~unit-std at every sigma, but timestep embeddings sweep the whole
+        table), random scaled latents + pixels for the VAE. Static scales
+        make the quantize a fusable elementwise op (the round-3 dynamic-quant
+        max-reduce was the measured regression); first/last convs stay bf16
+        (quant.DEFAULT_SKIP_RE)."""
+        from stable_renderer_tpu.models.quant import (
+            calibrate_act_scales,
+            quantize_tree,
+        )
+
+        key = key if key is not None else jax.random.PRNGKey(7)
+        dt = jnp.bfloat16
+        ucfg = self.unet.config
+        scales_u = scales_v = None
+        if calibrate:
+            import numpy as np
+
+            sig = np.asarray(self.scheduler_sigmas())
+            s = max(int(sig.shape[0]) - 1, 1)
+            b = 2 * s  # cfg pair at every schedule sigma
+            k1, k2, k3, k4 = jax.random.split(key, 4)
+            x = jax.random.normal(k1, (b, 64, 64, ucfg.in_channels), dt)
+            t = jnp.asarray(
+                np.tile(self.model_sampling.timestep(sig[:s]), 2), jnp.float32)
+            ctx = jax.random.normal(k2, (b, 77, ucfg.context_dim), dt) * 0.35
+            try:  # real conditioning stats when a text tower is loaded
+                cp, cn = self.encode_prompts([self.config.prompt], [""])
+                ctx = jnp.concatenate([cp, cn], 0).astype(dt)
+                ctx = jnp.broadcast_to(ctx[:1], (b,) + ctx.shape[1:])
+            except Exception:
+                pass
+            y = None
+            if ucfg.num_classes is not None:
+                y = jnp.zeros((b,), jnp.int32)
+            elif ucfg.adm_in_channels is not None:
+                y = jnp.zeros((b, ucfg.adm_in_channels), dt)
+            scales_u = calibrate_act_scales(
+                lambda p, *a: self.unet.apply(p, *a), self.unet_params,
+                x, t, ctx, y)
+            if vae:
+                z = jax.random.normal(k3, (1, 64, 64, 4), dt)
+                px = jnp.tanh(jax.random.normal(k4, (1, 256, 256, 3), dt))
+
+                def _vae_both(p, z, px):
+                    return self.vae.decode(p, z), self.vae.encode_moments(p, px)
+
+                scales_v = calibrate_act_scales(_vae_both, self.vae_params, z, px)
+        self.unet_params = quantize_tree(self.unet_params, scales_u)
         if vae:
-            self.vae_params = quantize_tree(self.vae_params)
+            self.vae_params = quantize_tree(self.vae_params, scales_v)
+        self._bump_models()
         return self
 
     # --- constructors --------------------------------------------------------

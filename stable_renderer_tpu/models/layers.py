@@ -41,6 +41,10 @@ def conv2d(p: dict, x: jax.Array, stride: int = 1, padding: int = 0) -> jax.Arra
         from stable_renderer_tpu.models.quant import conv2d_q
 
         return conv2d_q(p, x, stride=stride, padding=padding)
+    from stable_renderer_tpu.models import quant as _quant
+
+    if _quant._CAL.active:
+        _quant._CAL.record(p, x)
     if "w_hwio" in p:
         w = p["w_hwio"].astype(x.dtype)
         dn = ("NHWC", "HWIO", "NHWC")

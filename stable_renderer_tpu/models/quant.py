@@ -7,41 +7,57 @@ model_management fp8 casts). TPU v5e has no fp8, but the MXU runs int8 at
 68->88 at 16x16x1280 including the requantize, plus halved weight HBM
 traffic (the 8x8 UNet levels are weight-bandwidth-bound).
 
-STATUS — measured on-chip, know what you're buying: isolated int8 convs beat
-bf16 by 1.3-1.4x (42->60 TOP/s at 64x64x320), but the DYNAMIC activation
-quantization (full-tensor max reduce + round/clip before every conv, dequant
-after) costs more than the MXU saves at SD shapes: full UNet 19.5 -> 46.4
-ms/eval, VAE decode 24.8 -> 26.5 ms. The flag therefore buys WEIGHT MEMORY
-(conv weights halve: int8 vs bf16 — relevant for multi-model serving), not
-single-chip speed. Speed would need static calibrated activation scales or a
-Pallas conv with a fused quant prologue — future work, documented in PERF.md
-("Negative result: int8 dynamic-quant conv path"). Output fidelity proxy:
-cosine(bf16, int8) = 0.9986 on a random-weight SD1.5 UNet eval.
+STATUS (round 4) — TWO activation-scale modes, measured on-chip:
 
-Scheme (weights static, activations dynamic — standard PTQ):
+  * DYNAMIC (round-3, kept as fallback): full-tensor max reduce + round/clip
+    before every conv. The serializing reduce costs more than the MXU saves
+    at SD shapes: full UNet 19.5 -> 46.4 ms/eval. Only buys WEIGHT MEMORY.
+  * STATIC CALIBRATED (round-4, the speed path): per-conv activation scales
+    measured once by ``calibrate_act_scales`` (one jitted eval that records
+    max|x| at every conv input over a representative batch — e.g. the LCM
+    schedule's sigmas x cfg 2). The quantize becomes a pure elementwise
+    multiply/round/clip that XLA fuses into the producer's epilogue (no
+    reduce, no serialization), and the dequant fuses into the conv output.
+
+Scheme (standard PTQ):
   * weights: per-output-channel symmetric int8, quantized once at load time,
     stored HWIO (the conv's native layout, killing the OIHW transpose too);
-  * activations: per-tensor dynamic scale max|x|/127, quantized on the fly;
+  * activations: per-tensor symmetric int8 — static scale when calibrated
+    (``a_scale`` key), dynamic max|x|/127 otherwise;
   * accumulation int32 on the MXU, dequantized by (act_scale * w_scale[O])
     into the activation dtype.
 
 Only convolution weights quantize (``weight`` ndim==4): convs carry the
 UNet/VAE FLOPs, while attention/linear stay bf16 (the flash kernel and the
-fused-QKV path read raw weights). Opt-in via RenderConfig(int8_conv=True);
-this trades a small amount of output fidelity for throughput, exactly like
-the reference's fp8 switches.
+fused-QKV path read raw weights). First/last convs (conv_in / conv_out)
+stay bf16 by default (``DEFAULT_SKIP_RE``) — standard PTQ practice; they
+are <1% of the FLOPs and carry the most fidelity. Opt-in via
+RenderConfig(int8_conv=True); this trades a small amount of output fidelity
+for throughput, exactly like the reference's fp8 switches.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict
+import re
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 
+# conv paths kept in bf16 under the default skip policy: the UNet's first
+# (input_blocks.0.0) and last (out.*) convs, the VAE's conv_in/conv_out and
+# the 1x1 quant bridges — <1% of FLOPs, most of the end-to-end fidelity.
+DEFAULT_SKIP_RE = re.compile(
+    r"(^|\.)(input_blocks\.0\.0|out\.2|conv_in|conv_out|post_quant_conv|quant_conv)($|\.)"
+)
 
-def quantize_conv_params(p: Dict[str, Any]) -> Dict[str, Any]:
-    """{"weight": (O,I,kH,kW), "bias"?} -> int8 HWIO + per-O scale."""
+
+def quantize_conv_params(p: Dict[str, Any],
+                         a_scale: Optional[float] = None) -> Dict[str, Any]:
+    """{"weight": (O,I,kH,kW), "bias"?} -> int8 HWIO + per-O scale.
+
+    ``a_scale``: calibrated max|activation| for this conv's input; stored as
+    the static per-tensor quant step (max/127) under ``a_scale``."""
     w = jnp.asarray(p["weight"]).astype(jnp.float32)
     o = w.shape[0]
     s = jnp.max(jnp.abs(w.reshape(o, -1)), axis=1) / 127.0   # (O,)
@@ -52,21 +68,104 @@ def quantize_conv_params(p: Dict[str, Any]) -> Dict[str, Any]:
         "weight_q": jnp.transpose(q.astype(jnp.int8), (2, 3, 1, 0)),
         "w_scale": s,
     }
+    if a_scale is not None:
+        out["a_scale"] = jnp.float32(max(float(a_scale), 1e-8) / 127.0)
     if "bias" in p and p["bias"] is not None:
         out["bias"] = p["bias"]
     return out
 
 
-def quantize_tree(params: Any) -> Any:
+def _is_conv_leaf(node: Any) -> bool:
+    if not isinstance(node, dict):
+        return False
+    w = node.get("weight")
+    return w is not None and getattr(w, "ndim", 0) == 4
+
+
+def quantize_tree(params: Any,
+                  act_scales: Optional[Dict[str, float]] = None,
+                  skip_re: Optional[re.Pattern] = DEFAULT_SKIP_RE,
+                  _path: str = "") -> Any:
     """Walk a torch-layout param tree and quantize every conv leaf dict
     (a dict with a 4-D ``weight``). Norms (1-D weights) and linears (2-D)
-    pass through untouched."""
+    pass through untouched.
+
+    ``act_scales``: {dotted.path: max_abs} from ``calibrate_act_scales`` —
+    convs present in it get a STATIC activation scale (the fast path);
+    convs absent fall back to dynamic quant. ``skip_re``: conv paths to
+    keep in bf16 entirely (default: first/last convs)."""
     if isinstance(params, dict):
-        w = params.get("weight")
-        if w is not None and hasattr(w, "ndim") and w.ndim == 4:
-            return quantize_conv_params(params)
-        return {k: quantize_tree(v) for k, v in params.items()}
+        if _is_conv_leaf(params):
+            if skip_re is not None and skip_re.search(_path):
+                return params
+            a = act_scales.get(_path) if act_scales else None
+            return quantize_conv_params(params, a_scale=a)
+        return {
+            k: quantize_tree(v, act_scales, skip_re,
+                             f"{_path}.{k}" if _path else str(k))
+            for k, v in params.items()
+        }
     return params
+
+
+# --- calibration -------------------------------------------------------------
+
+
+class _Calibration:
+    """Trace-time collector: while ``active``, layers.conv2d records
+    max|input| per conv leaf (keyed by the leaf dict's id, mapped back to a
+    dotted tree path registered before the traced apply)."""
+
+    active: bool = False
+
+    def __init__(self) -> None:
+        self.maxima: Dict[int, jax.Array] = {}
+        self.paths: Dict[int, str] = {}
+
+    def record(self, p: Dict[str, Any], x: jax.Array) -> None:
+        i = id(p)
+        if i not in self.paths:
+            return  # conv dict built on the fly (fused views etc.) — skip
+        m = jnp.max(jnp.abs(x)).astype(jnp.float32)
+        prev = self.maxima.get(i)
+        self.maxima[i] = m if prev is None else jnp.maximum(prev, m)
+
+
+_CAL = _Calibration()
+
+
+def _register_paths(tree: Any, path: str, out: Dict[int, str]) -> None:
+    if not isinstance(tree, dict):
+        return
+    if _is_conv_leaf(tree):
+        out[id(tree)] = path
+        return
+    for k, v in tree.items():
+        _register_paths(v, f"{path}.{k}" if path else str(k), out)
+
+
+def calibrate_act_scales(apply_fn: Callable, params: Any,
+                         *args: Any) -> Dict[str, float]:
+    """Run ``apply_fn(params, *args)`` once under jit while recording the
+    max|input| of every conv in ``params``; returns {dotted.path: max_abs}.
+
+    Feed a REPRESENTATIVE batch: for an SD UNet, latents at each of the
+    sampler schedule's sigmas (activation ranges scale with sigma) x the cfg
+    batch. One compiled eval; scales come back as concrete floats."""
+
+    def run(p, *a):
+        _CAL.__init__()
+        _CAL.active = True
+        _register_paths(p, "", _CAL.paths)
+        try:
+            apply_fn(p, *a)
+        finally:
+            _CAL.active = False
+        return {path: _CAL.maxima[i]
+                for i, path in _CAL.paths.items() if i in _CAL.maxima}
+
+    out = jax.jit(run)(params, *args)
+    return {k: float(v) for k, v in jax.device_get(out).items()}
 
 
 def quant_act(x: jax.Array):
@@ -79,8 +178,16 @@ def quant_act(x: jax.Array):
 
 def conv2d_q(p: Dict[str, Any], x: jax.Array, stride: int = 1,
              padding: int = 0) -> jax.Array:
-    """Int8 conv with int32 MXU accumulation and f32 dequant."""
-    q, s_x = quant_act(x)
+    """Int8 conv with int32 MXU accumulation and f32 dequant.
+
+    Static ``a_scale`` (calibrated): the quantize is pure elementwise and
+    fuses into the producer; dynamic fallback pays a full-tensor reduce."""
+    if "a_scale" in p:
+        s_x = p["a_scale"]
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x), -127, 127)
+        q = q.astype(jnp.int8)
+    else:
+        q, s_x = quant_act(x)
     acc = jax.lax.conv_general_dilated(
         q,
         p["weight_q"],
