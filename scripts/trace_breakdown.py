@@ -86,6 +86,8 @@ def parse_trace(tmpdir: str):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--what", default="unet", choices=["unet", "vae", "both"])
+    ap.add_argument("--int8", action="store_true",
+                    help="quantize conv params (static calibrated scales)")
     ap.add_argument("--out", default="/tmp/sr_trace")
     args = ap.parse_args()
 
@@ -108,6 +110,11 @@ def main() -> None:
         x = jax.random.normal(key, (2, 64, 64, 4), dt)
         t = jnp.full((2,), 500.0)
         c = jax.random.normal(key, (2, 77, 768), dt)
+        if args.int8:
+            from stable_renderer_tpu.models.quant import (
+                calibrate_act_scales, quantize_tree)
+            sc = calibrate_act_scales(lambda p, *a: unet.apply(p, *a), up, x, t, c)
+            up = quantize_tree(up, sc)
 
         @jax.jit
         def run_unet(p, x, t, c):
@@ -120,6 +127,11 @@ def main() -> None:
         vae = VAE(SD15_VAE_CONFIG)
         vp = jax.jit(vae.init, static_argnames="dtype")(key, dtype=dt)
         z = jax.random.normal(key, (1, 64, 64, 4), dt)
+        if args.int8:
+            from stable_renderer_tpu.models.quant import (
+                calibrate_act_scales, quantize_tree)
+            vsc = calibrate_act_scales(lambda p, zz: vae.decode(p, zz), vp, z)
+            vp = quantize_tree(vp, vsc)
 
         @jax.jit
         def run_vae(p, z):

@@ -175,7 +175,13 @@ class DiffusionPipeline:
                 scales_v = calibrate_act_scales(_vae_both, self.vae_params, z, px)
         self.unet_params = quantize_tree(self.unet_params, scales_u)
         if vae:
-            self.vae_params = quantize_tree(self.vae_params, scales_v)
+            # device traces show XLA's int8 conv REGRESSES below ~128^2
+            # spatial (s32 accumulator T(1,128) layout; quant.quantize_tree
+            # docstring) — keep the small-end decoder/encoder convs bf16.
+            # Calibration ran at 64x64 latents (512^2 pixels); min_pixels
+            # scales with the calibrated shapes, not the runtime ones.
+            self.vae_params = quantize_tree(self.vae_params, scales_v,
+                                            min_pixels=128 * 128)
         self._bump_models()
         return self
 

@@ -83,26 +83,37 @@ def _is_conv_leaf(node: Any) -> bool:
 
 
 def quantize_tree(params: Any,
-                  act_scales: Optional[Dict[str, float]] = None,
+                  act_scales: Optional[Dict[str, Any]] = None,
                   skip_re: Optional[re.Pattern] = DEFAULT_SKIP_RE,
+                  min_pixels: int = 0,
                   _path: str = "") -> Any:
     """Walk a torch-layout param tree and quantize every conv leaf dict
     (a dict with a 4-D ``weight``). Norms (1-D weights) and linears (2-D)
     pass through untouched.
 
-    ``act_scales``: {dotted.path: max_abs} from ``calibrate_act_scales`` —
-    convs present in it get a STATIC activation scale (the fast path);
-    convs absent fall back to dynamic quant. ``skip_re``: conv paths to
-    keep in bf16 entirely (default: first/last convs)."""
+    ``act_scales``: {dotted.path: max_abs | (max_abs, pixels)} from
+    ``calibrate_act_scales`` — convs present in it get a STATIC activation
+    scale (the fast path); convs absent fall back to dynamic quant.
+    ``skip_re``: conv paths to keep in bf16 entirely (default: first/last
+    convs). ``min_pixels``: keep convs whose calibrated input spatial size
+    (H*W) is below this in bf16 — device traces show XLA's int8 conv beats
+    bf16 only at large spatial sizes (512^2 VAE decode: 1.65 -> 0.98 ms at
+    256^2, but 0.73 -> 1.59 ms REGRESSION at 64^2 where the s32 accumulator
+    gets a T(1,128) layout); see scripts/trace_breakdown.py --int8."""
     if isinstance(params, dict):
         if _is_conv_leaf(params):
             if skip_re is not None and skip_re.search(_path):
                 return params
             a = act_scales.get(_path) if act_scales else None
+            px = None
+            if isinstance(a, (tuple, list)):
+                a, px = a
+            if min_pixels and px is not None and px < min_pixels:
+                return params  # measured: int8 loses to bf16 at small spatial
             return quantize_conv_params(params, a_scale=a)
         return {
-            k: quantize_tree(v, act_scales, skip_re,
-                             f"{_path}.{k}" if _path else str(k))
+            k: quantize_tree(v, act_scales, skip_re, min_pixels,
+                             _path=f"{_path}.{k}" if _path else str(k))
             for k, v in params.items()
         }
     return params
@@ -121,6 +132,7 @@ class _Calibration:
     def __init__(self) -> None:
         self.maxima: Dict[int, jax.Array] = {}
         self.paths: Dict[int, str] = {}
+        self.pixels: Dict[int, int] = {}
 
     def record(self, p: Dict[str, Any], x: jax.Array) -> None:
         i = id(p)
@@ -129,6 +141,8 @@ class _Calibration:
         m = jnp.max(jnp.abs(x)).astype(jnp.float32)
         prev = self.maxima.get(i)
         self.maxima[i] = m if prev is None else jnp.maximum(prev, m)
+        px = int(x.shape[1] * x.shape[2]) if x.ndim == 4 else 0
+        self.pixels[i] = max(self.pixels.get(i, 0), px)
 
 
 _CAL = _Calibration()
@@ -145,13 +159,15 @@ def _register_paths(tree: Any, path: str, out: Dict[int, str]) -> None:
 
 
 def calibrate_act_scales(apply_fn: Callable, params: Any,
-                         *args: Any) -> Dict[str, float]:
+                         *args: Any) -> Dict[str, tuple]:
     """Run ``apply_fn(params, *args)`` once under jit while recording the
-    max|input| of every conv in ``params``; returns {dotted.path: max_abs}.
+    max|input| (and input spatial size) of every conv in ``params``;
+    returns {dotted.path: (max_abs, pixels)}.
 
     Feed a REPRESENTATIVE batch: for an SD UNet, latents at each of the
     sampler schedule's sigmas (activation ranges scale with sigma) x the cfg
     batch. One compiled eval; scales come back as concrete floats."""
+    pixels: Dict[str, int] = {}
 
     def run(p, *a):
         _CAL.__init__()
@@ -161,11 +177,15 @@ def calibrate_act_scales(apply_fn: Callable, params: Any,
             apply_fn(p, *a)
         finally:
             _CAL.active = False
+        pixels.clear()
+        pixels.update({path: _CAL.pixels.get(i, 0)
+                       for i, path in _CAL.paths.items() if i in _CAL.maxima})
         return {path: _CAL.maxima[i]
                 for i, path in _CAL.paths.items() if i in _CAL.maxima}
 
     out = jax.jit(run)(params, *args)
-    return {k: float(v) for k, v in jax.device_get(out).items()}
+    return {k: (float(v), pixels.get(k, 0))
+            for k, v in jax.device_get(out).items()}
 
 
 def quant_act(x: jax.Array):

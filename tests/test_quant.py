@@ -123,9 +123,21 @@ def test_calibrate_act_scales_covers_convs():
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 3)) * 3.0
     scales = calibrate_act_scales(apply_fn, tree, x)
     assert set(scales) == {"a", "b.inner"}
-    # first conv sees x: max-abs must match
-    np.testing.assert_allclose(scales["a"], float(jnp.max(jnp.abs(x))), rtol=1e-5)
-    assert scales["b.inner"] > 0
+    # first conv sees x: max-abs must match; spatial size recorded alongside
+    np.testing.assert_allclose(scales["a"][0], float(jnp.max(jnp.abs(x))), rtol=1e-5)
+    assert scales["a"][1] == 64  # 8x8 input
+    assert scales["b.inner"][0] > 0
+
+
+def test_quantize_tree_min_pixels_keeps_small_convs_bf16():
+    tree = {
+        "big": {"weight": jnp.ones((4, 4, 3, 3)) * 0.1},
+        "small": {"weight": jnp.ones((4, 4, 3, 3)) * 0.1},
+    }
+    scales = {"big": (2.0, 256 * 256), "small": (2.0, 64 * 64)}
+    q = quantize_tree(tree, scales, min_pixels=128 * 128)
+    assert "weight_q" in q["big"] and "a_scale" in q["big"]
+    assert "weight" in q["small"] and "weight_q" not in q["small"]
 
 
 def test_quantize_tree_static_scales_and_skip():
