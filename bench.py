@@ -19,7 +19,12 @@ Modes:
                        the v5e-8 projection is (frames/s per chip) x 8 minus
                        collective overhead — measured, not extrapolated.
 Env knobs: SR_BENCH_QUICK=1 -> tiny model + 64x64 (CI/debug); SR_BENCH_FRAMES;
-  SR_BENCH_TAESD=1 -> realtime TAESD autoencoder mode (PERF.md knob).
+  SR_BENCH_TAESD=1 -> realtime TAESD autoencoder mode (PERF.md knob);
+  SR_BENCH_CONTROL=1 -> the reference's TRUE realtime workload (BASELINE.md
+  config 4, miku-control.json): 4-step LCM cfg 2.0 + 2x ControlNet
+  (normal + depth hints straight from the G-buffer) — the exact workload the
+  reference's published 2-3 fps describes, so vs_baseline compares
+  like-for-like (VERDICT r4 missing #1).
 """
 
 from __future__ import annotations
@@ -68,6 +73,18 @@ def main() -> None:
         stream_kv_layers=(6,) if (stream_mode and stream_kv) else None,
     )
     pipe = DiffusionPipeline.from_random(cfg, tiny=quick)
+    control_mode = os.environ.get("SR_BENCH_CONTROL") == "1"
+    if control_mode:
+        # the miku workload's 2x ControlNet (normalbae + depth,
+        # miku-control.json ControlNetApplyAdvanced strength 0.6/0.6); hints
+        # come from the engine's own G-buffer normal/depth channels — the
+        # stable-rendering substitution for the reference's preprocessor nodes
+        from stable_renderer_tpu.workflow.config import ControlNetSpec
+
+        pipe.add_random_controlnet(
+            ControlNetSpec(source="normal", strength=0.6), seed=5)
+        pipe.add_random_controlnet(
+            ControlNetSpec(source="depth", strength=0.6), seed=6)
     if taesd_mode:
         pipe.with_taesd()
     # segment bound = next pow2 over the scene's vertex count (Sphere(1.0, 48)
@@ -199,6 +216,7 @@ def main() -> None:
 
     print(json.dumps({
         "metric": f"engine-loop img2img fps @ {size}x{size}, 4-step LCM cfg2"
+                  + (" 2xcontrol" if control_mode else "")
                   + (" taesd" if taesd_mode else "")
                   + (" stream" if stream_mode else "")
                   + (" stream-kv" if stream_kv and stream_mode else "")

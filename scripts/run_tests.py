@@ -108,8 +108,11 @@ def main() -> int:
                 if ln.rstrip().endswith("%]")
             )
             if chars and set(chars) <= set(".sxX"):
-                passed = chars.count(".") + chars.count("x") + chars.count("X")
-                skipped = chars.count("s")
+                # '.'=passed, 'x'=xfailed, 'X'=xpassed — count x/X as skipped
+                # rather than passed so the totals stay faithful to pytest's
+                # own accounting (rc==0 guarantees no F/E here)
+                passed = chars.count(".")
+                skipped = chars.count("s") + chars.count("x") + chars.count("X")
                 ok = True
         if not ok or r.returncode not in (0, 1, 5) or (
                 r.returncode == 1 and not failed):

@@ -51,6 +51,7 @@ from stable_renderer_tpu.ops.raster import rasterize_auto, vertex_stage
         "to_uint8",
         "apply_post",
         "stream_init",
+        "stream_version",
     ),
 )
 def frame_step(
@@ -82,6 +83,9 @@ def frame_step(
     stream_init: bool = False,  # static: fill the pipeline from this frame
     stream_kv=None,           # traced per-layer K/V contexts from frame t-1
     # (RenderConfig.stream_kv_layers lag-1 correspondence); None = first frame/off
+    stream_version: int = 0,  # static: pipeline.stream_version — bumped by
+    # enable_stream_mesh so a mesh change retraces this program (the pipeline
+    # itself is identity-hashed and mutation would otherwise be invisible)
 ):
     gbuf = GBuffer.empty(height, width)
     zbuf = jnp.ones((height, width))
@@ -134,6 +138,7 @@ def frame_step(
             nctx,
             stream_init=stream_init,
             kv_state=stream_kv,
+            stream_version=stream_version,
         )
         rgb = images[-1]
         display = jnp.concatenate([rgb, jnp.ones_like(rgb[..., :1])], axis=-1)

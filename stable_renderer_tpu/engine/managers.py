@@ -437,6 +437,7 @@ class RenderManager(Manager):
                 stream_state=self._stream_state if use_stream else None,
                 stream_init=use_stream and self._stream_state is None,
                 stream_kv=self._stream_kv if use_stream else None,
+                stream_version=0 if pipe is None else pipe.stream_version,
             )
         if use_stream:
             self._stream_state = stream_state

@@ -38,11 +38,14 @@ for throughput, exactly like the reference's fp8 switches.
 
 from __future__ import annotations
 
+import logging
 import re
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
+
+logger = logging.getLogger("sr_tpu.quant")
 
 # conv paths kept in bf16 under the default skip policy: the UNet's first
 # (input_blocks.0.0) and last (out.*) convs, the VAE's conv_in/conv_out and
@@ -86,36 +89,56 @@ def quantize_tree(params: Any,
                   act_scales: Optional[Dict[str, Any]] = None,
                   skip_re: Optional[re.Pattern] = DEFAULT_SKIP_RE,
                   min_pixels: int = 0,
-                  _path: str = "") -> Any:
+                  _path: str = "",
+                  _missed: Optional[List[str]] = None) -> Any:
     """Walk a torch-layout param tree and quantize every conv leaf dict
     (a dict with a 4-D ``weight``). Norms (1-D weights) and linears (2-D)
     pass through untouched.
 
     ``act_scales``: {dotted.path: max_abs | (max_abs, pixels)} from
     ``calibrate_act_scales`` — convs present in it get a STATIC activation
-    scale (the fast path); convs absent fall back to dynamic quant.
+    scale (the fast path). When ``act_scales`` is provided, convs ABSENT
+    from it stay bf16 (a calibration miss means no measured range; dynamic
+    quant here is the documented 2.4x end-to-end regression, so never fall
+    back to it silently — the misses are logged). With ``act_scales=None``
+    every conv takes the dynamic path (the memory-only mode).
     ``skip_re``: conv paths to keep in bf16 entirely (default: first/last
     convs). ``min_pixels``: keep convs whose calibrated input spatial size
     (H*W) is below this in bf16 — device traces show XLA's int8 conv beats
     bf16 only at large spatial sizes (512^2 VAE decode: 1.65 -> 0.98 ms at
     256^2, but 0.73 -> 1.59 ms REGRESSION at 64^2 where the s32 accumulator
     gets a T(1,128) layout); see scripts/trace_breakdown.py --int8."""
+    top = _missed is None and act_scales is not None
+    if top:
+        _missed = []
     if isinstance(params, dict):
         if _is_conv_leaf(params):
             if skip_re is not None and skip_re.search(_path):
                 return params
             a = act_scales.get(_path) if act_scales else None
+            if act_scales is not None and a is None:
+                if _missed is not None:
+                    _missed.append(_path)
+                return params  # calibration miss: keep bf16, never dynamic
             px = None
             if isinstance(a, (tuple, list)):
                 a, px = a
             if min_pixels and px is not None and px < min_pixels:
                 return params  # measured: int8 loses to bf16 at small spatial
             return quantize_conv_params(params, a_scale=a)
-        return {
+        out = {
             k: quantize_tree(v, act_scales, skip_re, min_pixels,
-                             _path=f"{_path}.{k}" if _path else str(k))
+                             _path=f"{_path}.{k}" if _path else str(k),
+                             _missed=_missed)
             for k, v in params.items()
         }
+        if top and _missed:
+            logger.warning(
+                "int8 quantization: %d conv(s) missing from act_scales kept "
+                "bf16 (calibration never reached them): %s",
+                len(_missed), ", ".join(_missed[:8])
+                + ("..." if len(_missed) > 8 else ""))
+        return out
     return params
 
 
@@ -166,7 +189,16 @@ def calibrate_act_scales(apply_fn: Callable, params: Any,
 
     Feed a REPRESENTATIVE batch: for an SD UNet, latents at each of the
     sampler schedule's sigmas (activation ranges scale with sigma) x the cfg
-    batch. One compiled eval; scales come back as concrete floats."""
+    batch. One compiled eval; scales come back as concrete floats.
+
+    Requirements (the collector is trace-time Python state):
+      * ``apply_fn`` must NOT wrap an inner ``jax.jit`` — the inner trace
+        would run in a separate context and record nothing;
+      * conv leaf dicts must be the SAME objects as in ``params`` (paths are
+        keyed by ``id()``; rebuilding the dicts breaks the mapping);
+      * not re-entrant: one calibration at a time (module-global collector).
+    Coverage is checked after the run — a warning names every registered
+    conv the traced eval never touched (those stay bf16 in quantize_tree)."""
     pixels: Dict[str, int] = {}
 
     def run(p, *a):
@@ -184,6 +216,15 @@ def calibrate_act_scales(apply_fn: Callable, params: Any,
                 for i, path in _CAL.paths.items() if i in _CAL.maxima}
 
     out = jax.jit(run)(params, *args)
+    registered: Dict[int, str] = {}
+    _register_paths(params, "", registered)
+    missed = sorted(set(registered.values()) - set(out.keys()))
+    if missed:
+        logger.warning(
+            "calibration missed %d/%d conv(s) (path not executed by the "
+            "traced eval, or an inner jit/dict rebuild hid it): %s",
+            len(missed), len(registered),
+            ", ".join(missed[:8]) + ("..." if len(missed) > 8 else ""))
     return {k: (float(v), pixels.get(k, 0))
             for k, v in jax.device_get(out).items()}
 
