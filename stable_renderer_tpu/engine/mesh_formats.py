@@ -6,8 +6,8 @@ assimp). assimp is a CUDA-era C++ dependency this build replaces with small
 numpy readers for the interchange formats that matter in practice: glTF 2.0
 (the modern standard, binary + JSON flavors, node-hierarchy flattened), STL
 (binary + ascii), PLY (ascii + binary_little_endian), COLLADA (.dae, XML)
-and binary FBX (Kaydara node records, zlib arrays). ASCII FBX is the one
-assimp format not covered — re-save as binary or export glTF.
+and FBX in BOTH flavors (binary Kaydara node records with zlib arrays, and
+the ascii node grammar — both feed one geometry extractor).
 
 All parsing is host-side numpy; the arrays then upload once to HBM via the
 render executor's per-mesh device cache.
@@ -571,23 +571,100 @@ def _fbx_read_node(buf: bytes, off: int, version: int):
     return {"name": name, "props": props, "children": children}, end
 
 
+_FBX_ASCII_TOKEN = None  # compiled lazily (import-time regex cost)
+
+
+def _fbx_ascii_nodes(text: str) -> List[dict]:
+    """Parse ASCII FBX into the same {name, props, children} node dicts the
+    binary reader produces (assimp's FBX/FBXParser.cpp covers this grammar in
+    the reference's stack; here it's a ~60-line tokenizer).
+
+    Grammar: ``Name: prop, prop, ... {  children  }`` where props are numbers,
+    quoted strings, bare identifiers (Y/T/W), or ``*N`` array-length markers;
+    array payloads appear as an ``a:`` child whose numeric props become the
+    parent's array prop (matching the binary format's packed arrays)."""
+    global _FBX_ASCII_TOKEN
+    if _FBX_ASCII_TOKEN is None:
+        import re
+
+        _FBX_ASCII_TOKEN = re.compile(
+            r'"[^"]*"|[A-Za-z_][A-Za-z0-9_]*\s*:|[{}]|[^\s{},]+')
+    # strip ';' comments line-wise, then tokenize the whole document
+    body = "\n".join(ln.split(";", 1)[0] for ln in text.splitlines())
+    toks = _FBX_ASCII_TOKEN.findall(body)
+
+    def parse_value(t: str):
+        if t.startswith('"'):
+            return t[1:-1]
+        if t.startswith("*"):  # array length marker: metadata only
+            return None
+        try:
+            return int(t)
+        except ValueError:
+            try:
+                return float(t)
+            except ValueError:
+                return t  # bare identifier (Y, T, W, ...)
+
+    pos = 0
+
+    def parse_nodes(depth: int) -> List[dict]:
+        nonlocal pos
+        out: List[dict] = []
+        while pos < len(toks):
+            t = toks[pos]
+            if t == "}":
+                pos += 1
+                return out
+            if t.endswith(":"):
+                name = t[:-1].rstrip()
+                pos += 1
+                props = []
+                while pos < len(toks) and not toks[pos].endswith(":") \
+                        and toks[pos] not in ("{", "}"):
+                    v = parse_value(toks[pos])
+                    if v is not None:
+                        props.append(v)
+                    pos += 1
+                children: List[dict] = []
+                if pos < len(toks) and toks[pos] == "{":
+                    pos += 1
+                    children = parse_nodes(depth + 1)
+                # fold an `a:` numeric payload into the parent as one array
+                if len(children) == 1 and children[0]["name"] == "a":
+                    props = [np.asarray(children[0]["props"], np.float64)]
+                    children = []
+                out.append({"name": name, "props": props,
+                            "children": children})
+            else:  # stray token (shouldn't happen in valid files)
+                pos += 1
+        return out
+
+    return parse_nodes(0)
+
+
 def load_fbx(path: str | Path) -> ParsedMesh:
-    """Binary FBX: Objects/Geometry Vertices + PolygonVertexIndex (negative-
-    terminated polygons, fan-triangulated) + LayerElementNormal/UV
-    (ByDirect / ByPolygonVertex / IndexToDirect mappings)."""
+    """FBX, binary AND ascii: Objects/Geometry Vertices + PolygonVertexIndex
+    (negative-terminated polygons, fan-triangulated) + LayerElementNormal/UV
+    (ByDirect / ByPolygonVertex / IndexToDirect mappings). Binary files parse
+    via the Kaydara record reader; ascii files via _fbx_ascii_nodes — both
+    feed the same geometry extraction."""
     buf = Path(path).read_bytes()
-    if not buf.startswith(b"Kaydara FBX Binary"):
-        raise ValueError(
-            f"{path}: only binary FBX is supported (ascii FBX: export to "
-            "glTF/dae, or re-save as binary)")
-    version = struct.unpack_from("<I", buf, 23)[0]
-    off = 27
-    top = []
-    while off < len(buf):
-        node, off = _fbx_read_node(buf, off, version)
-        if node is None:
-            break
-        top.append(node)
+    if buf.startswith(b"Kaydara FBX Binary"):
+        version = struct.unpack_from("<I", buf, 23)[0]
+        off = 27
+        top = []
+        while off < len(buf):
+            node, off = _fbx_read_node(buf, off, version)
+            if node is None:
+                break
+            top.append(node)
+    else:
+        try:
+            text = buf.decode("utf-8")
+        except UnicodeDecodeError as e:
+            raise ValueError(f"{path}: neither binary nor ascii FBX") from e
+        top = _fbx_ascii_nodes(text)
 
     def find(nodes, name):
         return [n for n in nodes if n["name"] == name]

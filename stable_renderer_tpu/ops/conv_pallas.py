@@ -1,0 +1,261 @@
+"""Pallas fused 3x3 conv — the SD hot-shape conv kernel (VERDICT r4 #1).
+
+Why a custom conv when XLA already lowers convolutions to the MXU: the SD
+UNet/VAE hot convs (3x3, stride 1, pad 1, NHWC, C in {128..1280}) measure at
+26-67% of bf16 peak under XLA at batch 1-2 (PERF.md per-stage budget), and the
+two layers XLA cannot give us are (a) an int8 path whose quantize/dequantize
+never leaves VMEM — XLA's int8 conv round-trips an s32 accumulator through HBM
+with a T(1,128) layout and REGRESSES below ~128^2 spatial (PERF.md round-4
+int8 notes) — and (b) a GroupNorm-normalize+SiLU prologue fused into the conv
+input read, so a ResBlock's norm->silu->conv chain costs ONE activation
+round-trip instead of two. The round-3 Pallas-GroupNorm lesson (custom calls
+are fusion barriers; see PERF.md "Negative result: Pallas GroupNorm") is
+designed around, not ignored: the group statistics stay in XLA where they fuse
+into the producing op's epilogue, and only the tiny per-(N,C) scale/shift
+rows cross into this kernel as operands.
+
+Kernel shape (TPU-native, not a translation — the reference just calls
+cuDNN through torch, comfy/ops.py Conv2d):
+
+  * conv-as-9-shifted-GEMMs: for tap (dy, dx), out += X_shifted @ W[dy, dx],
+    with X flattened to (rows*W, Cin) so every tap is one MXU matmul over the
+    whole row-block. Horizontal (dx) shifts are sublane ``pltpu.roll``s of the
+    slab plus a column-edge mask (the roll's wrap element lands exactly on a
+    masked column); vertical (dy) shifts are row offsets into a haloed window.
+  * the halo: each grid step owns BH output rows but reads BH+2 input rows via
+    an element-granular ``pl.Element`` window (overlapping BlockSpec windows,
+    stride BH, size BH+2) — no host/XLA zero-padding pass; out-of-image halo
+    rows are select-masked in VMEM (Element edge padding is undefined memory).
+  * full Cin per block (every SD hot shape fits VMEM), so each grid step
+    computes its output tile in one shot — no cross-step accumulator state.
+  * int8 mode: int8 HWIO weights + per-output-channel w_scale + a STATIC
+    per-tensor activation scale (models/quant.py calibration): the slab is
+    quantized once in VMEM, all 9 taps run int8 x int8 -> s32 on the MXU's 2x
+    int8 rate, and dequantization is one f32 multiply on the accumulator —
+    nothing int8-shaped ever touches HBM except the (halved) weights.
+
+Reference semantics anchor: comfy/ldm/modules/diffusionmodules/openaimodel.py
+ResBlock (GN -> SiLU -> conv 3x3 pad 1) and comfy/ldm/models (VAE
+ResnetBlock); the reference runs these through torch/cuDNN with fp16/fp8
+casts (comfy/ops.py, model_management.py), which has no TPU meaning.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_blocks(h: int, w: int, cin: int, cout: int,
+                 bytes_per_elem: int) -> tuple:
+    """(BH, BCO): largest row-block x output-channel-block fitting ~10 MB of
+    the 16 MB VMEM, accounting for double-buffered slab/weights/output plus
+    the f32 accumulator."""
+    budget = 10 * 1024 * 1024
+
+    def cost(bh, bco):
+        slab = 2 * (bh + 2) * w * cin * bytes_per_elem
+        wgt = 2 * 9 * cin * bco * bytes_per_elem
+        acc = bh * w * bco * 4
+        out = 2 * bh * w * bco * 2
+        return slab + wgt + acc + out
+
+    # Mosaic lane constraint: the Cout block must be a multiple of 128 or the
+    # whole Cout (320/640-channel UNet levels take the full-Cout block)
+    cands = [cout] + [d for d in (1024, 512, 256, 128)
+                      if d < cout and cout % d == 0]
+    bco = cout
+    for c in cands:
+        bco = c
+        if cost(1, c) <= budget // 2:
+            break
+    bh = h
+    while bh > 1 and (h % bh or cost(bh, bco) > budget):
+        bh //= 2
+    return bh, bco
+
+
+def _conv3x3_kernel(
+    x_ref,       # (1, BH+2, W, Cin) haloed input window
+    w_ref,       # (3, 3, Cin, BCO)
+    b_ref,       # (1, BCO) f32 bias (zeros when absent)
+    ps_ref,      # (N, Cin) f32 prologue scale, FULL array (tiny; Mosaic
+    pb_ref,      # (N, Cin) f32 prologue shift    forbids (1, C) row blocks)
+    ws_ref,      # (1, BCO) f32 int8 weight scales (unused unless int8)
+    o_ref,       # (1, BH, W, BCO)
+    *,
+    h: int,
+    w_img: int,
+    bh: int,
+    act: Optional[str],
+    pre: bool,
+    pre_act: Optional[str],
+    a_scale: Optional[float],
+    out_dtype,
+):
+    ni = pl.program_id(0)
+    hi = pl.program_id(2)
+    m_halo = (bh + 2) * w_img
+    cin = x_ref.shape[-1]
+
+    xs = x_ref[0].reshape(m_halo, cin)
+    if pre:
+        # fused GroupNorm-normalize (+ activation): the per-(N, C) scale and
+        # shift rows are tiny XLA-side math; applying them here makes the
+        # ResBlock's norm -> act -> conv chain a single activation read
+        xs = xs * ps_ref[ni][None, :].astype(xs.dtype) \
+            + pb_ref[ni][None, :].astype(xs.dtype)
+        if pre_act == "silu":
+            xs = jax.nn.silu(xs)
+
+    # mask out-of-image halo rows: slab row k is padded row hi*bh + k, valid
+    # padded rows are [1, h]. Select (never multiply): halo memory may be NaN.
+    row = jax.lax.broadcasted_iota(jnp.int32, (m_halo, 1), 0) // w_img + hi * bh
+    xs = jnp.where((row >= 1) & (row <= h), xs, 0)
+
+    if a_scale is not None:
+        inv = 1.0 / float(a_scale)
+        xs = jnp.clip(jnp.round(xs.astype(jnp.float32) * inv),
+                      -127, 127).astype(jnp.int8)
+        acc_t = jnp.int32
+    else:
+        acc_t = jnp.float32
+
+    # dx variants: x0[m] = xs[m-1] (left tap), x2[m] = xs[m+1] (right tap)
+    col = jax.lax.broadcasted_iota(jnp.int32, (m_halo, 1), 0) % w_img
+    zero = jnp.zeros_like(xs)
+    x0 = jnp.where(col != 0, pltpu.roll(xs, 1, 0), zero)
+    x2 = jnp.where(col != w_img - 1, pltpu.roll(xs, m_halo - 1, 0), zero)
+
+    m_out = bh * w_img
+    acc = None
+    for dy in range(3):
+        base = dy * w_img
+        for dx, xv in enumerate((x0, xs, x2)):
+            part = jax.lax.dot_general(
+                xv[base:base + m_out], w_ref[dy, dx],
+                (((1,), (0,)), ((), ())), preferred_element_type=acc_t,
+            )
+            acc = part if acc is None else acc + part
+
+    if a_scale is not None:
+        out = acc.astype(jnp.float32) * (float(a_scale) * ws_ref[0][None, :])
+    else:
+        out = acc
+    out = out + b_ref[0][None, :]
+    if act == "silu":
+        out = jax.nn.silu(out)
+    o_ref[0] = out.reshape(bh, w_img, -1).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("act", "pre_act", "a_scale", "block_h", "block_co",
+                     "out_dtype"),
+)
+def conv3x3_pallas(
+    x: jax.Array,                      # (N, H, W, Cin) bf16/f32
+    w: jax.Array,                      # (3, 3, Cin, Cout) HWIO; int8 if a_scale
+    bias: Optional[jax.Array] = None,  # (Cout,)
+    *,
+    act: Optional[str] = None,         # epilogue: None | 'silu'
+    pre_scale: Optional[jax.Array] = None,  # (N, Cin) f32 prologue rows
+    pre_shift: Optional[jax.Array] = None,
+    pre_act: Optional[str] = None,     # prologue activation: None | 'silu'
+    a_scale: Optional[float] = None,   # static int8 activation scale
+    w_scale: Optional[jax.Array] = None,  # (Cout,) f32 int8 weight scales
+    block_h: Optional[int] = None,
+    block_co: Optional[int] = None,
+    out_dtype=None,
+) -> jax.Array:
+    """3x3 stride-1 pad-1 conv on NHWC with fused prologue/epilogue. See the
+    module docstring. Exactness vs lax.conv_general_dilated asserted in
+    tests/test_conv_pallas.py."""
+    n, h, w_img, cin = x.shape
+    cout = w.shape[-1]
+    out_dtype = out_dtype or x.dtype
+    int8_mode = a_scale is not None
+    if int8_mode:
+        assert w.dtype == jnp.int8 and w_scale is not None
+    bpe = 1 if int8_mode else x.dtype.itemsize
+
+    bh0, bco0 = _pick_blocks(h, w_img, cin, cout, bpe)
+    bh = block_h or bh0
+    while h % bh:
+        bh //= 2
+    bco = block_co or bco0
+    while cout % bco:
+        bco //= 2
+
+    bias_f = (jnp.zeros((cout,), jnp.float32) if bias is None
+              else bias.astype(jnp.float32)).reshape(1, cout)
+    pre = pre_scale is not None
+    ps = (pre_scale.astype(jnp.float32) if pre
+          else jnp.zeros((n, cin), jnp.float32))
+    pb = (pre_shift.astype(jnp.float32) if pre_shift is not None
+          else jnp.zeros((n, cin), jnp.float32))
+    ws = (w_scale.astype(jnp.float32) if w_scale is not None
+          else jnp.zeros((cout,), jnp.float32)).reshape(1, cout)
+
+    # grid order (n, co, hi): hi innermost so the weight block stays resident
+    # across a whole row sweep; the input slab refetches per co block, but
+    # n_co > 1 only at the tiny-spatial/huge-channel shapes
+    grid = (n, cout // bco, h // bh)
+    kernel = functools.partial(
+        _conv3x3_kernel,
+        h=h, w_img=w_img, bh=bh, act=act, pre=pre, pre_act=pre_act,
+        a_scale=a_scale, out_dtype=out_dtype,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            # haloed window: element-granular start hi*bh in (1,1)-padded row
+            # coords == unpadded rows [hi*bh-1, hi*bh+bh+1); edge garbage is
+            # select-masked in-kernel
+            pl.BlockSpec((1, pl.Element(bh + 2, (1, 1)), w_img, cin),
+                         lambda ni, co, hi: (ni, hi * bh, 0, 0)),
+            pl.BlockSpec((3, 3, cin, bco),
+                         lambda ni, co, hi: (0, 0, 0, co)),
+            pl.BlockSpec((1, bco), lambda ni, co, hi: (0, co)),
+            pl.BlockSpec((n, cin), lambda ni, co, hi: (0, 0)),
+            pl.BlockSpec((n, cin), lambda ni, co, hi: (0, 0)),
+            pl.BlockSpec((1, bco), lambda ni, co, hi: (0, co)),
+        ],
+        out_specs=pl.BlockSpec((1, bh, w_img, bco),
+                               lambda ni, co, hi: (ni, hi, 0, co)),
+        out_shape=jax.ShapeDtypeStruct((n, h, w_img, cout), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * w_img * cin * cout * 9,
+            bytes_accessed=n * h * w_img * (cin + cout) * bpe
+            + 9 * cin * cout * bpe,
+            transcendentals=n * h * w_img * cout if act else 0,
+        ),
+    )(x, w, bias_f, ps, pb, ws)
+    return out
+
+
+def conv3x3_reference(x, w, bias=None, *, act=None, pre_scale=None,
+                      pre_shift=None, pre_act=None):
+    """XLA implementation with identical semantics (tests/sweeps and the
+    non-TPU fallback of the fused-prologue path)."""
+    if pre_scale is not None:
+        bshape = (x.shape[0], 1, 1, x.shape[-1])
+        x = x * pre_scale.reshape(bshape).astype(x.dtype) \
+            + pre_shift.reshape(bshape).astype(x.dtype)
+        if pre_act == "silu":
+            x = jax.nn.silu(x)
+    out = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(1, 1),
+        padding=[(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    if act == "silu":
+        out = jax.nn.silu(out)
+    return out
