@@ -54,9 +54,11 @@ def main() -> None:
     from stable_renderer_tpu.workflow.config import RenderConfig
 
     if jax.devices()[0].platform != "cpu" and os.environ.get("SR_NO_PALLAS") != "1":
+        from stable_renderer_tpu.ops.conv_pallas import use_pallas_conv
         from stable_renderer_tpu.ops.flash_attention import use_pallas_attention
 
         use_pallas_attention(True)
+        use_pallas_conv(True)  # fused 3x3 conv kernel at the measured shapes
 
     size = 64 if quick else 512
     taesd_mode = os.environ.get("SR_BENCH_TAESD") == "1"

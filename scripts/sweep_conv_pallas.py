@@ -40,35 +40,46 @@ def _force(x):
     return float(np.asarray(jax.tree_util.tree_leaves(x)[0][(0,) * 4]))
 
 
-def time_chain(make_step, x, k1=4, k2=8, reps=3):
-    """Marginal per-op seconds via (t(k2) - t(k1)) / (k2 - k1), best of reps."""
+def time_chain(make_step, x, k1=32, k2=96, reps=4, tag=""):
+    """Marginal per-op seconds via in-jit fori_loop pair chains:
+    ((t(k2) - t(k1)) / (k2 - k1)) / 2 ops per iteration. The big iteration
+    counts push the signal far above the ~29 ms tunnel sync RT (unrolled
+    4-vs-16 chains measured NEGATIVE marginals — pure tunnel noise; this is
+    the PERF.md in-jit repetition methodology)."""
 
     def chain(k):
         @jax.jit
         def f(x):
-            h = x
-            for i in range(k):
-                h = make_step(i)(h)
-            return h
+            def body(_, h):
+                return make_step(1)(make_step(0)(h))
+
+            return jax.lax.fori_loop(0, k, body, x)
 
         return f
 
     f1, f2 = chain(k1), chain(k2)
-    _force(f1(x)); _force(f2(x))  # compile both
+    t0 = time.time(); _force(f1(x)); _force(f2(x))  # compile both
+    print(f"    [{tag} compiled in {time.time()-t0:.0f}s]", flush=True)
     best = float("inf")
     for _ in range(reps):
         t0 = time.time(); _force(f1(x)); ta = time.time() - t0
         t0 = time.time(); _force(f2(x)); tb = time.time() - t0
-        best = min(best, (tb - ta) / (k2 - k1))
+        best = min(best, (tb - ta) / (k2 - k1) / 2)
     return best
 
 
 def main():
+    import os
+
     dt = jnp.bfloat16
     rng = np.random.default_rng(0)
-    print(f"device: {jax.devices()[0]}")
+    print(f"device: {jax.devices()[0]}", flush=True)
+    shapes = SHAPES
+    sel = os.environ.get("SR_SWEEP_SHAPES")  # e.g. "0,4,8"
+    if sel:
+        shapes = [SHAPES[int(i)] for i in sel.split(",")]
     rows = []
-    for (n, h, w_img, ci, co) in SHAPES:
+    for (n, h, w_img, ci, co) in shapes:
         x = jnp.asarray(rng.normal(size=(n, h, w_img, ci)), dt)
         wa = jnp.asarray(rng.normal(size=(3, 3, ci, co)) * 0.02, dt)
         wb = jnp.asarray(rng.normal(size=(3, 3, co, ci)) * 0.02, dt)

@@ -268,6 +268,67 @@ def cmd_upscale(args) -> int:
     return 0
 
 
+def cmd_validate(args) -> int:
+    """One-command real-checkpoint validation (VERDICT r4 next #7): run the 5
+    BASELINE.md benchmark configs + the image-level correspondence A/B +
+    temporal-flicker scoring against a real SD1.5 checkpoint, and append the
+    results to PARITY.json. Skips cleanly with one line when no checkpoint is
+    available (random weights make image-level numbers meaningless)."""
+    import json
+    import subprocess
+    import time
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    if not args.ckpt or not Path(args.ckpt).exists():
+        print("validate: SKIPPED — no SD checkpoint available "
+              f"({args.ckpt or '--ckpt not given'}); image-level parity "
+              "numbers need real weights (PARITY.md).")
+        return 0
+
+    py = sys.executable
+    ck = str(Path(args.ckpt).resolve())
+    # (name, argv, needs) — the 5 BASELINE.json configs map 1:1 onto the
+    # reference's example scripts, plus the two parity harnesses
+    steps = [
+        ("bake_ball", [py, "scripts/bake_ball.py", "--no-diffusion",
+                       "--frames", "4"], None),
+        ("boat_img2img", [py, "scripts/boat_example.py", "--checkpoint", ck,
+                          "--frames", "2"], None),
+        ("corrmap_replay", [py, "scripts/corrmap_render_example.py",
+                            "--frames", "4"], None),
+        ("miku_controlnet", [py, "scripts/miku_controlnet_example.py",
+                             "--checkpoint", ck, "--frames", "2"]
+         + (["--controlnet", args.controlnet] if args.controlnet else []),
+         None),
+        ("multi_obj_stream", [py, "scripts/multi_obj_example.py",
+                              "--frames", "4"], None),
+        ("diffusion_ab", [py, "scripts/diffusion_ab.py", "--ckpt", ck], None),
+        ("flicker_parity", [py, "scripts/flicker_parity.py"]
+         + (["--lpips", args.lpips] if args.lpips else []), None),
+    ]
+    results = {}
+    for name, argv_, _ in steps:
+        t0 = time.time()
+        r = subprocess.run(argv_, cwd=root, capture_output=True, text=True,
+                           timeout=args.step_timeout)
+        ok = r.returncode == 0
+        results[name] = {"ok": ok, "seconds": round(time.time() - t0, 1)}
+        print(f"validate[{name}]: {'ok' if ok else 'FAILED'} "
+              f"({results[name]['seconds']}s)")
+        if not ok:
+            tail = "\n".join((r.stdout + r.stderr).splitlines()[-8:])
+            print(tail)
+    pj = root / "PARITY.json"
+    data = json.loads(pj.read_text()) if pj.exists() else {}
+    data["validate"] = {"ckpt": Path(ck).name, "steps": results,
+                        "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
+    pj.write_text(json.dumps(data, indent=2) + "\n")
+    print(f"validate: wrote PARITY.json 'validate' entry "
+          f"({sum(v['ok'] for v in results.values())}/{len(results)} ok)")
+    return 0 if all(v["ok"] for v in results.values()) else 1
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="stable_renderer_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -325,6 +386,19 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("bench", help="headline benchmark")
     p.set_defaults(fn=lambda a: __import__("bench").main() or 0)
+
+    p = sub.add_parser(
+        "validate",
+        help="run the 5 BASELINE configs + image A/B + flicker vs a real "
+             "checkpoint, write PARITY.json entries (skips without --ckpt)")
+    p.add_argument("--ckpt", type=str, default=None,
+                   help="SD1.5 checkpoint (.safetensors)")
+    p.add_argument("--controlnet", type=str, default=None,
+                   help="optional controlnet .safetensors for config 4")
+    p.add_argument("--lpips", type=str, default=None,
+                   help="optional VGG16/LPIPS weights for the LPIPS metric")
+    p.add_argument("--step-timeout", type=int, default=3600)
+    p.set_defaults(fn=cmd_validate)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -26,6 +26,22 @@ def linear(p: dict, x: jax.Array) -> jax.Array:
     return out
 
 
+_conv_pallas_on = False  # set by ops.conv_pallas.use_pallas_conv (TPU only)
+
+
+def _pallas_conv_gate(h: int, w: int, cin: int, cout: int) -> bool:
+    """Measured routing table (scripts/sweep_conv_pallas.py, v5e fori-loop
+    marginals): the Pallas kernel wins at >= 64^2 spatial with big channels
+    (bf16 1.1-1.3x, int8 1.5-2.3x); below 64^2 the ops are sub-0.1 ms and
+    XLA's fusion wins; 256^2 x cin>=512 measured 0.97x — keep XLA there."""
+    px = h * w
+    if px < 64 * 64 or cin < 128 or cout < 128:
+        return False
+    if px == 256 * 256 and cin >= 512:
+        return False
+    return True
+
+
 def conv2d(p: dict, x: jax.Array, stride: int = 1, padding: int = 0) -> jax.Array:
     """torch nn.Conv2d on NHWC activations; weight (O, I, kH, kW).
 
@@ -36,8 +52,22 @@ def conv2d(p: dict, x: jax.Array, stride: int = 1, padding: int = 0) -> jax.Arra
     keep torch's OIHW and still work.
 
     Params quantized by models.quant.quantize_tree carry ``weight_q``
-    (int8 HWIO) instead and take the int8 MXU path."""
+    (int8 HWIO) instead and take the int8 MXU path. On TPU with
+    ``use_pallas_conv(True)``, eligible 3x3 stride-1 convs (bf16 HWIO and
+    calibrated int8 alike) route to ops/conv_pallas.py's fused kernel
+    (_pallas_conv_gate — the measured shape table)."""
     if "weight_q" in p:
+        if (_conv_pallas_on and stride == 1 and padding == 1
+                and p["weight_q"].shape[:2] == (3, 3)
+                and "a_scale" in p
+                and _pallas_conv_gate(x.shape[1], x.shape[2],
+                                      x.shape[3], p["weight_q"].shape[-1])):
+            from stable_renderer_tpu.ops.conv_pallas import conv3x3_pallas
+
+            return conv3x3_pallas(
+                x, p["weight_q"], p.get("bias"),
+                a_scale=p["a_scale"], w_scale=p["w_scale"],
+                out_dtype=x.dtype)
         from stable_renderer_tpu.models.quant import conv2d_q
 
         return conv2d_q(p, x, stride=stride, padding=padding)
@@ -51,6 +81,13 @@ def conv2d(p: dict, x: jax.Array, stride: int = 1, padding: int = 0) -> jax.Arra
     else:
         w = p["weight"].astype(x.dtype)
         dn = ("NHWC", "OIHW", "NHWC")
+    if (_conv_pallas_on and stride == 1 and padding == 1
+            and "w_hwio" in p and w.shape[:2] == (3, 3)
+            and _pallas_conv_gate(x.shape[1], x.shape[2],
+                                  x.shape[3], w.shape[-1])):
+        from stable_renderer_tpu.ops.conv_pallas import conv3x3_pallas
+
+        return conv3x3_pallas(x, w, p.get("bias"), out_dtype=x.dtype)
     out = jax.lax.conv_general_dilated(
         x,
         w,
@@ -64,6 +101,49 @@ def conv2d(p: dict, x: jax.Array, stride: int = 1, padding: int = 0) -> jax.Arra
 
 
 _group_norm_pallas_on = False  # set by ops.flash_attention.use_pallas_attention
+
+
+def norm_act_conv(pnorm: dict, pconv: dict, x: jax.Array,
+                  num_groups: int = 32, eps: float = 1e-6) -> jax.Array:
+    """The ResBlock hot chain GroupNorm -> SiLU -> conv3x3(pad 1) as ONE
+    fused Pallas kernel when routed (openaimodel.py ResBlock in_layers /
+    model.py ResnetBlock): the group statistics are two cheap XLA reduces
+    that fuse into the producer; the normalize multiply-add + SiLU + conv
+    run inside conv_pallas's prologue, so the activation crosses HBM once
+    instead of twice. Falls back to group_norm(act='silu') + conv2d when the
+    kernel isn't routed (CPU, ineligible shape, quantized tree — the int8
+    path keeps its own calibrated pre-conv scale semantics)."""
+    n, h, w, c = x.shape
+    eligible = (_conv_pallas_on and "w_hwio" in pconv
+                and "weight_q" not in pconv
+                and pconv["w_hwio"].shape[:2] == (3, 3)
+                and _pallas_conv_gate(h, w, c, pconv["w_hwio"].shape[-1]))
+    if not eligible:
+        return conv2d(pconv, group_norm(pnorm, x, num_groups, eps,
+                                        act="silu"), padding=1)
+    from stable_renderer_tpu.ops.conv_pallas import conv3x3_pallas
+
+    g = num_groups
+    while c % g:
+        g //= 2
+    spatial = h * w
+    xf = x.reshape(n, spatial, c)
+    s1 = jnp.sum(xf, axis=1, dtype=jnp.float32)
+    s2 = jnp.sum(jnp.square(xf), axis=1, dtype=jnp.float32)
+    cnt = float(spatial * (c // g))
+    gs1 = jnp.sum(s1.reshape(n, g, c // g), axis=-1)
+    gs2 = jnp.sum(s2.reshape(n, g, c // g), axis=-1)
+    mean_g = gs1 / cnt
+    var_g = jnp.maximum(gs2 / cnt - mean_g * mean_g, 0.0)
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.repeat(mean_g, c // g, axis=-1)
+    rstd_c = jnp.repeat(rstd_g, c // g, axis=-1)
+    scale = rstd_c * pnorm["weight"].astype(jnp.float32)[None]   # (N, C)
+    shift = pnorm["bias"].astype(jnp.float32)[None] - mean_c * scale
+    return conv3x3_pallas(
+        x, pconv["w_hwio"].astype(x.dtype), pconv.get("bias"),
+        pre_scale=scale, pre_shift=shift, pre_act="silu",
+        out_dtype=x.dtype)
 
 
 def group_norm(p: dict, x: jax.Array, num_groups: int = 32, eps: float = 1e-6,

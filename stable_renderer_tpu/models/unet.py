@@ -37,6 +37,7 @@ from stable_renderer_tpu.models.layers import (
     group_norm,
     layer_norm,
     linear,
+    norm_act_conv,
     silu,
     timestep_embedding,
     upsample_nearest_2x,
@@ -228,12 +229,10 @@ def res_block(p: dict, x: jax.Array, emb: jax.Array) -> jax.Array:
     default eps), unlike the transformer/VAE Normalize's explicit 1e-6 —
     numeric parity vs the reference is asserted in tests/test_torch_parity.py.
     """
-    h = group_norm(p["in_layers"]["0"], x, eps=1e-5, act="silu")
-    h = conv2d(p["in_layers"]["2"], h, padding=1)
+    h = norm_act_conv(p["in_layers"]["0"], p["in_layers"]["2"], x, eps=1e-5)
     emb_out = linear(p["emb_layers"]["1"], silu(emb))
     h = h + emb_out[:, None, None, :].astype(h.dtype)
-    h = group_norm(p["out_layers"]["0"], h, eps=1e-5, act="silu")
-    h = conv2d(p["out_layers"]["3"], h, padding=1)
+    h = norm_act_conv(p["out_layers"]["0"], p["out_layers"]["3"], h, eps=1e-5)
     if "skip_connection" in p:
         x = conv2d(p["skip_connection"], x)
     return x + h

@@ -24,6 +24,7 @@ from stable_renderer_tpu.models.layers import (
     avg_pool_2x,
     conv2d,
     group_norm,
+    norm_act_conv,
     silu,
     upsample_nearest_2x,
 )
@@ -46,8 +47,8 @@ TINY_VAE_CONFIG = VAEConfig(ch=16, ch_mult=(1, 2), num_res_blocks=1)
 
 
 def _resnet(p: dict, x: jax.Array) -> jax.Array:
-    h = conv2d(p["conv1"], silu(group_norm(p["norm1"], x)), padding=1)
-    h = conv2d(p["conv2"], silu(group_norm(p["norm2"], h)), padding=1)
+    h = norm_act_conv(p["norm1"], p["conv1"], x)
+    h = norm_act_conv(p["norm2"], p["conv2"], h)
     if "nin_shortcut" in p:
         x = conv2d(p["nin_shortcut"], x)
     return x + h

@@ -19,12 +19,15 @@ cuDNN through torch, comfy/ops.py Conv2d):
 
   * conv-as-9-shifted-GEMMs: for tap (dy, dx), out += X_shifted @ W[dy, dx],
     with X flattened to (rows*W, Cin) so every tap is one MXU matmul over the
-    whole row-block. Horizontal (dx) shifts are sublane ``pltpu.roll``s of the
-    slab plus a column-edge mask (the roll's wrap element lands exactly on a
-    masked column); vertical (dy) shifts are row offsets into a haloed window.
-  * the halo: each grid step owns BH output rows but reads BH+2 input rows via
+    whole row-block. BOTH shift directions are static sublane slices into one
+    over-sized halo window — in flattened NHWC, tap (dy, dx)'s operand is the
+    slab rows [m + dy*W + dx - 1], so a 2-row top/bottom halo makes every
+    slice in-bounds (Mosaic cannot rotate packed bf16 sublanes, so no rolls).
+    Column-edge contamination (a dx shift pulling the neighbouring row's edge
+    pixel) is select-masked per dx variant.
+  * the halo: each grid step owns BH output rows but reads BH+4 input rows via
     an element-granular ``pl.Element`` window (overlapping BlockSpec windows,
-    stride BH, size BH+2) — no host/XLA zero-padding pass; out-of-image halo
+    stride BH, size BH+4) — no host/XLA zero-padding pass; out-of-image halo
     rows are select-masked in VMEM (Element edge padding is undefined memory).
   * full Cin per block (every SD hot shape fits VMEM), so each grid step
     computes its output tile in one shot — no cross-step accumulator state.
@@ -59,7 +62,7 @@ def _pick_blocks(h: int, w: int, cin: int, cout: int,
     budget = 10 * 1024 * 1024
 
     def cost(bh, bco):
-        slab = 2 * (bh + 2) * w * cin * bytes_per_elem
+        slab = 2 * (bh + 4) * w * cin * bytes_per_elem
         wgt = 2 * 9 * cin * bco * bytes_per_elem
         acc = bh * w * bco * 4
         out = 2 * bh * w * bco * 2
@@ -87,6 +90,8 @@ def _conv3x3_kernel(
     ps_ref,      # (N, Cin) f32 prologue scale, FULL array (tiny; Mosaic
     pb_ref,      # (N, Cin) f32 prologue shift    forbids (1, C) row blocks)
     ws_ref,      # (1, BCO) f32 int8 weight scales (unused unless int8)
+    as_ref,      # (1, 1) f32 SMEM int8 activation scale — an OPERAND, not a
+    # static value: calibrated scales live in the params pytree (traced)
     o_ref,       # (1, BH, W, BCO)
     *,
     h: int,
@@ -95,56 +100,60 @@ def _conv3x3_kernel(
     act: Optional[str],
     pre: bool,
     pre_act: Optional[str],
-    a_scale: Optional[float],
+    int8_mode: bool,
     out_dtype,
 ):
     ni = pl.program_id(0)
     hi = pl.program_id(2)
-    m_halo = (bh + 2) * w_img
+    m_slab = (bh + 4) * w_img   # 2-row halo above AND below (see docstring)
+    m_win = (bh + 2) * w_img    # the 1-row-halo window the dx variants cover
     cin = x_ref.shape[-1]
 
-    xs = x_ref[0].reshape(m_halo, cin)
+    xs = x_ref[0].reshape(m_slab, cin)
     if pre:
         # fused GroupNorm-normalize (+ activation): the per-(N, C) scale and
         # shift rows are tiny XLA-side math; applying them here makes the
-        # ResBlock's norm -> act -> conv chain a single activation read
+        # ResBlock's norm -> act -> conv chain a single activation read.
+        # The wrapper zero-pads 2 halo rows top/bottom; the prologue turns
+        # them into silu(shift) != 0, so restore them to zero (slab row k is
+        # padded row hi*bh + k; real rows are [2, h+1]).
         xs = xs * ps_ref[ni][None, :].astype(xs.dtype) \
             + pb_ref[ni][None, :].astype(xs.dtype)
         if pre_act == "silu":
             xs = jax.nn.silu(xs)
+        row = (jax.lax.broadcasted_iota(jnp.int32, (m_slab, 1), 0) // w_img
+               + hi * bh)
+        xs = jnp.where((row >= 2) & (row <= h + 1), xs, 0)
 
-    # mask out-of-image halo rows: slab row k is padded row hi*bh + k, valid
-    # padded rows are [1, h]. Select (never multiply): halo memory may be NaN.
-    row = jax.lax.broadcasted_iota(jnp.int32, (m_halo, 1), 0) // w_img + hi * bh
-    xs = jnp.where((row >= 1) & (row <= h), xs, 0)
-
-    if a_scale is not None:
-        inv = 1.0 / float(a_scale)
+    if int8_mode:
+        inv = 1.0 / as_ref[0, 0]
         xs = jnp.clip(jnp.round(xs.astype(jnp.float32) * inv),
                       -127, 127).astype(jnp.int8)
         acc_t = jnp.int32
     else:
         acc_t = jnp.float32
 
-    # dx variants: x0[m] = xs[m-1] (left tap), x2[m] = xs[m+1] (right tap)
-    col = jax.lax.broadcasted_iota(jnp.int32, (m_halo, 1), 0) % w_img
-    zero = jnp.zeros_like(xs)
-    x0 = jnp.where(col != 0, pltpu.roll(xs, 1, 0), zero)
-    x2 = jnp.where(col != w_img - 1, pltpu.roll(xs, m_halo - 1, 0), zero)
+    # dx variants over the inner window: v_dx[j] = xs[j + W + dx - 1], i.e.
+    # the whole slab shifted so tap (dy, dx) is the static slice
+    # v_dx[dy*W : dy*W + m_out]. Static sublane slices — no rotates.
+    col = jax.lax.broadcasted_iota(jnp.int32, (m_win, 1), 0) % w_img
+    x0 = jnp.where(col != 0, xs[w_img - 1: w_img - 1 + m_win], 0)
+    x1 = xs[w_img: w_img + m_win]
+    x2 = jnp.where(col != w_img - 1, xs[w_img + 1: w_img + 1 + m_win], 0)
 
     m_out = bh * w_img
     acc = None
     for dy in range(3):
         base = dy * w_img
-        for dx, xv in enumerate((x0, xs, x2)):
+        for dx, xv in enumerate((x0, x1, x2)):
             part = jax.lax.dot_general(
                 xv[base:base + m_out], w_ref[dy, dx],
                 (((1,), (0,)), ((), ())), preferred_element_type=acc_t,
             )
             acc = part if acc is None else acc + part
 
-    if a_scale is not None:
-        out = acc.astype(jnp.float32) * (float(a_scale) * ws_ref[0][None, :])
+    if int8_mode:
+        out = acc.astype(jnp.float32) * (as_ref[0, 0] * ws_ref[0][None, :])
     else:
         out = acc
     out = out + b_ref[0][None, :]
@@ -155,19 +164,19 @@ def _conv3x3_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("act", "pre_act", "a_scale", "block_h", "block_co",
-                     "out_dtype"),
+    static_argnames=("act", "pre_act", "block_h", "block_co", "out_dtype"),
 )
 def conv3x3_pallas(
     x: jax.Array,                      # (N, H, W, Cin) bf16/f32
-    w: jax.Array,                      # (3, 3, Cin, Cout) HWIO; int8 if a_scale
+    w: jax.Array,                      # (3, 3, Cin, Cout) HWIO; int8 => int8 mode
     bias: Optional[jax.Array] = None,  # (Cout,)
     *,
     act: Optional[str] = None,         # epilogue: None | 'silu'
     pre_scale: Optional[jax.Array] = None,  # (N, Cin) f32 prologue rows
     pre_shift: Optional[jax.Array] = None,
     pre_act: Optional[str] = None,     # prologue activation: None | 'silu'
-    a_scale: Optional[float] = None,   # static int8 activation scale
+    a_scale=None,                      # int8 activation scale (traced scalar
+    # or float — calibrated scales live in the params pytree)
     w_scale: Optional[jax.Array] = None,  # (Cout,) f32 int8 weight scales
     block_h: Optional[int] = None,
     block_co: Optional[int] = None,
@@ -179,9 +188,9 @@ def conv3x3_pallas(
     n, h, w_img, cin = x.shape
     cout = w.shape[-1]
     out_dtype = out_dtype or x.dtype
-    int8_mode = a_scale is not None
+    int8_mode = w.dtype == jnp.int8
     if int8_mode:
-        assert w.dtype == jnp.int8 and w_scale is not None
+        assert a_scale is not None and w_scale is not None
     bpe = 1 if int8_mode else x.dtype.itemsize
 
     bh0, bco0 = _pick_blocks(h, w_img, cin, cout, bpe)
@@ -201,24 +210,34 @@ def conv3x3_pallas(
           else jnp.zeros((n, cin), jnp.float32))
     ws = (w_scale.astype(jnp.float32) if w_scale is not None
           else jnp.zeros((cout,), jnp.float32)).reshape(1, cout)
+    asv = jnp.asarray(a_scale if a_scale is not None else 1.0,
+                      jnp.float32).reshape(1, 1)
 
     # grid order (n, co, hi): hi innermost so the weight block stays resident
     # across a whole row sweep; the input slab refetches per co block, but
     # n_co > 1 only at the tiny-spatial/huge-channel shapes
+    # 2-row zero halo top/bottom: Mosaic rejects low-padded Element windows,
+    # so the pad happens XLA-side (usually fused with the producer; worst
+    # case one extra input round-trip, ~2 orders below the conv's compute)
+    x = jnp.pad(x, ((0, 0), (2, 2), (0, 0), (0, 0)))
+
     grid = (n, cout // bco, h // bh)
     kernel = functools.partial(
         _conv3x3_kernel,
         h=h, w_img=w_img, bh=bh, act=act, pre=pre, pre_act=pre_act,
-        a_scale=a_scale, out_dtype=out_dtype,
+        int8_mode=int8_mode, out_dtype=out_dtype,
     )
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            # haloed window: element-granular start hi*bh in (1,1)-padded row
-            # coords == unpadded rows [hi*bh-1, hi*bh+bh+1); edge garbage is
-            # select-masked in-kernel
-            pl.BlockSpec((1, pl.Element(bh + 2, (1, 1)), w_img, cin),
+            # haloed window over the row-padded input: element-granular start
+            # hi*bh, size bh+4, stride bh — overlapping windows. Mosaic
+            # requires all-or-none Element dims (trivial Elements elsewhere)
+            # and rejects logical low padding, hence the XLA-side jnp.pad
+            # (one cheap fused copy, ~2 orders below the conv's compute).
+            pl.BlockSpec((pl.Element(1), pl.Element(bh + 4),
+                          pl.Element(w_img), pl.Element(cin)),
                          lambda ni, co, hi: (ni, hi * bh, 0, 0)),
             pl.BlockSpec((3, 3, cin, bco),
                          lambda ni, co, hi: (0, 0, 0, co)),
@@ -226,6 +245,7 @@ def conv3x3_pallas(
             pl.BlockSpec((n, cin), lambda ni, co, hi: (0, 0)),
             pl.BlockSpec((n, cin), lambda ni, co, hi: (0, 0)),
             pl.BlockSpec((1, bco), lambda ni, co, hi: (0, co)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, bh, w_img, bco),
                                lambda ni, co, hi: (ni, hi, 0, co)),
@@ -236,7 +256,7 @@ def conv3x3_pallas(
             + 9 * cin * cout * bpe,
             transcendentals=n * h * w_img * cout if act else 0,
         ),
-    )(x, w, bias_f, ps, pb, ws)
+    )(x, w, bias_f, ps, pb, ws, asv)
     return out
 
 
@@ -259,3 +279,12 @@ def conv3x3_reference(x, w, bias=None, *, act=None, pre_scale=None,
     if act == "silu":
         out = jax.nn.silu(out)
     return out
+
+
+def use_pallas_conv(enable: bool = True) -> None:
+    """Route eligible 3x3 convs (models.layers.conv2d + norm_act_conv)
+    through this kernel — TPU only. The shape gate is the measured table in
+    layers._pallas_conv_gate (scripts/sweep_conv_pallas.py)."""
+    from stable_renderer_tpu.models import layers
+
+    layers._conv_pallas_on = enable

@@ -51,8 +51,11 @@ class RenderConfig:
     # StreamDiffusion-style realtime pipelining (SURVEY §7): keep `steps`
     # frames in flight at different denoise stages so each engine frame costs
     # ONE batched UNet eval instead of `steps` sequential evals (better MXU
-    # utilization; output lags the raster by steps-1 frames). lcm/euler only;
-    # bypasses controlnets (realtime mode).
+    # utilization; output lags the raster by steps-1 frames). lcm/euler only.
+    # ControlNet hints and per-frame id maps ride the stage state (each
+    # in-flight frame keeps its own conditioning), and a corresponder with
+    # step_finished_inject_ratio > 0 vertex-averages across the in-flight
+    # frames in x0 space (engine/pipeline.py _jit_render_stream).
     stream_pipeline: bool = False
     # Lag-1 broadcast-KV correspondence INSIDE the stream pipeline: at these
     # transformer indices, self-attention K/V context is replaced by the
