@@ -29,6 +29,11 @@ svg{position:absolute;inset:0;pointer-events:none;width:100%;height:100%}
 #preview{position:fixed;right:12px;bottom:12px;max-width:220px;border:1px solid #444;display:none}
 progress{width:140px}
 .del{float:right;color:#f66;cursor:pointer;padding:0 4px}
+.group{position:absolute;border:1px solid #5a6b4a;background:#9ece6a14;border-radius:6px;z-index:0}
+.group h5{margin:0;padding:2px 8px;font-size:11px;color:#9ece6a;cursor:move;user-select:none}
+.group .rsz{position:absolute;right:0;bottom:0;width:12px;height:12px;cursor:nwse-resize;
+ border-right:3px solid #5a6b4a;border-bottom:3px solid #5a6b4a}
+.node{z-index:1}
 </style></head><body>
 <div id="bar">
  <input id="search" list="nodenames" placeholder="search nodes…" style="width:180px;background:#161a20;color:#ccc;border:1px solid #444;padding:3px"/>
@@ -40,6 +45,9 @@ progress{width:140px}
  <input id="wfile" type="file" accept=".json" style="display:none" onchange="loadFile(this)"/>
  <button onclick="document.getElementById('wfile').click()">load ⬆</button>
  <button onclick="submit()">run ▶</button>
+ <button onclick="addGroup()" title="litegraph-style group frame">group ▭</button>
+ <button onclick="undo()" title="ctrl+z">↶</button>
+ <button onclick="redo()" title="ctrl+shift+z / ctrl+y">↷</button>
  <button onclick="clearAll()">clear</button>
  <progress id="p" value="0" max="1"></progress><span id="pt"></span>
  <span id="status"></span>
@@ -47,7 +55,18 @@ progress{width:140px}
 <div id="canvas"><svg id="wires"></svg></div>
 <img id="preview"/>
 <script>
-let INFO={},nodes=[],links=[],nid=1,lid=1,selPort=null;
+let INFO={},nodes=[],links=[],groups=[],nid=1,lid=1,selPort=null;
+// undo/redo: JSON snapshots of the whole graph, pushed BEFORE every mutation
+let hist=[],hfut=[];
+function ser(){return JSON.stringify({nodes,links,groups,nid,lid});}
+function deser(s){const d=JSON.parse(s);nodes=d.nodes;links=d.links;groups=d.groups||[];nid=d.nid;lid=d.lid;render();}
+function snap(){hist.push(ser());if(hist.length>100)hist.shift();hfut=[];}
+function undo(){if(!hist.length)return;hfut.push(ser());deser(hist.pop());}
+function redo(){if(!hfut.length)return;hist.push(ser());deser(hfut.pop());}
+document.addEventListener('keydown',e=>{
+ if(e.target.tagName==='INPUT'||e.target.tagName==='SELECT')return;
+ if((e.ctrlKey||e.metaKey)&&e.key.toLowerCase()==='z'&&!e.shiftKey){e.preventDefault();undo();}
+ else if((e.ctrlKey||e.metaKey)&&(e.key.toLowerCase()==='y'||(e.key.toLowerCase()==='z'&&e.shiftKey))){e.preventDefault();redo();}});
 const canvas=document.getElementById('canvas');
 fetch('/object_info').then(r=>r.json()).then(d=>{INFO=d;
  const dl=document.getElementById('nodenames');
@@ -90,6 +109,10 @@ function importGraph(wf){
  // UI-format JSON (the reference's saved graphs + our own): nodes with
  // pos/widgets_values/inputs[{name,link}], links [[id,src,srcSlot,dst,dstSlot,ty]]
  nodes=[];links=[];
+ groups=(wf.groups||[]).map(g=>({title:g.title||'Group',
+  x:g.bounding?g.bounding[0]:(g.x||80),y:g.bounding?g.bounding[1]:(g.y||80),
+  w:g.bounding?g.bounding[2]:(g.w||420),h:g.bounding?g.bounding[3]:(g.h||260),
+  color:g.color}));
  const ws=wf.nodes||[];
  let maxId=0;
  for(let i=0;i<ws.length;i++){const w=ws[i];
@@ -122,15 +145,45 @@ function linkInputsOf(t){const inf=INFO[t];if(!inf)return[];const req=inf.input.
  return Object.entries(req).filter(([k,v])=>{
   const ty=Array.isArray(v[0])?'COMBO':v[0];
   return !['INT','FLOAT','STRING','BOOLEAN','COMBO'].includes(ty)&&!Array.isArray(v[0]);});}
-function addNode(type,x,y){type=type||searchType();
+function addGroup(x,y,w,h,title,color){snap();
+ groups.push({title:title||'Group',x:x??80,y:y??80,w:w??420,h:h??260,color:color||'#3f5159'});render();}
+function removeGroup(i){snap();groups.splice(i,1);render();}
+function renderGroups(){
+ canvas.querySelectorAll('.group').forEach(e=>e.remove());
+ groups.forEach((g,i)=>{
+  const d=document.createElement('div');d.className='group';
+  d.style.left=g.x+'px';d.style.top=g.y+'px';d.style.width=g.w+'px';d.style.height=g.h+'px';
+  if(g.color)d.style.borderColor=g.color;
+  d.innerHTML=`<h5>${g.title} <span class="del" onclick="removeGroup(${i})">×</span></h5><div class="rsz"></div>`;
+  canvas.appendChild(d);
+  const h5=d.querySelector('h5');
+  h5.ondblclick=()=>{const t=prompt('group title',g.title);if(t!=null){snap();g.title=t;render();}};
+  h5.onmousedown=e=>{if(e.target.classList.contains('del'))return;snap();
+   const sx=e.clientX-g.x,sy=e.clientY-g.y;
+   // litegraph semantics: dragging a group moves the nodes inside it
+   const inside=nodes.filter(n=>n.x>=g.x&&n.y>=g.y&&n.x<g.x+g.w&&n.y<g.y+g.h)
+    .map(n=>({n,dx:n.x-g.x,dy:n.y-g.y}));
+   const mv=ev=>{g.x=ev.clientX-sx;g.y=ev.clientY-sy;
+    inside.forEach(({n,dx,dy})=>{n.x=g.x+dx;n.y=g.y+dy;});render();};
+   const up=()=>{removeEventListener('mousemove',mv);removeEventListener('mouseup',up);};
+   addEventListener('mousemove',mv);addEventListener('mouseup',up);};
+  d.querySelector('.rsz').onmousedown=e=>{e.stopPropagation();snap();
+   const sx=e.clientX-g.w,sy=e.clientY-g.h;
+   const mv=ev=>{g.w=Math.max(120,ev.clientX-sx);g.h=Math.max(60,ev.clientY-sy);
+    d.style.width=g.w+'px';d.style.height=g.h+'px';};
+   const up=()=>{removeEventListener('mousemove',mv);removeEventListener('mouseup',up);};
+   addEventListener('mousemove',mv);addEventListener('mouseup',up);};
+ });}
+function addNode(type,x,y){snap();type=type||searchType();
  if(!type||!INFO[type]){document.getElementById('status').textContent='no such node';return;}
  const n={id:nid++,type,x:x??(60+Math.random()*500),y:y??(80+Math.random()*300),widgets:{}};
  nodes.push(n);render();}
 document.addEventListener('keydown',e=>{
  if(e.key==='Enter'&&document.activeElement===document.getElementById('search'))addNode();});
-function removeNode(id){nodes=nodes.filter(n=>n.id!==id);
+function removeNode(id){snap();nodes=nodes.filter(n=>n.id!==id);
  links=links.filter(l=>l.src!==id&&l.dst!==id);render();}
 function render(){
+ renderGroups();
  canvas.querySelectorAll('.node').forEach(e=>e.remove());
  for(const n of nodes){
   const d=document.createElement('div');d.className='node';d.style.left=n.x+'px';d.style.top=n.y+'px';d.dataset.id=n.id;
@@ -146,18 +199,18 @@ function render(){
     h+=`<div class="row">${k}<select data-w="${k}">${v[0].map(c=>`<option ${c==cur?'selected':''}>${c}</option>`).join('')}</select></div>`;
    }else{h+=`<div class="row">${k}<input data-w="${k}" value="${cur}"/></div>`;}});
   d.innerHTML=h;canvas.appendChild(d);
-  d.querySelector('h4').onmousedown=e=>{const sx=e.clientX-n.x,sy=e.clientY-n.y;
+  d.querySelector('h4').onmousedown=e=>{snap();const sx=e.clientX-n.x,sy=e.clientY-n.y;
    const mv=ev=>{n.x=ev.clientX-sx;n.y=ev.clientY-sy;d.style.left=n.x+'px';d.style.top=n.y+'px';drawWires();};
    const up=()=>{removeEventListener('mousemove',mv);removeEventListener('mouseup',up);};
    addEventListener('mousemove',mv);addEventListener('mouseup',up);};
-  d.querySelectorAll('[data-w]').forEach(el=>el.onchange=()=>{n.widgets[el.dataset.w]=el.value;});
+  d.querySelectorAll('[data-w]').forEach(el=>el.onchange=()=>{snap();n.widgets[el.dataset.w]=el.value;});
   d.querySelectorAll('.port').forEach(p=>p.onclick=()=>portClick(p));
  }
  drawWires();}
 function portClick(p){
  if(p.classList.contains('out')){document.querySelectorAll('.port.sel').forEach(e=>e.classList.remove('sel'));
   p.classList.add('sel');selPort=p;return;}
- if(selPort&&p.classList.contains('in')){
+ if(selPort&&p.classList.contains('in')){snap();
   const dst=+p.dataset.n;
   links=links.filter(l=>!(l.dst===dst&&l.dstName===p.dataset.name));
   links.push({id:lid++,src:+selPort.dataset.n,srcSlot:+selPort.dataset.slot,
@@ -178,13 +231,14 @@ function buildWorkflow(){
  return{nodes:nodes.map(n=>({id:n.id,type:n.type,
    widgets_values:widgetsOf(n.type).map(([k])=>n.widgets[k]??''),
    inputs:links.filter(l=>l.dst===n.id).map(l=>({name:l.dstName,link:l.id}))})),
-  links:links.map(l=>[l.id,l.src,l.srcSlot,l.dst,l.dstSlot,'ANY'])};}
+  links:links.map(l=>[l.id,l.src,l.srcSlot,l.dst,l.dstSlot,'ANY']),
+  groups:groups.map(g=>({title:g.title,bounding:[g.x,g.y,g.w,g.h],color:g.color}))};}
 async function submit(){
  const st=document.getElementById('status');
  try{const r=await fetch('/prompt',{method:'POST',body:JSON.stringify({prompt:buildWorkflow()})});
   st.textContent='queued #'+(await r.json()).prompt_id;}
  catch(e){st.textContent=String(e);}}
-function clearAll(){nodes=[];links=[];render();}
+function clearAll(){snap();nodes=[];links=[];groups=[];render();}
 const es=new EventSource('/events');
 es.onmessage=m=>{const e=JSON.parse(m.data);const st=document.getElementById('status');
  if(e.type==='progress'){const d=e.data;
