@@ -58,7 +58,8 @@ def main() -> None:
         from stable_renderer_tpu.ops.flash_attention import use_pallas_attention
 
         use_pallas_attention(True)
-        use_pallas_conv(True)  # fused 3x3 conv kernel at the measured shapes
+        if os.environ.get("SR_NO_PALLAS_CONV") != "1":
+            use_pallas_conv(True)  # fused 3x3 conv kernel, measured shapes
 
     size = 64 if quick else 512
     taesd_mode = os.environ.get("SR_BENCH_TAESD") == "1"

@@ -57,11 +57,14 @@ def conv2d(p: dict, x: jax.Array, stride: int = 1, padding: int = 0) -> jax.Arra
     calibrated int8 alike) route to ops/conv_pallas.py's fused kernel
     (_pallas_conv_gate — the measured shape table)."""
     if "weight_q" in p:
+        # int8 gate is LOOSER than bf16's: the Pallas int8 path beat XLA bf16
+        # down to 32^2 spatial in the sweep (0.056 vs 0.091 ms at 32^2 x 640),
+        # while the XLA int8 fallback REGRESSES below 128^2 (PERF.md r4)
         if (_conv_pallas_on and stride == 1 and padding == 1
                 and p["weight_q"].shape[:2] == (3, 3)
                 and "a_scale" in p
-                and _pallas_conv_gate(x.shape[1], x.shape[2],
-                                      x.shape[3], p["weight_q"].shape[-1])):
+                and x.shape[1] * x.shape[2] >= 32 * 32
+                and x.shape[3] >= 128 and p["weight_q"].shape[-1] >= 128):
             from stable_renderer_tpu.ops.conv_pallas import conv3x3_pallas
 
             return conv3x3_pallas(

@@ -114,16 +114,20 @@ def _conv3x3_kernel(
         # fused GroupNorm-normalize (+ activation): the per-(N, C) scale and
         # shift rows are tiny XLA-side math; applying them here makes the
         # ResBlock's norm -> act -> conv chain a single activation read.
-        # The wrapper zero-pads 2 halo rows top/bottom; the prologue turns
-        # them into silu(shift) != 0, so restore them to zero (slab row k is
-        # padded row hi*bh + k; real rows are [2, h+1]).
-        xs = xs * ps_ref[ni][None, :].astype(xs.dtype) \
-            + pb_ref[ni][None, :].astype(xs.dtype)
+        # Math in f32 (Mosaic mis-verifies bf16 logistic broadcasts), cast
+        # back for the MXU. The wrapper zero-pads 2 halo rows top/bottom;
+        # the prologue turns them into silu(shift) != 0, so restore them to
+        # zero (slab row k is padded row hi*bh + k; real rows are [2, h+1]).
+        dt = xs.dtype
+        xs = xs.astype(jnp.float32) * ps_ref[ni][None, :] \
+            + pb_ref[ni][None, :]
         if pre_act == "silu":
             xs = jax.nn.silu(xs)
         row = (jax.lax.broadcasted_iota(jnp.int32, (m_slab, 1), 0) // w_img
                + hi * bh)
         xs = jnp.where((row >= 2) & (row <= h + 1), xs, 0)
+        if not int8_mode:  # int8 quantizes from f32 directly below
+            xs = xs.astype(dt)
 
     if int8_mode:
         inv = 1.0 / as_ref[0, 0]
