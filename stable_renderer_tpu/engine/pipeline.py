@@ -184,15 +184,18 @@ class DiffusionPipeline:
                     return self.vae.decode(p, z), self.vae.encode_moments(p, px)
 
                 scales_v = calibrate_act_scales(_vae_both, self.vae_params, z, px)
-        self.unet_params = quantize_tree(self.unet_params, scales_u)
+        # min_pixels gates per measured routing: the Pallas int8 kernel wins
+        # down to 32^2 spatial (layers.conv2d int8 gate; sweep_conv_pallas),
+        # while XLA's int8 conv regresses below ~128^2 — convs whose
+        # calibrated spatial size is below 32^2 stay bf16 so nothing ever
+        # lands on the bad XLA-int8 small-spatial path.
+        self.unet_params = quantize_tree(self.unet_params, scales_u,
+                                         min_pixels=32 * 32)
         if vae:
-            # device traces show XLA's int8 conv REGRESSES below ~128^2
-            # spatial (s32 accumulator T(1,128) layout; quant.quantize_tree
-            # docstring) — keep the small-end decoder/encoder convs bf16.
             # Calibration runs at the render resolution, so the recorded
             # spatial sizes ARE the runtime ones the gate compares against.
             self.vae_params = quantize_tree(self.vae_params, scales_v,
-                                            min_pixels=128 * 128)
+                                            min_pixels=32 * 32)
         self._bump_models()
         return self
 
@@ -1025,6 +1028,14 @@ class DiffusionPipeline:
         # indices; inject the PREVIOUS frame's stored contexts as K/V —
         # pre_atten_inject with frame t-1 as the reference frame.
         kv_layers = tuple(cfg.stream_kv_layers or ())
+        if kv_state is not None:
+            want = {str(layer) for layer in kv_layers}
+            if set(kv_state) != want:
+                raise ValueError(
+                    f"stale stream kv_state: carries layers "
+                    f"{sorted(kv_state)} but RenderConfig.stream_kv_layers "
+                    f"expects {sorted(want)} — reset the stream (pass "
+                    f"kv_state=None) after changing stream_kv_layers")
         captured: dict = {}
         hooks = AttnHooks()
         if kv_layers:

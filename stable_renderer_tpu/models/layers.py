@@ -28,6 +28,14 @@ def linear(p: dict, x: jax.Array) -> jax.Array:
 
 _conv_pallas_on = False  # set by ops.conv_pallas.use_pallas_conv (TPU only)
 
+# routing scope experiment knob (A/B without source edits — every source
+# edit rekeys the persistent compile cache): "all" | "vae" | "unet".
+# SD channel sets are disjoint (VAE 128/256/512 vs SD-UNet 320/640/1280),
+# so Cin identifies the model family without plumbing a flag through.
+import os as _os  # noqa: E402
+
+_conv_scope = _os.environ.get("SR_PALLAS_CONV_SCOPE", "all")
+
 
 def _pallas_conv_gate(h: int, w: int, cin: int, cout: int) -> bool:
     """Measured routing table (scripts/sweep_conv_pallas.py, v5e fori-loop
@@ -38,6 +46,10 @@ def _pallas_conv_gate(h: int, w: int, cin: int, cout: int) -> bool:
     if px < 64 * 64 or cin < 128 or cout < 128:
         return False
     if px == 256 * 256 and cin >= 512:
+        return False
+    if _conv_scope == "vae" and cin not in (128, 256, 512):
+        return False
+    if _conv_scope == "unet" and cin not in (320, 640, 1280):
         return False
     return True
 

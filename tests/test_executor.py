@@ -33,6 +33,7 @@ def _engine_data(n=1, h=32, w=32):
     )
 
 
+@pytest.mark.slow  # full miku graph execution compiles ~55 s on this host
 @pytest.mark.skipif(not os.path.exists(MIKU), reason="reference workflows not mounted")
 def test_execute_miku_workflow_offline():
     wf = Workflow.Load(MIKU)

