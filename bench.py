@@ -53,13 +53,20 @@ def main() -> None:
     from stable_renderer_tpu.ops.correspondence import OverlapCorresponder
     from stable_renderer_tpu.workflow.config import RenderConfig
 
+    int8_will_run = os.environ.get("SR_BENCH_INT8") == "1"
     if jax.devices()[0].platform != "cpu" and os.environ.get("SR_NO_PALLAS") != "1":
         from stable_renderer_tpu.ops.conv_pallas import use_pallas_conv
         from stable_renderer_tpu.ops.flash_attention import use_pallas_attention
 
         use_pallas_attention(True)
-        if os.environ.get("SR_NO_PALLAS_CONV") != "1":
-            use_pallas_conv(True)  # fused 3x3 conv kernel, measured shapes
+        # Pallas conv routing: ON for int8 (the calibrated int8 path NEEDS the
+        # kernel — XLA's int8 conv regresses below 128^2 spatial, while the
+        # kernel's in-VMEM quant measured 1.5-2.3x), OFF for bf16 by default —
+        # isolated wins of 1.1-1.3x did NOT survive the full fused programs
+        # (8.30 -> 7.11 fps: each custom call is a fusion barrier; PERF.md
+        # round-5 notes). SR_PALLAS_CONV=1 forces it on for A/Bs.
+        if int8_will_run or os.environ.get("SR_PALLAS_CONV") == "1":
+            use_pallas_conv(True)
 
     size = 64 if quick else 512
     taesd_mode = os.environ.get("SR_BENCH_TAESD") == "1"
