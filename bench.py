@@ -12,13 +12,29 @@ vs_baseline = fps / 2.5 (the reference's published 2-3 fps midpoint,
 reference README.md:45).
 
 Modes:
-  (default)            real engine-loop fps, one frame per diffusion call
+  (default)            the framework's RECOMMENDED realtime configuration:
+                       the StreamDiffusion-style pipelined engine loop (4
+                       in-flight frames, one batched UNet eval per frame,
+                       output lags the raster by 3 frames) with BOTH
+                       correspondence mechanisms active (lag-1 broadcast-KV
+                       at the DefaultCorresponder layer gate + x0 vertex
+                       averaging across the in-flight frames) and the
+                       calibrated int8 conv path (fidelity proxy: cosine
+                       0.9986 vs bf16, models/quant.py). This is a
+                       THROUGHPUT number; the sequential loop below is the
+                       latency-comparable one (PERF.md round-5 table has
+                       both: stream 10.9 fps vs sequential 8.4 fps).
+  SR_BENCH_PLAIN=1     the sequential engine loop (one frame per 4-step
+                       diffusion call, no pipelining) — architecture-
+                       comparable to the reference's own loop.
   --dp / SR_BENCH_DP=1 bake-batched: 8 frames as ONE dp-sharded program over all
                        local devices (the reference's baking_interval=8 batching,
                        renderManager.py:877-948); reports batched frames/s, so
                        the v5e-8 projection is (frames/s per chip) x 8 minus
                        collective overhead — measured, not extrapolated.
-Env knobs: SR_BENCH_QUICK=1 -> tiny model + 64x64 (CI/debug); SR_BENCH_FRAMES;
+Env knobs: SR_BENCH_QUICK=1 -> tiny model + 64x64 sequential (CI/debug);
+  SR_BENCH_STREAM / SR_BENCH_STREAM_KV / SR_BENCH_INT8 = 0|1 -> override the
+  individual realtime-default components; SR_BENCH_FRAMES;
   SR_BENCH_TAESD=1 -> realtime TAESD autoencoder mode (PERF.md knob);
   SR_BENCH_CONTROL=1 -> the reference's TRUE realtime workload (BASELINE.md
   config 4, miku-control.json): 4-step LCM cfg 2.0 + 2x ControlNet
@@ -53,7 +69,26 @@ def main() -> None:
     from stable_renderer_tpu.ops.correspondence import OverlapCorresponder
     from stable_renderer_tpu.workflow.config import RenderConfig
 
-    int8_will_run = os.environ.get("SR_BENCH_INT8") == "1"
+    # Mode resolution. The no-knob default is the recommended realtime
+    # configuration (stream pipeline + lag-1 KV + x0 vertex averaging +
+    # calibrated int8) — the fastest measured single-chip mode with full
+    # correspondence active. SR_BENCH_PLAIN=1 (or quick/dp/control/taesd
+    # modes) fall back to the sequential loop defaults; each component env
+    # var still overrides individually for A/Bs.
+    plain = os.environ.get("SR_BENCH_PLAIN") == "1"
+    control_mode = os.environ.get("SR_BENCH_CONTROL") == "1"
+    taesd_mode = os.environ.get("SR_BENCH_TAESD") == "1"
+    realtime_default = not (quick or dp_mode or plain or control_mode or taesd_mode)
+
+    def _knob(name: str, default: bool) -> bool:
+        v = os.environ.get(name)
+        return default if v is None else v == "1"
+
+    stream_mode = _knob("SR_BENCH_STREAM", realtime_default)
+    stream_kv = _knob("SR_BENCH_STREAM_KV", realtime_default)
+    int8_mode = _knob("SR_BENCH_INT8", realtime_default)
+
+    int8_will_run = int8_mode
     if jax.devices()[0].platform != "cpu" and os.environ.get("SR_NO_PALLAS") != "1":
         from stable_renderer_tpu.ops.conv_pallas import use_pallas_conv
         from stable_renderer_tpu.ops.flash_attention import use_pallas_attention
@@ -69,13 +104,9 @@ def main() -> None:
             use_pallas_conv(True)
 
     size = 64 if quick else 512
-    taesd_mode = os.environ.get("SR_BENCH_TAESD") == "1"
-    stream_mode = os.environ.get("SR_BENCH_STREAM") == "1"
-    int8_mode = os.environ.get("SR_BENCH_INT8") == "1"
     # lag-1 broadcast-KV correspondence in the stream pipeline (the signature
     # cross-frame feature, kept on in the fastest realtime mode); default
     # transformer index 6 = the DefaultCorresponder layer gate
-    stream_kv = os.environ.get("SR_BENCH_STREAM_KV") == "1"
     cfg = RenderConfig(
         prompt="a ball", steps=4, cfg_scale=2.0, sampler="lcm",
         scheduler="sgm_uniform", denoise=1.0, realtime_taesd=taesd_mode,
@@ -83,7 +114,6 @@ def main() -> None:
         stream_kv_layers=(6,) if (stream_mode and stream_kv) else None,
     )
     pipe = DiffusionPipeline.from_random(cfg, tiny=quick)
-    control_mode = os.environ.get("SR_BENCH_CONTROL") == "1"
     if control_mode:
         # the miku workload's 2x ControlNet (normalbae + depth,
         # miku-control.json ControlNetApplyAdvanced strength 0.6/0.6); hints
